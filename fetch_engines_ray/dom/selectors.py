@@ -1,0 +1,148 @@
+"""Tiny CSS selector engine over the DOM in ``nodes.py``.
+
+Supports exactly the selector subset the reference pipeline uses
+(/root/reference/src/utils/markdown-converter.ts:27-103,266-280):
+compound simple selectors (``tag``, ``#id``, ``.class``, ``[attr]``,
+``[attr='v']``, ``[attr*='v']``, ``[attr^='v']``, ``:not(...)``) joined
+in comma-separated groups.  No combinators are needed — the reference
+never uses descendant/child selectors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator, Optional
+
+from .nodes import Element
+
+_TOKEN = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][a-zA-Z0-9-]*)
+  | \#(?P<id>[\w-]+)
+  | \.(?P<cls>[\w-]+)
+  | \[(?P<attr>[\w-]+)(?:(?P<op>[*^$]?=)(?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
+  | :not\((?P<not>[^)]*)\)
+    """,
+    re.VERBOSE,
+)
+
+Predicate = Callable[[Element], bool]
+
+
+class Compound:
+    """One compound selector: all conditions must hold on a single element."""
+
+    __slots__ = ("tag", "id", "classes", "attr_tests", "not_sels")
+
+    def __init__(self, text: str) -> None:
+        self.tag: Optional[str] = None
+        self.id: Optional[str] = None
+        self.classes: list[str] = []
+        self.attr_tests: list[tuple[str, str, str]] = []  # (name, op, value)
+        self.not_sels: list[Compound] = []
+        pos = 0
+        text = text.strip()
+        while pos < len(text):
+            m = _TOKEN.match(text, pos)
+            if not m:
+                raise ValueError(f"unsupported selector: {text!r} at {pos}")
+            if m.group("tag"):
+                self.tag = m.group("tag").lower()
+            elif m.group("id"):
+                self.id = m.group("id")
+            elif m.group("cls"):
+                self.classes.append(m.group("cls"))
+            elif m.group("attr"):
+                name = m.group("attr").lower()
+                op = m.group("op") or ""
+                val = m.group("val") if m.group("val") is not None else ""
+                self.attr_tests.append((name, op, val))
+            elif m.group("not") is not None:
+                self.not_sels.append(Compound(m.group("not")))
+            pos = m.end()
+
+    def matches(self, el: Element) -> bool:
+        if self.tag is not None and el.tag != self.tag:
+            return False
+        if self.id is not None and el.id != self.id:
+            return False
+        if self.classes:
+            ecl = el.classes
+            for c in self.classes:
+                if c not in ecl:
+                    return False
+        for name, op, val in self.attr_tests:
+            actual = el.attrs.get(name)
+            if actual is None:
+                return False
+            if op == "":
+                continue
+            if op == "=":
+                if actual != val:
+                    return False
+            elif op == "*=":
+                if val not in actual:
+                    return False
+            elif op == "^=":
+                if not actual.startswith(val):
+                    return False
+            elif op == "$=":
+                if not actual.endswith(val):
+                    return False
+        for ns in self.not_sels:
+            if ns.matches(el):
+                return False
+        return True
+
+
+_CACHE: dict[str, list[Compound]] = {}
+
+
+def compile_selector(selector: str) -> list[Compound]:
+    sels = _CACHE.get(selector)
+    if sels is None:
+        sels = [Compound(part) for part in selector.split(",") if part.strip()]
+        _CACHE[selector] = sels
+    return sels
+
+
+def iter_select(root: Element, selector: str) -> Iterator[Element]:
+    """Document-order matches among *descendants* of ``root`` (excl. root)."""
+    sels = compile_selector(selector)
+    if len(sels) == 1:
+        s = sels[0]
+        for el in root.iter_elements():
+            if s.matches(el):
+                yield el
+    else:
+        for el in root.iter_elements():
+            for s in sels:
+                if s.matches(el):
+                    yield el
+                    break
+
+
+def select_all(root: Element, selector: str) -> list[Element]:
+    return list(iter_select(root, selector))
+
+
+def select_one(root: Element, selector: str) -> Optional[Element]:
+    for el in iter_select(root, selector):
+        return el
+    return None
+
+
+def matches(el: Element, selector: str) -> bool:
+    return any(s.matches(el) for s in compile_selector(selector))
+
+
+def closest(el: Element, selector: str) -> Optional[Element]:
+    """Nearest ancestor-or-self matching ``selector`` (like DOM closest())."""
+    sels = compile_selector(selector)
+    node: Optional[Element] = el
+    while node is not None and node.tag != "#root":
+        for s in sels:
+            if s.matches(node):
+                return node
+        node = node.parent
+    return None
