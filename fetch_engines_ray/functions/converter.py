@@ -139,6 +139,7 @@ _RE_FIRST_H1_LINE = re.compile(r"(?m)^(\s*#\s.*)$")
 class ConvertResult:
     markdown: str
     title: str
+    is_forum: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -746,7 +747,9 @@ def convert(
     base_url: Optional[str] = None,
     max_content_length: Optional[int] = None,
 ) -> ConvertResult:
-    content, title, _ = preprocess(html, base_url)
+    content, title, is_forum = preprocess(html, base_url)
     markdown = serialize(content)
     markdown = postprocess_markdown(markdown, max_content_length)
-    return ConvertResult(markdown=markdown, title=_RE_WS.sub(" ", title).strip())
+    return ConvertResult(
+        markdown=markdown, title=_RE_WS.sub(" ", title).strip(), is_forum=is_forum
+    )

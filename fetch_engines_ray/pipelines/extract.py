@@ -1,0 +1,174 @@
+"""The flagship extraction pipeline, Ray-Data-first.
+
+Two entry points:
+
+* :func:`build_pipeline` — pure streaming ``Dataset`` transform
+  (read → actor-pool ``map_batches`` extraction).  Used by
+  ``__ray_entry__.entry()``/``queries()`` and by ``bench.py``.
+* :func:`run_resumable` — partition-atomic runner with per-partition
+  lineage records and plan-time resume (north rule: checkpoint resume
+  at 10^12-doc scale).  One input parquet fragment → one output part
+  file + one lineage record; a killed run re-processes only
+  uncommitted fragments.
+
+Scale notes (sized for a 256-node cluster, tested on one node):
+
+* extraction is an **actor pool** (``concurrency=N``) because each
+  actor holds compiled converter state — not because of Python-level
+  state mutation; batches stay Arrow end-to-end.
+* ``batch_size`` is small (default 16) so one mega-page cannot stall a
+  thousand-row batch (skew control, SURVEY.md §4.2); Ray Data's
+  dynamic block splitting handles oversized *outputs*.
+* no stage materializes the dataset; the streaming executor pipelines
+  read → extract → write with backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..stages.extract import OUTPUT_SCHEMA, DocumentExtractor
+from ..state import lineage as lin
+
+
+@dataclass
+class PipelineConfig:
+    """Engine knobs (reference analog: the 20+ config surface at
+    /root/reference/src/types.ts:75-216)."""
+
+    batch_size: int = 16
+    concurrency: int = 8
+    num_cpus_per_actor: float = 1.0
+    max_content_length: Optional[int] = None
+    read_columns: tuple = ("doc_id", "spans", "archetype", "base_url")
+
+
+def read_corpus(path: str, cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+    cfg = cfg or PipelineConfig()
+    return ray.data.read_parquet(path, columns=list(cfg.read_columns))
+
+
+def build_pipeline(ds: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+    """Attach the extraction stage to a corpus Dataset (lazy)."""
+    cfg = cfg or PipelineConfig()
+    return ds.map_batches(
+        DocumentExtractor,
+        fn_constructor_kwargs={"max_content_length": cfg.max_content_length},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.concurrency,
+        num_cpus=cfg.num_cpus_per_actor,
+    )
+
+
+def extract_corpus(input_path: str, cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+    return build_pipeline(read_corpus(input_path, cfg), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Resumable partition-atomic runner
+# ---------------------------------------------------------------------------
+
+def _list_fragments(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    return [input_path]
+
+
+class _FragmentProcessor:
+    """Actor that processes whole input fragments: read fragment →
+    extract → atomic write of output part + lineage record.
+
+    Used only by the resumable runner; partition-atomicity is the point
+    (a mid-run kill loses at most in-flight fragments)."""
+
+    def __init__(self, output_dir: str, max_content_length: Optional[int] = None) -> None:
+        self.output_dir = output_dir
+        self.extractor = DocumentExtractor(max_content_length=max_content_length)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = []
+        for frag in batch.column("fragment").to_pylist():
+            t0 = time.perf_counter()
+            part_id = os.path.splitext(os.path.basename(frag))[0]
+            table = pq.read_table(frag, columns=["doc_id", "spans", "archetype", "base_url"])
+            out_batches = [
+                self.extractor(table.slice(off, 256))
+                for off in range(0, table.num_rows, 256)
+            ]
+            out = pa.concat_tables(out_batches) if out_batches else pa.Table.from_pylist([], schema=OUTPUT_SCHEMA)
+
+            os.makedirs(self.output_dir, exist_ok=True)
+            final = os.path.join(self.output_dir, f"{part_id}.out.parquet")
+            tmp = os.path.join(self.output_dir, f".{part_id}.out.tmp.parquet")
+            pq.write_table(out, tmp)
+            os.replace(tmp, final)
+
+            doc_hashes = [
+                lin.span_hash_for_doc(d, s)
+                for d, s in zip(out.column("doc_id").to_pylist(), out.column("out_spans").to_pylist())
+            ]
+            routes = out.column("route").to_pylist()
+            route_counts: dict[str, int] = {}
+            for r in routes:
+                route_counts[r] = route_counts.get(r, 0) + 1
+            lin.write_lineage(
+                self.output_dir,
+                part_id,
+                [frag],
+                out.num_rows,
+                lin.combine_hashes(doc_hashes),
+                time.perf_counter() - t0,
+                route_counts,
+            )
+            results.append({"partition_id": part_id, "rows": out.num_rows})
+        return pa.Table.from_pylist(
+            results,
+            schema=pa.schema([("partition_id", pa.string()), ("rows", pa.int64())]),
+        )
+
+
+def run_resumable(
+    input_path: str,
+    output_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    concurrency: int = 8,
+) -> dict:
+    """Process all not-yet-committed input fragments; skip finished ones.
+
+    Returns ``{"processed": n, "skipped": m, "rows": total}``.
+    """
+    cfg = cfg or PipelineConfig()
+    fragments = _list_fragments(input_path)
+    done = lin.completed_fragments(output_dir)
+    todo = [f for f in fragments if f not in done]
+    if not todo:
+        return {"processed": 0, "skipped": len(fragments), "rows": 0}
+
+    ds = ray.data.from_items([{"fragment": f} for f in todo])
+    results = ds.map_batches(
+        _FragmentProcessor,
+        fn_constructor_kwargs={
+            "output_dir": output_dir,
+            "max_content_length": cfg.max_content_length,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=min(concurrency, len(todo)),
+        num_cpus=1,
+    ).take_all()
+    rows = sum(r["rows"] for r in results)
+    return {"processed": len(todo), "skipped": len(fragments) - len(todo), "rows": rows}

@@ -1,0 +1,141 @@
+"""Pipeline-level tests: golden span-sequence equality (the north-rule
+invariant), Ray Data end-to-end streaming execution, and resumable
+partition-atomic runs with lineage."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from fetch_engines_ray.corpus.generate import (
+    INPUT_SCHEMA,
+    fixture_docs,
+    generate_corpus,
+    make_doc,
+)
+from fetch_engines_ray.stages.extract import DocumentExtractor
+from fetch_engines_ray.state import lineage as lin
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "fixture_goldens.json")
+
+
+def _extract_all(rows):
+    table = pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+    return {r["doc_id"]: r for r in DocumentExtractor()(table).to_pylist()}
+
+
+def test_span_sequence_equality_against_goldens():
+    """Per-document span-sequence equality on (kind, text, media_ref, order)."""
+    with open(GOLDENS) as f:
+        goldens = json.load(f)
+    rows = fixture_docs() + [make_doc(i, 42) for i in range(50)]
+    results = _extract_all(rows)
+    assert set(results) == set(goldens)
+    for doc_id, golden in goldens.items():
+        got = results[doc_id]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in got["out_spans"]
+        ]
+        want_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in golden["out_spans"]
+        ]
+        assert got_spans == want_spans, f"span mismatch for {doc_id}"
+        assert got["title"] == golden["title"], doc_id
+        assert got["route"] == golden["route"], doc_id
+
+
+def test_extraction_is_deterministic():
+    rows = [make_doc(i, 7) for i in range(20)]
+    a = _extract_all(rows)
+    b = _extract_all(rows)
+    for doc_id in a:
+        assert a[doc_id] == b[doc_id]
+
+
+def test_media_span_order_preserved():
+    rows = fixture_docs()
+    results = _extract_all(rows)
+    f21 = results["fixture-F21"]
+    kinds = [(s["kind"], s["media_ref"]) for s in f21["out_spans"]]
+    assert kinds == [
+        ("text", ""),
+        ("image", "media://fixture-F21/1"),
+        ("text", ""),
+        ("video", "media://fixture-F21/3"),
+        ("text", ""),
+    ]
+    assert [s["order"] for s in f21["out_spans"]] == [0, 1, 2, 3, 4]
+
+
+def test_filler_routes_match_expected():
+    rows = [make_doc(i, 42) for i in range(200)]
+    results = _extract_all(rows)
+    for r in rows:
+        assert results[r["doc_id"]]["route"] == r["expected_route"], r["doc_id"]
+
+
+def test_warm_best_of_keeps_better_hydrated_content():
+    rows = fixture_docs()
+    results = _extract_all(rows)
+    f23 = results["fixture-F23"]
+    assert f23["route"] == "warm"
+    assert "Hydrated Application" in f23["out_spans"][0]["text"]
+
+
+def test_pdf_layout_parse():
+    rows = fixture_docs()
+    results = _extract_all(rows)
+    f24 = results["fixture-F24"]
+    md = f24["out_spans"][0]["text"]
+    assert md.startswith("# Quarterly Layout Report")
+    assert "- First finding" in md
+    assert "| a | b | c |" in md
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_pipeline_end_to_end(tmp_path):
+    import ray.data
+
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=120, seed=42, rows_per_file=40)
+    cfg = PipelineConfig(batch_size=16, concurrency=2)
+    ds = extract_corpus(corpus, cfg)
+    out = str(tmp_path / "out")
+    ds.write_parquet(out)
+
+    got = ray.data.read_parquet(out)
+    n = got.count()
+    assert n == 120 + len(fixture_docs())
+    sample = got.take(5)
+    assert {"doc_id", "out_spans", "title", "route"} <= set(sample[0].keys())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resumable_run_with_lineage(tmp_path):
+    from fetch_engines_ray.pipelines.extract import run_resumable
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=100, seed=1, include_fixtures=False, rows_per_file=25)
+    out1 = str(tmp_path / "out1")
+
+    # First run: everything processed.
+    r1 = run_resumable(corpus, out1, concurrency=2)
+    assert r1["processed"] == 4 and r1["skipped"] == 0 and r1["rows"] == 100
+
+    # Second run: everything skipped (idempotent resume).
+    r2 = run_resumable(corpus, out1, concurrency=2)
+    assert r2["processed"] == 0 and r2["skipped"] == 4
+
+    # Simulate a mid-run kill: delete one partition's lineage record →
+    # only that fragment is reprocessed, and its span hash is unchanged.
+    recs_before = lin.read_lineage(out1)
+    victim = sorted(recs_before)[0]
+    os.remove(lin.lineage_path(out1, victim))
+    r3 = run_resumable(corpus, out1, concurrency=2)
+    assert r3["processed"] == 1 and r3["skipped"] == 3
+    recs_after = lin.read_lineage(out1)
+    assert recs_after[victim]["span_hash"] == recs_before[victim]["span_hash"]
+    assert recs_after[victim]["row_count"] == recs_before[victim]["row_count"]
