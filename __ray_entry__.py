@@ -1,44 +1,284 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for every SQL-expressible query.  Ray is
+initialised by the driver before this module is imported — nothing here
+calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SYNTH_DOCS = {"0.001": 300, "0.01": 1500, "0.1": 6000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.01"
+
+
+def _synth_corpus(sf_dir: str) -> str:
+    """Deterministic interleaved-span corpus scaled to the sf level
+    (BASELINE.json input_hint shape; synthesized, cached under /tmp)."""
+    from fetch_engines_ray.corpus.generate import generate_corpus
+
+    sf = _sf_of(sf_dir)
+    n = _SYNTH_DOCS.get(sf, 1000)
+    key = hashlib.md5(f"{sf}:{n}:v1".encode()).hexdigest()[:10]
+    out = f"/tmp/fer_corpus_{sf}_{key}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_corpus(out, num_docs=n, seed=42, rows_per_file=500)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline on /root/testdata/sf0.001 scale."""
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    corpus = _synth_corpus("/root/testdata/sf0.001")
+    cfg = PipelineConfig(batch_size=16, concurrency=4)
+    ds = extract_corpus(corpus, cfg)
+    return ds.select_columns(
+        ["doc_id", "title", "route", "shell_score", "quality_score", "n_out_chars", "archetype"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_pipeline(sf_dir: str) -> Any:
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=4))
+    return ds.select_columns(
+        ["doc_id", "title", "route", "shell_score", "quality_score", "n_out_chars", "archetype"]
+    )
+
+
+def _q_extract_route_counts(sf_dir: str) -> Any:
+    from ray.data.aggregate import Count, Sum
+
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=4))
+    out = (
+        ds.groupby("route")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_out_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    return out.sort_values("route").reset_index(drop=True)
+
+
+def _q_media_decode(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=4))
+    return decode_media(media_spans_dataset(ds), concurrency=2)
+
+
+def _read_documents(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_token_counts(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_token_count
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_token_count, batch_format="pyarrow", batch_size=4096
+    )
+    return ds.select_columns(["doc_id", "token_count"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_stats_by_lang(sf_dir: str) -> Any:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_documents(sf_dir)
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _q_text_features(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import text_features_pipeline
+
+    ds = text_features_pipeline(_read_documents(sf_dir))
+    return ds.select_columns(["doc_id", "token_count", "lang_pred", "fingerprint"])
+
+
+def _q_exact_dedup(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(_read_documents(sf_dir)).to_pandas()
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+def _q_top20_longest_docs(sf_dir: str) -> Any:
+    ds = _read_documents(sf_dir)
+    return (
+        ds.select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+
+
+def _q_minhash_pairs(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read_documents(sf_dir))
+
+
+def _q_simhash_pairs(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_read_documents(sf_dir))
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_knn_bruteforce(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.similarity import knn_bruteforce
+
+    return knn_bruteforce(_read_embeddings(sf_dir), query_ids=list(range(8)), k=10)
+
+
+def _q_ivf_knn(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.similarity import ivf_knn
+
+    return ivf_knn(_read_embeddings(sf_dir), query_ids=list(range(8)), k=10)
+
+
+def _q_embedding_near_dups(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_read_embeddings(sf_dir), threshold=0.95)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True) if len(out) else out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fetch_engines_ray.ops import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (synthetic interleaved corpus; rows-only check)
+        "extract_pipeline": _q_extract_pipeline,
+        "extract_route_counts": _q_extract_route_counts,
+        "media_decode": _q_media_decode,
+        # text analysis over documents (SQL oracles)
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "text_features": _q_text_features,
+        # dedup family
+        "exact_dedup_groups": _q_exact_dedup,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_dedup_pairs": _q_simhash_pairs,
+        "embedding_near_dup_pairs": _q_embedding_near_dups,
+        # similarity search
+        "knn_bruteforce": _q_knn_bruteforce,
+        "ivf_knn": _q_ivf_knn,
+        # relational operator parity (SQL oracles)
+        "lineitem_pricing_summary": rel.lineitem_pricing_summary,
+        "orders_by_status": rel.orders_by_status,
+        "events_value_by_type": rel.events_value_by_type,
+        "customer_revenue_by_segment": rel.customer_revenue_by_segment,
+        "customers_per_nation": rel.customers_per_nation,
+        "top10_orders_by_price": rel.top10_orders_by_price,
+        "high_value_open_orders": rel.high_value_open_orders,
+        "distinct_part_brands": rel.distinct_part_brands,
+        "top20_longest_docs": _q_top20_longest_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_counts": (
+            "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+            " AS token_count FROM documents ORDER BY doc_id"
+        ),
+        "doc_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars"
+            " FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "exact_dedup_groups": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups"
+            " FROM documents GROUP BY md5(text) ORDER BY text_hash"
+        ),
+        "top20_longest_docs": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),"
+            " s AS (SELECT q.qid, e.vec_id AS nid,"
+            "       list_cosine_similarity(q.qe, e.embedding) AS sim"
+            "       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)"
+            " SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rank FROM ("
+            "   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk"
+            "   FROM s) WHERE rnk <= 10 ORDER BY query_id, rank"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " round(sum(l_quantity), 3) AS sum_qty,"
+            " round(sum(l_extendedprice), 3) AS sum_base_price,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,"
+            " round(avg(l_quantity), 3) AS avg_qty,"
+            " count(*) AS count_order"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+            " ORDER BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_status": (
+            "SELECT o_orderstatus, count(*) AS n_orders,"
+            " round(sum(o_totalprice), 3) AS total_price,"
+            " round(min(o_totalprice), 3) AS min_price,"
+            " round(max(o_totalprice), 3) AS max_price"
+            " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "events_value_by_type": (
+            "SELECT event_type, count(*) AS n_events, round(sum(value), 3) AS total_value"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "customer_revenue_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 3) AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "customers_per_nation": (
+            "SELECT n_name, count(*) AS n_customers"
+            " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " GROUP BY n_name ORDER BY n_name"
+        ),
+        "top10_orders_by_price": (
+            "SELECT o_orderkey, round(o_totalprice, 3) AS o_totalprice FROM orders"
+            " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "high_value_open_orders": (
+            "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 3) AS o_totalprice"
+            " FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0"
+            " ORDER BY o_orderkey"
+        ),
+        "distinct_part_brands": (
+            "SELECT DISTINCT p_brand FROM part ORDER BY p_brand"
+        ),
+    }

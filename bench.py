@@ -1,0 +1,179 @@
+"""Benchmark entry point.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "throughput_docs_per_sec": ...}
+
+``--scaling`` runs the headline extraction pipeline twice in fresh
+processes (num_cpus=8 then 32) on the same input and reports both
+throughputs plus efficiency = T_N / (4 × T_4N)  (≥ 0.8 target,
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+
+# Headline corpus sizes per sf level (synthetic interleaved docs;
+# deterministic, cached under /tmp).
+BENCH_DOCS = {"0.001": 500, "0.01": 5000, "0.1": 48000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.01"
+
+
+def synth_corpus_parallel(sf_dir: str) -> tuple[str, int]:
+    """Generate (once, cached) the bench corpus using Ray itself."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from fetch_engines_ray.corpus.generate import INPUT_SCHEMA, make_doc
+
+    sf = _sf_of(sf_dir)
+    n = BENCH_DOCS.get(sf, 5000)
+    key = hashlib.md5(f"bench:{sf}:{n}:v1".encode()).hexdigest()[:10]
+    out = f"/tmp/fer_bench_corpus_{sf}_{key}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out, n
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = [make_doc(int(i), 42) for i in batch["idx"].to_pylist()]
+        return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+
+    ds = ray.data.from_items([{"idx": i} for i in range(n)])
+    ds = ds.repartition(64).map_batches(gen, batch_format="pyarrow", batch_size=512)
+    ds.write_parquet(out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out, n
+
+
+def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    corpus, n_docs = synth_corpus_parallel(sf_dir)
+    out_dir = f"/tmp/fer_bench_out_{os.getpid()}"
+    cfg = PipelineConfig(batch_size=32, concurrency=num_cpus)
+    t0 = time.perf_counter()
+    ds = extract_corpus(corpus, cfg)
+    ds.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "docs": n_docs, "docs_per_sec": n_docs / dt}
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary pipelines (agg / dedup / knn / relational)."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "doc_token_counts",
+        "exact_dedup_groups",
+        "minhash_dedup_pairs",
+        "knn_bruteforce",
+        "lineitem_pricing_summary",
+        "customer_revenue_by_segment",
+    ]
+    times = {}
+    for name in names:
+        t0 = time.perf_counter()
+        result = qs[name](sf_dir)
+        # consume lazily-returned datasets
+        if hasattr(result, "count") and not hasattr(result, "columns"):
+            result.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ext = bench_extraction(sf_dir, num_cpus)
+    queries = {"extraction": round(ext["sec"], 3)}
+    if include_queries:
+        queries.update(bench_queries(sf_dir))
+    result = {
+        "metric": "end_to_end_extraction_wall_time",
+        "value": round(ext["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "docs": ext["docs"],
+        "throughput_docs_per_sec": round(ext["docs_per_sec"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Fresh-process runs at two parallelism levels on the same input."""
+    results = {}
+    for n in (low, high):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-run", "--num-cpus", str(n), "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = [ln for ln in proc.stdout.strip().split("\n") if ln.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t_low, t_high = results[low]["value"], results[high]["value"]
+    efficiency = t_low / ((high / low) * t_high)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            f"extraction_cpus_{low}": t_low,
+            f"extraction_cpus_{high}": t_high,
+        },
+        "sf": _sf_of(sf_dir),
+        "num_cpus": high,
+        "throughput_low": results[low]["throughput_docs_per_sec"],
+        "throughput_high": results[high]["throughput_docs_per_sec"],
+        "scaling_factor": high / low,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--single-run", action="store_true")
+    parser.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    parser.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT))
+    args = parser.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir, 8, 32)
+    else:
+        result = run_single(args.sf_dir, args.num_cpus, include_queries=not args.single_run)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every flavor is partial-first — per-batch signature
+computation in ``map_batches`` (vectorized numpy), then ONE ``groupby``
+on a bucket key whose fan-in is tiny (bucket members), never an
+all-pairs shuffle.  Candidate verification happens inside the bucket
+group (``map_groups``), so the only wide op moves (key, doc_id,
+signature) triples, not documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash32(s: str) -> int:
+    return zlib.crc32(s.encode())
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
+    """Hash-partitioned exact dedup: md5(text) groups; keep min(doc_id).
+
+    Returns (text_hash, keep_doc_id, n_dups) — SQL-oracle-equivalent to
+    ``SELECT md5(text), min(doc_id), count(*) ... GROUP BY md5(text)``.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [_md5_hex(t or "") for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {"text_hash": pa.array(hashes), id_col: batch[id_col]}
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=4096)
+    return hashed.groupby("text_hash").aggregate(
+        Min(id_col, alias_name="keep_doc_id"), Count(alias_name="n_dups")
+    )
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row per distinct text (the min-id winner's ids)."""
+    return exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Per-batch MinHash signatures over word shingles.
+
+    Stateful actor stage: the (a, b) permutation parameters are built
+    once per actor in ``__init__`` (seeded → identical across actors).
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_size: int = 3, seed: int = 7) -> None:
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+
+    def signature(self, text: str) -> np.ndarray:
+        toks = text.lower().split()
+        k = self.shingle_size
+        if len(toks) < k:
+            shingles = {" ".join(toks)} if toks else {""}
+        else:
+            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        hv = np.fromiter((_stable_hash32(s) for s in shingles), dtype=np.int64, count=len(shingles))
+        # sig[j] = min over shingles of (a_j * h + b_j) mod p   (vectorized)
+        vals = (np.outer(self.a, hv) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "minhash_sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
+    """Explode signatures into (band_bucket, doc_id, sig) rows."""
+    out_bucket: list[str] = []
+    out_id: list = []
+    out_sig: list = []
+    ids = batch["doc_id"].to_pylist()
+    sigs = batch["minhash_sig"].to_pylist()
+    for doc_id, sig in zip(ids, sigs):
+        rows_per_band = len(sig) // num_bands
+        for b in range(num_bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            digest = hashlib.blake2b(
+                (str(b) + ":" + ",".join(map(str, chunk))).encode(), digest_size=8
+            ).hexdigest()
+            out_bucket.append(digest)
+            out_id.append(doc_id)
+            out_sig.append(sig)
+    return pa.table(
+        {
+            "bucket": pa.array(out_bucket),
+            "doc_id": pa.array(out_id),
+            "minhash_sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def _collision_buckets_only(banded: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Drop singleton LSH buckets before the per-bucket pair pass.
+
+    A vectorized ``groupby(bucket).count`` finds the (rare) colliding
+    buckets; their keys are broadcast (``ray.put``) and the band rows
+    are filtered in ``map_batches``.  At corpus scale where the
+    colliding-key set itself outgrows memory, this broadcast becomes a
+    hash-partitioned semi-join — same plan shape, no API change.
+    """
+    counts = banded.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    dup_keys = set(counts.loc[counts["n"] >= 2, "bucket"])
+    if not dup_keys:
+        return None  # type: ignore[return-value]
+    keys_ref = ray.put(dup_keys)
+
+    def keep_collisions(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array([b in keys for b in batch["bucket"].to_pylist()])
+        return batch.filter(mask)
+
+    return banded.map_batches(keep_collisions, batch_format="pyarrow", batch_size=8192)
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> pd.DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduplicated
+    across buckets, est_jaccard = fraction of equal signature rows ≥
+    ``threshold``.
+    """
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=4,
+    )
+    banded = sigs.map_batches(
+        lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
+    )
+    empty = pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
+    colliding = _collision_buckets_only(banded)
+    if colliding is None:
+        return empty
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        ids = group["doc_id"].tolist()
+        sig_list = [np.asarray(s) for s in group["minhash_sig"]]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float((sig_list[i] == sig_list[j]).mean())
+                if est >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    rows.append({"doc_a": a, "doc_b": b, "est_jaccard": est})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    pairs = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return empty
+    return (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    for t in toks:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_signatures(ds: "ray.data.Dataset"):
+    """(doc_id, simhash, chunk0..chunk3) — 16-bit chunks are the LSH
+    bucket keys (two near-dup docs with hamming distance ≤ 3 share at
+    least one chunk by pigeonhole)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [_simhash64(t or "") for t in batch["text"].to_pylist()]
+        cols = {
+            "doc_id": pa.array(ids),
+            "simhash": pa.array([f"{h:016x}" for h in hs]),
+        }
+        for c in range(4):
+            cols[f"chunk{c}"] = pa.array([(h >> (16 * c)) & 0xFFFF for h in hs], type=pa.int32())
+        return pa.table(cols)
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=2048)
+
+
+def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs: bucket by each 16-bit chunk, verify hamming ≤ k."""
+    sigs = simhash_signatures(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, sims, buckets = [], [], []
+        for r in batch.to_pylist():
+            for c in range(4):
+                ids.append(r["doc_id"])
+                sims.append(r["simhash"])
+                buckets.append(f"{c}:{r[f'chunk{c}']}")
+        return pa.table({"bucket": pa.array(buckets), "doc_id": pa.array(ids), "simhash": pa.array(sims)})
+
+    banded = sigs.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        ids = group["doc_id"].tolist()
+        hs = [int(s, 16) for s in group["simhash"]]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    rows.append({"doc_a": a, "doc_b": b, "hamming": d})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+    empty = pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+    colliding = _collision_buckets_only(banded)
+    if colliding is None:
+        return empty
+    pairs = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return empty
+    return (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity of two texts."""
+
+    def grams(t: str) -> set:
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    union = len(ga | gb)
+    return len(ga & gb) / union if union else 0.0

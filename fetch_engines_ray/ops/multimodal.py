@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) stage plumbing.
+
+Media payloads are opaque ``binary``/``media_ref`` columns with typed
+metadata.  Decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages.  The actual codec work is STUBBED —
+the image/audio libraries are not present in this environment — but the
+Ray-side plumbing (actor signature, schema, batch sizing, output
+layout) is real and tested.  Each stub is deterministic so pipelines
+remain reproducible end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+try:  # real decoders, if the environment ever provides them
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_META_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+        ("feature", pa.list_(pa.float32(), 8)),
+        ("decode_status", pa.string()),
+    ]
+)
+
+
+def _fake_decode(media_ref: str, kind: str) -> dict:
+    """Deterministic stand-in for a codec: derives plausible metadata
+    from a hash of the media_ref.  Marked ``decode_status="stubbed"``."""
+    h = hashlib.blake2b(media_ref.encode(), digest_size=16).digest()
+    width = 160 + h[0] * 8
+    height = 90 + h[1] * 8
+    duration = (h[2] * 256 + h[3]) if kind in ("video", "audio") else 0
+    feature = [((b / 255.0) * 2 - 1) for b in h[4:12]]
+    return {
+        "media_ref": media_ref,
+        "kind": kind,
+        "width": width if kind in ("image", "video") else 0,
+        "height": height if kind in ("image", "video") else 0,
+        "duration_ms": duration,
+        "feature": feature,
+        "decode_status": "stubbed",
+    }
+
+
+class MediaDecoder:
+    """Actor-pool stage: (media_ref, kind) batch → decoded metadata batch.
+
+    Use ``map_batches(MediaDecoder, concurrency=N, batch_size=64,
+    batch_format="pyarrow")`` — small batches because real media payloads
+    are large.  In ``__init__`` a real implementation would load codec
+    state (once per actor); the stub compiles nothing but keeps the
+    signature identical.
+    """
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224)) -> None:
+        self.target_size = target_size
+
+    def real_decode(self, payload: bytes):  # pragma: no cover
+        """The real codec path — not available in this environment."""
+        raise NotImplementedError(
+            "Image/audio decode libraries are not present in this container; "
+            "wire PIL/ffmpeg here and replace _fake_decode."
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            _fake_decode(r or "", k or "")
+            for r, k in zip(batch["media_ref"].to_pylist(), batch["kind"].to_pylist())
+        ]
+        return pa.Table.from_pylist(rows, schema=MEDIA_META_SCHEMA)
+
+
+def media_spans_dataset(extracted_ds):
+    """Explode media spans out of extraction output → one row per media
+    span (media_ref, kind, doc_id)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, refs, kinds = [], [], []
+        for doc_id, spans in zip(
+            batch["doc_id"].to_pylist(), batch["out_spans"].to_pylist()
+        ):
+            for s in spans or []:
+                if s["kind"] in ("image", "video", "audio"):
+                    doc_ids.append(doc_id)
+                    refs.append(s["media_ref"])
+                    kinds.append(s["kind"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "media_ref": pa.array(refs, type=pa.string()),
+                "kind": pa.array(kinds, type=pa.string()),
+            }
+        )
+
+    return extracted_ds.map_batches(explode, batch_format="pyarrow", batch_size=1024)
+
+
+def decode_media(media_ds, concurrency: int = 2):
+    """Attach decoded metadata to a media-span dataset (actor pool)."""
+    return media_ds.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

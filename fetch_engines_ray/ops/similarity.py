@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one float64 matmul against it; per
+batch we keep only the local top-k, so the driver-side reduce sees
+``num_blocks × q × k`` candidate rows, never the full corpus.
+
+Scale path: IVF — seeded mini-kmeans centroids (built from a sample),
+cluster assignment as a batch stage, probe only the closest ``nprobe``
+clusters.  Embedding-cosine near-duplicate detection reuses the same
+batch kernel with a threshold instead of a k.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.to_pylist()
+    return np.asarray(arr, dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query id.  Returns
+    (query_id, neighbor_id, rank) with rank 1..k, ties broken by
+    neighbor_id (deterministic; matches the SQL oracle's ORDER BY)."""
+    qset = set(query_ids)
+    q_rows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    q_rows.sort(key=lambda r: r[id_col])
+    qids = [r[id_col] for r in q_rows]
+    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    q_ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_l, qmat_l = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        sims = qmat_l @ mat.T  # [q, n]
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids_l):
+            row = sims[qi]
+            mask = ids != qid
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            take = min(k, len(cand_idx))
+            top = cand_idx[np.argpartition(-row[cand_idx], take - 1)[:take]]
+            out_q.extend([qid] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    # global reduce: tiny (num_blocks × q × k rows)
+    candidates.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], inplace=True
+    )
+    topk = candidates.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+
+def build_centroids(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded mini-kmeans on a sample (driver-side; centroids are tiny)."""
+    frac = 1.0
+    total = ds.count()
+    if total > sample_size:
+        frac = sample_size / total
+    sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
+    mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_knn(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+) -> pd.DataFrame:
+    """Approximate top-k: only batch rows assigned to a query's nprobe
+    closest clusters are scored.  Same output schema as knn_bruteforce."""
+    if centroids is None:
+        centroids = build_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    qset = set(query_ids)
+    q_rows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    q_rows.sort(key=lambda r: r[id_col])
+    qids = [r[id_col] for r in q_rows]
+    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    q_clusters = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # [q, nprobe]
+    probe_union = set(q_clusters.flatten().tolist())
+    ref = ray.put((qids, qmat, q_clusters, centroids, sorted(probe_union)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_l, qmat_l, q_clusters_l, cents, probe = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        assign = (mat @ cents.T).argmax(axis=1)
+        keep = np.isin(assign, probe)
+        ids, mat, assign = ids[keep], mat[keep], assign[keep]
+        out_q, out_n, out_s = [], [], []
+        if len(ids):
+            sims = qmat_l @ mat.T
+            for qi, qid in enumerate(qids_l):
+                allowed = np.isin(assign, q_clusters_l[qi]) & (ids != qid)
+                cand = np.nonzero(allowed)[0]
+                if len(cand) == 0:
+                    continue
+                take = min(k, len(cand))
+                row = sims[qi]
+                top = cand[np.argpartition(-row[cand], take - 1)[:take]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if candidates.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"])
+    candidates.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True], inplace=True
+    )
+    topk = candidates.groupby("query_id", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs via cluster-bucketed
+    all-pairs (only within a cluster — the LSH-style scale path)."""
+    centroids = build_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        a = (mat @ cents.T).argmax(axis=1)
+        return pa.table(
+            {
+                "cluster": pa.array(a, type=pa.int32()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    def pairs_in_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        mat = _normalize(np.asarray(group[vec_col].tolist(), dtype=np.float64))
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ia], ids[ib]),
+                "doc_b": np.maximum(ids[ia], ids[ib]),
+                "cos_sim": sims[ia, ib],
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(pairs_in_cluster, batch_format="pandas").to_pandas()

@@ -1,0 +1,108 @@
+"""Text-analysis operators over a document table.
+
+Large-scale training-data pipeline staples: token counting, quality
+scoring, language ID (stopword/n-gram heuristic), document
+fingerprinting.  All stages are vectorized ``map_batches`` transforms
+over Arrow batches; nothing materializes the dataset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# Small per-language stopword marker sets for the n-gram/stopword
+# language heuristic (public-knowledge word lists).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "de", "que", "y", "es", "una", "para", "con"),
+    "it": ("il", "la", "che", "di", "e", "per", "una", "sono", "con", "non"),
+}
+
+_PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """token_count = number of whitespace-separated tokens (matches the
+    DuckDB oracle ``array_length(string_split_regex(trim(text), '\\s+'))``)."""
+    trimmed = pc.utf8_trim_whitespace(batch[text_col])
+    tokens = pc.split_pattern_regex(trimmed, r"\s+")
+    return batch.append_column("token_count", pc.cast(pc.list_value_length(tokens), pa.int64()))
+
+
+def add_quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality signals."""
+    text = batch[text_col]
+    n = pc.cast(pc.utf8_length(text), pa.int64())
+    punct = pc.cast(pc.count_substring_regex(text, _PUNCT_PATTERN), pa.float64())
+    denom = pc.max_element_wise(pc.cast(n, pa.float64()), pa.scalar(1.0))
+    punct_ratio = pc.divide(punct, denom)
+
+    lower = pc.utf8_lower(text)
+    stop_hits = pc.cast(
+        pc.count_substring_regex(lower, r"\b(?:the|and|of|to|in|is|that|for)\b"),
+        pa.float64(),
+    )
+    tokens = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
+    tok_denom = pc.max_element_wise(pc.cast(tokens, pa.float64()), pa.scalar(1.0))
+    stop_ratio = pc.divide(stop_hits, tok_denom)
+
+    # simple composite quality score in [0, 10]
+    len_score = pc.min_element_wise(
+        pc.divide(pc.cast(n, pa.float64()), pa.scalar(120.0)), pa.scalar(6.0)
+    )
+    stop_score = pc.min_element_wise(pc.multiply(stop_ratio, pa.scalar(10.0)), pa.scalar(3.0))
+    punct_score = pc.min_element_wise(pc.multiply(punct_ratio, pa.scalar(20.0)), pa.scalar(1.0))
+    quality = pc.add(pc.add(len_score, stop_score), punct_score)
+
+    batch = batch.append_column("punct_ratio", punct_ratio)
+    batch = batch.append_column("stopword_ratio", stop_ratio)
+    batch = batch.append_column("quality", quality)
+    return batch
+
+
+def add_lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-marker language heuristic (vectorized: one regex count
+    per language over the whole batch, argmax across languages)."""
+    lower = pc.utf8_lower(batch[text_col])
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        pattern = r"\b(?:" + "|".join(markers) + r")\b"
+        scores.append(pc.count_substring_regex(lower, pattern).to_numpy(zero_copy_only=False))
+    mat = np.stack(scores)  # [n_langs, n_rows]
+    langs = list(_LANG_MARKERS)
+    best = mat.argmax(axis=0)
+    confident = mat.max(axis=0) > 0
+    pred = np.where(confident, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit document fingerprint: blake2b of whitespace-normalized,
+    lowercased text.  Stable across runs and processes."""
+    texts = batch[text_col].to_pylist()
+    fps = []
+    for t in texts:
+        norm = " ".join((t or "").lower().split())
+        fps.append(hashlib.blake2b(norm.encode(), digest_size=8).hexdigest())
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+def text_features_pipeline(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """All text-analysis features in one fused batch stage."""
+
+    def fused(batch: pa.Table) -> pa.Table:
+        batch = add_token_count(batch, text_col)
+        batch = add_quality_features(batch, text_col)
+        batch = add_lang_id(batch, text_col)
+        batch = add_fingerprint(batch, text_col)
+        return batch
+
+    return ds.map_batches(fused, batch_format="pyarrow", batch_size=4096)

@@ -1,0 +1,161 @@
+"""Tests for the training-data operators: dedup finds planted
+duplicates, similarity search agrees with brute force, text features
+behave, multimodal plumbing has a stable schema."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(0)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.choice(words, size=40))
+        rows.append({"doc_id": i, "text": text})
+    # exact duplicates: 100/101 copy doc 0; near-dup: 102 = doc 1 with one word changed
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    near = rows[1]["text"].split()
+    near[5] = "CHANGED"
+    rows.append({"doc_id": 102, "text": " ".join(near)})
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup_finds_planted_dups(docs_with_dups):
+    from fetch_engines_ray.ops.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(docs_with_dups).to_pandas()
+    trip = out[out["n_dups"] == 3]
+    assert len(trip) == 1
+    assert trip.iloc[0]["keep_doc_id"] == 0
+    assert (out["n_dups"] >= 1).all()
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs_with_dups):
+    from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 100) in found
+    assert (0, 101) in found
+    assert (100, 101) in found
+    assert (1, 102) in found  # near-dup
+
+
+def test_simhash_finds_dups(docs_with_dups):
+    from fetch_engines_ray.ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs_with_dups, max_hamming=3)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 100) in found and (0, 101) in found
+
+
+def test_ngram_jaccard():
+    from fetch_engines_ray.ops.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    mid = ngram_jaccard("a b c d e f g h", "a b c d e f g CHANGED")
+    assert 0.0 < mid < 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(300, 16).astype(np.float32)
+    mat[200] = mat[0] + rng.randn(16).astype(np.float32) * 0.01  # near-dup of 0
+    return ray.data.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64), "embedding": list(map(list, mat))})
+    )
+
+
+def test_knn_bruteforce_matches_numpy(embeddings_ds):
+    from fetch_engines_ray.ops.similarity import knn_bruteforce
+
+    out = knn_bruteforce(embeddings_ds, query_ids=[0, 1], k=5)
+    rows = embeddings_ds.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = mat @ mat[qid]
+        sims[qid] = -np.inf
+        expected = np.argsort(-sims, kind="stable")[:5].tolist()
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expected, (qid, got, expected)
+
+
+def test_ivf_recall_against_bruteforce(embeddings_ds):
+    from fetch_engines_ray.ops.similarity import ivf_knn, knn_bruteforce
+
+    exact = knn_bruteforce(embeddings_ds, query_ids=[0, 1, 2, 3], k=10)
+    approx = ivf_knn(embeddings_ds, query_ids=[0, 1, 2, 3], k=10, n_clusters=8, nprobe=4)
+    recalls = []
+    for qid in (0, 1, 2, 3):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 clusters
+
+
+def test_embedding_near_dup_pairs(embeddings_ds):
+    from fetch_engines_ray.ops.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(embeddings_ds, threshold=0.95, n_clusters=8)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 200) in found
+
+
+def test_text_features(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import text_features_pipeline
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "The quick brown fox jumps over the lazy dog, and it is great for all of us.",
+                "Der Hund ist nicht ein Problem und die Katze ist auch nicht da.",
+                "",
+            ],
+        }
+    )
+    out = text_features_pipeline(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["token_count"].tolist() == [17, 13, 1]
+    assert out["lang_pred"].tolist()[:2] == ["en", "de"]
+    assert out["fingerprint"].str.len().eq(16).all()
+    assert (out["quality"] >= 0).all()
+
+
+def test_media_decode_schema(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.multimodal import MEDIA_META_SCHEMA, decode_media
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": "d1", "media_ref": "media://d1/0", "kind": "image"},
+            {"doc_id": "d1", "media_ref": "media://d1/1", "kind": "video"},
+            {"doc_id": "d2", "media_ref": "media://d2/0", "kind": "audio"},
+        ]
+    )
+    out = decode_media(ds, concurrency=1)
+    rows = out.take_all()
+    assert len(rows) == 3
+    assert set(rows[0].keys()) == set(MEDIA_META_SCHEMA.names)
+    img = next(r for r in rows if r["kind"] == "image")
+    assert img["width"] > 0 and img["height"] > 0 and img["duration_ms"] == 0
+    assert all(r["decode_status"] == "stubbed" for r in rows)
+    # determinism
+    rows2 = decode_media(ds, concurrency=1).take_all()
+    key = lambda r: r["media_ref"]  # noqa: E731
+    assert sorted(rows, key=key) == sorted(rows2, key=key)
