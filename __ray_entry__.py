@@ -48,7 +48,7 @@ def entry() -> Any:
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
     corpus = _synth_corpus("/root/testdata/sf0.001")
-    cfg = PipelineConfig(batch_size=16, concurrency=4)
+    cfg = PipelineConfig(batch_size=16, concurrency=(1, 4))
     ds = extract_corpus(corpus, cfg)
     return ds.select_columns(
         ["doc_id", "title", "route", "shell_score", "quality_score", "n_out_chars", "archetype"]
@@ -63,7 +63,7 @@ def entry() -> Any:
 def _q_extract_pipeline(sf_dir: str) -> Any:
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
-    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=4))
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
     return ds.select_columns(
         ["doc_id", "title", "route", "shell_score", "quality_score", "n_out_chars", "archetype"]
     )
@@ -74,7 +74,7 @@ def _q_extract_route_counts(sf_dir: str) -> Any:
 
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
-    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=4))
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
     out = (
         ds.groupby("route")
         .aggregate(Count(alias_name="n_docs"), Sum("n_out_chars", alias_name="total_chars"))
@@ -87,7 +87,7 @@ def _q_media_decode(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
-    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=4))
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
     return decode_media(media_spans_dataset(ds), concurrency=2)
 
 

@@ -65,7 +65,9 @@ def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
 
     corpus, n_docs = synth_corpus_parallel(sf_dir)
     out_dir = f"/tmp/fer_bench_out_{os.getpid()}"
-    cfg = PipelineConfig(batch_size=32, concurrency=num_cpus)
+    # Warm actor pool sized to ~1/4 of CPUs (the warm fraction of the
+    # corpus); the fast stage is a task pool and self-schedules.
+    cfg = PipelineConfig(concurrency=(1, max(2, num_cpus // 4)))
     t0 = time.perf_counter()
     ds = extract_corpus(corpus, cfg)
     ds.write_parquet(out_dir)
@@ -111,8 +113,13 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # The flagship pipeline is a linear map chain (no all-to-all); the
+    # 50% per-op resource reservation only idles CPUs there.  Restored
+    # before the shuffle-heavy secondary queries below.
+    ctx.op_resource_reservation_enabled = False
 
     ext = bench_extraction(sf_dir, num_cpus)
+    ctx.op_resource_reservation_enabled = True
     queries = {"extraction": round(ext["sec"], 3)}
     if include_queries:
         queries.update(bench_queries(sf_dir))

@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Union
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -36,7 +36,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..stages.extract import OUTPUT_SCHEMA, DocumentExtractor
+from ..stages.extract import (
+    OUTPUT_SCHEMA,
+    DocumentExtractor,
+    WarmExtractor,
+    extract_fast_batch,
+    warm_extract_batch,
+)
 from ..state import lineage as lin
 
 
@@ -45,11 +51,39 @@ class PipelineConfig:
     """Engine knobs (reference analog: the 20+ config surface at
     /root/reference/src/types.ts:75-216)."""
 
-    batch_size: int = 16
-    concurrency: int = 8
+    # Fast task-pool stage batch size (64 measured best at 32 CPUs —
+    # enough tasks for load balance, small enough that a mega-page
+    # can't stall many docs behind it).
+    batch_size: int = 64
+    # Warm actor-pool stage batch size (smaller: one JS-shell/PDF doc
+    # must not stall a fat batch — skew control, SURVEY.md §4.2).
+    warm_batch_size: int = 64
+    # Warm actor pool bounds.  int = fixed pool; (min, max) tuple =
+    # autoscaling.  Never size any actor pool to ALL cluster CPUs: the
+    # read/write task operators need CPU headroom or the streaming
+    # executor starves (observed as a full-pipeline stall at
+    # concurrency == num_cpus).
+    concurrency: Union[int, tuple] = (1, 8)
     num_cpus_per_actor: float = 1.0
+    # False (default): warm stage is a task function with per-worker
+    # cached state — it fuses with the fast stage into ONE task-pool
+    # operator that self-schedules across all CPUs.  True: warm stage
+    # is a WarmExtractor actor pool (use when warm state is expensive
+    # to build, e.g. a real PDF layout model); note operator fusion
+    # then pins the fused fast+warm work to the pool, so size
+    # `concurrency` accordingly.
+    use_actor_warm_stage: bool = False
     max_content_length: Optional[int] = None
     read_columns: tuple = ("doc_id", "spans", "archetype", "base_url")
+
+
+def safe_pool_size(num_cpus: Optional[int] = None, headroom: int = 2) -> tuple:
+    """Autoscaling actor-pool bounds that leave ``headroom`` CPUs for the
+    read/write task operators (full-CPU pools starve them)."""
+    if num_cpus is None:
+        num_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cap = max(2, int(num_cpus) - headroom)
+    return (min(2, cap), cap)
 
 
 def read_corpus(path: str, cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
@@ -58,15 +92,36 @@ def read_corpus(path: str, cfg: Optional[PipelineConfig] = None) -> "ray.data.Da
 
 
 def build_pipeline(ds: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
-    """Attach the extraction stage to a corpus Dataset (lazy)."""
+    """Attach the extraction stages to a corpus Dataset (lazy).
+
+    One linear stream, no branch re-execution:
+      fast stage (stateless task pool — fully extracts "fast"-routed
+      docs, passes "warm" docs through with raw spans) →
+      warm stage (actor pool holding hydration/PDF-layout state —
+      touches only the warm fraction, Arrow-slice passthrough for the
+      rest).
+    """
     cfg = cfg or PipelineConfig()
-    return ds.map_batches(
-        DocumentExtractor,
-        fn_constructor_kwargs={"max_content_length": cfg.max_content_length},
+    fast = ds.map_batches(
+        extract_fast_batch,
+        fn_kwargs={"max_content_length": cfg.max_content_length},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
-        num_cpus=cfg.num_cpus_per_actor,
+    )
+    if cfg.use_actor_warm_stage:
+        return fast.map_batches(
+            WarmExtractor,
+            fn_constructor_kwargs={"max_content_length": cfg.max_content_length},
+            batch_format="pyarrow",
+            batch_size=cfg.warm_batch_size,
+            concurrency=cfg.concurrency,
+            num_cpus=cfg.num_cpus_per_actor,
+        )
+    return fast.map_batches(
+        warm_extract_batch,
+        fn_kwargs={"max_content_length": cfg.max_content_length},
+        batch_format="pyarrow",
+        batch_size=cfg.warm_batch_size,
     )
 
 

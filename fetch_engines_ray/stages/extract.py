@@ -57,6 +57,27 @@ OUTPUT_SCHEMA = pa.schema(
 
 MEDIA_KINDS = frozenset({"image", "video", "audio"})
 
+# Input span struct (BASELINE.json input_hint shape).
+RAW_SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+# Intermediate schema between the fast (task-pool) stage and the warm
+# (actor-pool) stage: final output columns plus the raw spans/base_url
+# carried only for rows routed "warm" (null for fast rows).
+EXTENDED_SCHEMA = pa.schema(
+    list(OUTPUT_SCHEMA)
+    + [
+        ("raw_spans", pa.list_(RAW_SPAN_TYPE)),
+        ("base_url", pa.string()),
+    ]
+)
+
 _ROOT_DIV_RE = re.compile(
     r"(<(?:div|main|section)[^>]*\bid=[\"']?(?:root|app)\b[\"']?[^>]*>)(\s*)(</(?:div|main|section)>)",
     re.I,
@@ -114,6 +135,30 @@ def parse_pdf_layout(layout_text: str) -> str:
     return "\n\n".join(blocks)
 
 
+def route_document(spans: list[dict]) -> tuple[list[dict], dict[str, Any]]:
+    """C9 routing predicate (/root/reference/src/HybridEngine.ts:58-66):
+    sort spans by offset and decide fast vs warm from the raw HTML
+    (shell-score + soft-block computed BEFORE any conversion, pinned by
+    the reference's test/HybridEngine.test.ts:311-330)."""
+    spans = sorted(spans, key=lambda s: s["offset"])
+    full_html = "\n".join(s["text"] or "" for s in spans if s["kind"] == "html")
+    has_js_shell = any(s["kind"] == "js_shell" for s in spans)
+    has_pdf = any(s["kind"] == "pdf" for s in spans)
+    assessment = rd.assess_html_render_need(full_html) if full_html else None
+    soft_block = rd.is_soft_block_page(full_html) if full_html else False
+    render_needed = assessment.render_likely_needed if assessment else False
+    shell_score = assessment.render_likely_needed_score if assessment else 0
+    route = "warm" if (soft_block or render_needed or has_js_shell or has_pdf) else "fast"
+    return spans, {
+        "route": route,
+        "shell_score": shell_score,
+        "soft_block": soft_block,
+        "render_needed": render_needed,
+        "has_js_shell": has_js_shell,
+        "has_pdf": has_pdf,
+    }
+
+
 class DocumentExtractor:
     """Actor-pool batch extractor: ``pa.Table`` in → ``pa.Table`` out.
 
@@ -135,18 +180,12 @@ class DocumentExtractor:
     def extract_document(
         self, doc_id: str, spans: list[dict], base_url: Optional[str], archetype: str = ""
     ) -> dict[str, Any]:
-        spans = sorted(spans, key=lambda s: s["offset"])
-        html_parts = [s["text"] or "" for s in spans if s["kind"] == "html"]
-        full_html = "\n".join(html_parts)
-        has_js_shell = any(s["kind"] == "js_shell" for s in spans)
-        has_pdf = any(s["kind"] == "pdf" for s in spans)
-
-        assessment = rd.assess_html_render_need(full_html) if full_html else None
-        soft_block = rd.is_soft_block_page(full_html) if full_html else False
-        render_needed = assessment.render_likely_needed if assessment else False
-        shell_score = assessment.render_likely_needed_score if assessment else 0
-        # C9 routing predicate (/root/reference/src/HybridEngine.ts:58-66)
-        route = "warm" if (soft_block or render_needed or has_js_shell or has_pdf) else "fast"
+        spans, rt = route_document(spans)
+        has_js_shell = rt["has_js_shell"]
+        soft_block = rt["soft_block"]
+        render_needed = rt["render_needed"]
+        shell_score = rt["shell_score"]
+        route = rt["route"]
 
         out_spans: list[dict] = []
         title = ""
@@ -264,3 +303,140 @@ class DocumentExtractor:
             for d, s, u, a in zip(doc_ids, spans_col, base_urls, archetypes)
         ]
         return pa.Table.from_pylist(rows, schema=OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage split: fast task-pool stage + warm actor-pool stage.
+#
+# The flagship pipeline runs  read → extract_fast_batch (stateless tasks)
+# → WarmExtractor (actor pool) → write  as ONE linear stream: the fast
+# stage fully extracts "fast"-routed docs and passes "warm"-routed docs
+# through untouched (raw spans carried in `raw_spans`), so no branch of
+# the Dataset is ever executed twice and only the small warm fraction
+# pays the actor-pool hop.  Reference analog: HybridEngine's per-doc
+# fast-then-maybe-render orchestration
+# (/root/reference/src/HybridEngine.ts:126-223) re-expressed as two
+# dataset stages instead of per-record control flow.
+# ---------------------------------------------------------------------------
+
+_FAST_EXTRACTORS: dict = {}
+
+
+def _cached_extractor(max_content_length: Optional[int]) -> "DocumentExtractor":
+    ex = _FAST_EXTRACTORS.get(max_content_length)
+    if ex is None:
+        ex = _FAST_EXTRACTORS[max_content_length] = DocumentExtractor(max_content_length)
+    return ex
+
+
+def _placeholder_warm_row(
+    doc_id: str, spans: list[dict], base_url: Optional[str], archetype: str, rt: dict
+) -> dict[str, Any]:
+    return {
+        "doc_id": doc_id,
+        "out_spans": [],
+        "title": "",
+        "route": "warm",
+        "shell_score": rt["shell_score"],
+        "quality_score": 0,
+        "soft_block": rt["soft_block"],
+        "is_forum": False,
+        "render_needed": rt["render_needed"],
+        "error": "",
+        "n_out_chars": 0,
+        "archetype": archetype,
+        "raw_spans": spans,
+        "base_url": base_url,
+    }
+
+
+def extract_fast_batch(batch: pa.Table, max_content_length: Optional[int] = None) -> pa.Table:
+    """Stateless task-pool stage: route every doc; fully extract fast
+    docs; pass warm docs through with raw spans for the actor stage.
+
+    Module-level extractor cache = warm compiled-regex state per worker
+    process (tasks reuse processes, so this loads once per worker just
+    like an actor ``__init__`` — without pinning CPUs to a fixed pool).
+    """
+    ex = _cached_extractor(max_content_length)
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    names = batch.column_names
+    base_urls = batch.column("base_url").to_pylist() if "base_url" in names else [None] * len(doc_ids)
+    archetypes = batch.column("archetype").to_pylist() if "archetype" in names else [""] * len(doc_ids)
+
+    rows = []
+    for d, s, u, a in zip(doc_ids, spans_col, base_urls, archetypes):
+        spans, rt = route_document(s or [])
+        if rt["route"] == "warm":
+            rows.append(_placeholder_warm_row(d, spans, u, a or "", rt))
+        else:
+            row = ex.extract_document(d, spans, u, a or "")
+            row["raw_spans"] = None
+            row["base_url"] = None
+            rows.append(row)
+    return pa.Table.from_pylist(rows, schema=EXTENDED_SCHEMA)
+
+
+class WarmExtractor:
+    """Actor-pool stage for warm-routed docs (JS-shell hydration, PDF
+    layout parse, soft-block handling).
+
+    Holds the warm parser/layout state in ``__init__`` (reference
+    analog: the browser pool, /root/reference/src/browser/
+    PlaywrightBrowserPool.ts:285-606).  Fast rows pass through as Arrow
+    slices without row materialization.
+    """
+
+    def __init__(self, max_content_length: Optional[int] = None) -> None:
+        self.extractor = DocumentExtractor(max_content_length=max_content_length)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        drop = [c for c in ("raw_spans", "base_url") if c in batch.column_names]
+        out_names = [c for c in batch.column_names if c not in drop]
+        warm_mask = pc.equal(batch.column("route"), "warm")
+        n_warm = pc.sum(warm_mask).as_py() or 0
+        if n_warm == 0:
+            return batch.drop_columns(drop)
+
+        pos = pa.array(np.arange(len(batch), dtype=np.int64))
+        batch = batch.append_column("_pos", pos)
+        fast_part = batch.filter(pc.invert(warm_mask)).drop_columns(drop)
+        warm_part = batch.filter(warm_mask)
+
+        rows = []
+        for r in warm_part.select(["doc_id", "raw_spans", "base_url", "archetype", "_pos"]).to_pylist():
+            out = self.extractor.extract_document(
+                r["doc_id"], r["raw_spans"] or [], r["base_url"], r["archetype"] or ""
+            )
+            out["_pos"] = r["_pos"]
+            rows.append(out)
+        warm_schema = pa.schema(list(OUTPUT_SCHEMA) + [("_pos", pa.int64())])
+        warm_out = pa.Table.from_pylist(rows, schema=warm_schema).select(out_names + ["_pos"])
+        merged = pa.concat_tables([fast_part.select(out_names + ["_pos"]), warm_out])
+        return merged.sort_by("_pos").drop_columns(["_pos"])
+
+
+_WARM_EXTRACTORS: dict = {}
+
+
+def warm_extract_batch(batch: pa.Table, max_content_length: Optional[int] = None) -> pa.Table:
+    """Task-pool form of the warm stage: same semantics as
+    :class:`WarmExtractor`, with the warm parser state cached per worker
+    process instead of per actor.
+
+    Default for the flagship pipeline: Ray Data fuses adjacent map
+    operators, and a fused task→actor chain executes entirely on the
+    actor pool — capping the whole pipeline at the pool size (measured
+    ~3x slower at 32 CPUs).  With both stages as task functions the
+    fused operator self-schedules across all CPUs.  Use
+    ``PipelineConfig(use_actor_warm_stage=True)`` when the warm state is
+    genuinely expensive to build (a real layout model / browser pool).
+    """
+    ex = _WARM_EXTRACTORS.get(max_content_length)
+    if ex is None:
+        ex = _WARM_EXTRACTORS[max_content_length] = WarmExtractor(max_content_length)
+    return ex(batch)
