@@ -179,6 +179,35 @@ def _q_embedding_near_dups(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True) if len(out) else out
 
 
+def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+    from fetch_engines_ray.sources import write_eval_report
+
+    import pandas as pd
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
+    report = write_eval_report(ds, path="")
+    rows = [
+        {"archetype": k, **v} for k, v in sorted(report["archetypes"].items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def _q_doc_quality_counts(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_quality_counts, add_token_count
+
+    def fused(b):
+        return add_quality_counts(add_token_count(b))
+
+    ds = _read_documents(sf_dir).map_batches(fused, batch_format="pyarrow", batch_size=4096)
+    return (
+        ds.select_columns(["doc_id", "token_count", "punct_count", "stopword_count"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fetch_engines_ray.ops import relational as rel
 
@@ -186,10 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (synthetic interleaved corpus; rows-only check)
         "extract_pipeline": _q_extract_pipeline,
         "extract_route_counts": _q_extract_route_counts,
+        "extract_quality_by_archetype": _q_extract_quality_by_archetype,
         "media_decode": _q_media_decode,
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "doc_quality_counts": _q_doc_quality_counts,
         "text_features": _q_text_features,
         # dedup family
         "exact_dedup_groups": _q_exact_dedup,
@@ -208,6 +239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_orders_by_price": rel.top10_orders_by_price,
         "high_value_open_orders": rel.high_value_open_orders,
         "distinct_part_brands": rel.distinct_part_brands,
+        "supplier_count_by_nation": rel.supplier_count_by_nation,
+        "orders_per_month": rel.orders_per_month,
+        "large_parts_by_brand": rel.large_parts_by_brand,
+        "distinct_users_by_event_type": rel.distinct_users_by_event_type,
         "top20_longest_docs": _q_top20_longest_docs,
     }
 
@@ -280,5 +315,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_part_brands": (
             "SELECT DISTINCT p_brand FROM part ORDER BY p_brand"
+        ),
+        "supplier_count_by_nation": (
+            "SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 3) AS total_acctbal"
+            " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            " GROUP BY n_name ORDER BY n_name"
+        ),
+        "orders_per_month": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,"
+            " round(sum(o_totalprice), 3) AS revenue"
+            " FROM orders GROUP BY month ORDER BY month"
+        ),
+        "large_parts_by_brand": (
+            "SELECT p_brand, count(*) AS n_parts,"
+            " CAST(round(sum(p_retailprice) * 100) AS BIGINT) AS total_cents"
+            " FROM part WHERE p_size >= 25 GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "distinct_users_by_event_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "doc_quality_counts": (
+            "SELECT doc_id,"
+            " CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,"
+            " CAST(array_length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,"
+            " CAST(array_length(regexp_extract_all(lower(text),"
+            " '\\b(?:the|and|of|to|in|is|that|for)\\b')) AS BIGINT) AS stopword_count"
+            " FROM documents ORDER BY doc_id"
         ),
     }

@@ -180,3 +180,76 @@ def distinct_part_brands(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "part", columns=["p_brand"])
     vals = sorted(ds.unique("p_brand"))
     return pd.DataFrame({"p_brand": vals})
+
+
+def supplier_count_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join supplier↔nation (nation is tiny: ray.put once,
+    numpy lookup per batch), then grouped count + balance sum."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in batch.column("s_nationkey").to_pylist()]
+        return batch.append_column("n_name", pa.array(names, type=pa.string()))
+
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]).map_batches(
+        attach, batch_format="pyarrow", batch_size=8192
+    )
+    out = (
+        ds.groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    out = _round_cols(out, ["total_acctbal"])
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def orders_per_month(sf_dir: str) -> pd.DataFrame:
+    """Temporal rollup: orders and revenue per calendar month."""
+
+    def month(batch: pa.Table) -> pa.Table:
+        m = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        return pa.table({"month": m, "o_totalprice": batch.column("o_totalprice")})
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
+        month, batch_format="pyarrow", batch_size=8192
+    )
+    out = (
+        ds.groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = _round_cols(out, ["revenue"])
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def large_parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Filter pushdown + grouped sum: parts with p_size >= 25.  The
+    money aggregate is emitted as integer cents — float means round
+    differently across summation orders (distributed partials vs the
+    oracle's sequential scan), integers hash identically."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"]).filter(
+        expr="p_size >= 25"
+    )
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="total_cents"))
+        .to_pandas()
+    )
+    out["total_cents"] = (out["total_cents"] * 100).round().astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def distinct_users_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT …) composed from two grouped passes: the first
+    groupby dedups (event_type, user_id) pairs with partial aggregation
+    per block, so the second shuffle sees only distinct pairs."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

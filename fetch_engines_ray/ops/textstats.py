@@ -106,3 +106,18 @@ def text_features_pipeline(ds: "ray.data.Dataset", text_col: str = "text") -> "r
         return batch
 
     return ds.map_batches(fused, batch_format="pyarrow", batch_size=4096)
+
+
+def add_quality_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality signals (oracle-friendly: exact-hash stable,
+    unlike float ratios): punctuation marks and English stopword hits."""
+    text = batch[text_col]
+    punct = pc.cast(pc.count_substring_regex(text, _PUNCT_PATTERN), pa.int64())
+    stop = pc.cast(
+        pc.count_substring_regex(
+            pc.utf8_lower(text), r"\b(?:the|and|of|to|in|is|that|for)\b"
+        ),
+        pa.int64(),
+    )
+    batch = batch.append_column("punct_count", punct)
+    return batch.append_column("stopword_count", stop)

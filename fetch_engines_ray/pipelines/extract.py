@@ -73,6 +73,11 @@ class PipelineConfig:
     # then pins the fused fast+warm work to the pool, so size
     # `concurrency` accordingly.
     use_actor_warm_stage: bool = False
+    # C10 route overrides (reference playwrightOnlyPatterns,
+    # /root/reference/src/HybridEngine.ts:160-170): URL substrings that
+    # force the warm path.  Per-row overrides ride in an optional
+    # `force_route` input column.
+    warm_url_patterns: tuple = ()
     max_content_length: Optional[int] = None
     read_columns: tuple = ("doc_id", "spans", "archetype", "base_url")
 
@@ -104,7 +109,10 @@ def build_pipeline(ds: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None)
     cfg = cfg or PipelineConfig()
     fast = ds.map_batches(
         extract_fast_batch,
-        fn_kwargs={"max_content_length": cfg.max_content_length},
+        fn_kwargs={
+            "max_content_length": cfg.max_content_length,
+            "warm_url_patterns": cfg.warm_url_patterns,
+        },
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )

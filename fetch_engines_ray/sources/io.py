@@ -1,0 +1,238 @@
+"""Sources and sinks for the extraction engine.
+
+Reference analogs (SURVEY.md §2.1):
+
+* S1/S2 ``FetchEngine.fetchHTML/fetchContent`` — network fetch sources.
+  Here documents are pre-fetched into a corpus table; the readers below
+  load that corpus (parquet always; Lance behind an import-try since the
+  sandbox lacks the ``lance`` wheel) or build corpus-shaped rows from
+  raw ``.html`` files / JSONL (/root/reference/src/FetchEngine.ts:83-259).
+* S6 Markdown file sink — one ``.md`` per document under
+  ``out_dir/<host-ish prefix>/`` (/root/reference/scripts/hybrid-md-dump.mjs:18-39).
+* S7 eval JSON report sink — per-archetype pass-rate summary
+  (/root/reference/scripts/eval-auto-render.mjs:142-174).
+
+All readers return a ``ray.data.Dataset`` with the interleaved-span
+input schema ``(doc_id, spans: list<struct<kind,text,media_ref,offset>>,
+base_url, archetype)``; all sinks are distributed ``map_batches`` /
+``write_*`` consumers — nothing materializes the full dataset on the
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Iterable, Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.extract import RAW_SPAN_TYPE
+
+INPUT_COLUMNS = ("doc_id", "spans", "archetype", "base_url")
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(RAW_SPAN_TYPE)),
+        ("base_url", pa.string()),
+        ("archetype", pa.string()),
+    ]
+)
+
+
+def read_corpus_parquet(path: str, columns: Optional[Iterable[str]] = None) -> "ray.data.Dataset":
+    """Column-pruned parquet corpus reader (only requested columns leave
+    storage)."""
+    return ray.data.read_parquet(path, columns=list(columns or INPUT_COLUMNS))
+
+
+def read_corpus_lance(path: str, columns: Optional[Iterable[str]] = None) -> "ray.data.Dataset":
+    """Lance corpus reader (north-rule storage format).  Falls back with
+    a clear error when the ``lance`` wheel is absent (this sandbox)."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "the 'lance' package is not installed in this environment; "
+            "use read_corpus_parquet (identical schema and downstream pipeline)"
+        ) from exc
+    return ray.data.read_lance(path, columns=list(columns or INPUT_COLUMNS))
+
+
+def read_corpus(path: str, columns: Optional[Iterable[str]] = None) -> "ray.data.Dataset":
+    """Auto-detecting corpus reader: ``.lance`` dataset dir → Lance,
+    else parquet."""
+    if path.rstrip("/").endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        return read_corpus_lance(path, columns)
+    return read_corpus_parquet(path, columns)
+
+
+def _doc_row(doc_id: str, html: str, base_url: str = "", archetype: str = "") -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "html", "text": html, "media_ref": "", "offset": 0}],
+        "base_url": base_url,
+        "archetype": archetype,
+    }
+
+
+def read_html_dir(path: str) -> "ray.data.Dataset":
+    """Directory of raw ``.html`` files → corpus-shaped Dataset (one
+    single-span document per file; doc_id = relative path).
+
+    File listing happens on the driver (cheap); file CONTENT is read
+    inside distributed tasks so bytes never flow through the driver.
+    """
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for n in sorted(names):
+            if n.endswith((".html", ".htm")):
+                full = os.path.join(root, n)
+                files.append({"path": full, "doc_id": os.path.relpath(full, path)})
+    if not files:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=CORPUS_SCHEMA))
+
+    def load(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p, d in zip(batch.column("path").to_pylist(), batch.column("doc_id").to_pylist()):
+            with open(p, "r", encoding="utf-8", errors="replace") as f:
+                rows.append(_doc_row(d, f.read()))
+        return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+    return ray.data.from_items(files).map_batches(load, batch_format="pyarrow", batch_size=64)
+
+
+def read_jsonl_docs(path: str) -> "ray.data.Dataset":
+    """JSONL reader: one object per line with ``doc_id`` + either
+    ``spans`` (full interleaved shape) or ``html`` (single-span doc);
+    optional ``base_url``/``archetype``."""
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rec in batch.to_pylist():
+            if rec.get("spans") is not None:
+                rows.append(
+                    {
+                        "doc_id": str(rec["doc_id"]),
+                        "spans": [
+                            {
+                                "kind": s.get("kind", "html"),
+                                "text": s.get("text", "") or "",
+                                "media_ref": s.get("media_ref", "") or "",
+                                "offset": int(s.get("offset", i)),
+                            }
+                            for i, s in enumerate(rec["spans"])
+                        ],
+                        "base_url": rec.get("base_url", "") or "",
+                        "archetype": rec.get("archetype", "") or "",
+                    }
+                )
+            else:
+                rows.append(
+                    _doc_row(
+                        str(rec["doc_id"]),
+                        rec.get("html", "") or "",
+                        rec.get("base_url", "") or "",
+                        rec.get("archetype", "") or "",
+                    )
+                )
+        return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+    return ray.data.read_json(path).map_batches(to_corpus, batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+_SAFE_RE = re.compile(r"[^A-Za-z0-9._-]+")
+
+
+def _safe_name(s: str) -> str:
+    return _SAFE_RE.sub("_", s).strip("_") or "doc"
+
+
+def write_markdown_tree(ds: "ray.data.Dataset", out_dir: str) -> int:
+    """S6 analog: write each document's text spans as
+    ``out_dir/<doc_id>.md``; returns number of files written.
+
+    Runs as a distributed ``map_batches`` consumer — each task writes
+    its own files and emits one manifest row per file.
+    """
+
+    def dump(batch: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        names = []
+        for rec in batch.select(["doc_id", "out_spans"]).to_pylist():
+            text = "\n\n".join(
+                s["text"] for s in (rec["out_spans"] or []) if s["kind"] == "text" and s["text"]
+            )
+            name = _safe_name(rec["doc_id"]) + ".md"
+            tmp = os.path.join(out_dir, "." + name + ".tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+            os.replace(tmp, os.path.join(out_dir, name))
+            names.append({"file": name})
+        return pa.Table.from_pylist(names, schema=pa.schema([("file", pa.string())]))
+
+    return ds.map_batches(dump, batch_format="pyarrow", batch_size=256).count()
+
+
+def write_corpus_parquet(ds: "ray.data.Dataset", out_dir: str) -> None:
+    ds.write_parquet(out_dir)
+
+
+def write_eval_report(ds: "ray.data.Dataset", path: str, min_text_length: int = 40) -> dict:
+    """S7 analog: per-archetype pass-rate report.
+
+    A "pass" mirrors the reference's per-case checks (markdown produced,
+    min text length — /root/reference/scripts/eval-auto-render.mjs:89-99).
+    Aggregation is a distributed groupby; only the tiny summary reaches
+    the driver / JSON file.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def flag(batch: pa.Table) -> pa.Table:
+        passed = pc.greater_equal(batch.column("n_out_chars"), min_text_length)
+        return batch.select(["archetype", "quality_score"]).append_column(
+            "passed", pc.cast(passed, pa.int64())
+        )
+
+    agg = (
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=1024)
+        .groupby("archetype")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("passed", alias_name="n_passed"),
+            Mean("quality_score", alias_name="mean_quality"),
+        )
+        .to_pandas()
+        .sort_values("archetype")
+    )
+    per = {
+        r["archetype"]: {
+            "n_docs": int(r["n_docs"]),
+            "pass_rate": round(float(r["n_passed"]) / max(1, int(r["n_docs"])), 4),
+            "mean_quality": round(float(r["mean_quality"]), 3),
+        }
+        for _, r in agg.iterrows()
+    }
+    total_docs = sum(v["n_docs"] for v in per.values())
+    total_passed = sum(round(v["pass_rate"] * v["n_docs"]) for v in per.values())
+    report = {
+        "archetypes": per,
+        "overall": {
+            "n_docs": total_docs,
+            "pass_rate": round(total_passed / max(1, total_docs), 4),
+        },
+    }
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+    return report

@@ -135,11 +135,24 @@ def parse_pdf_layout(layout_text: str) -> str:
     return "\n\n".join(blocks)
 
 
-def route_document(spans: list[dict]) -> tuple[list[dict], dict[str, Any]]:
+def route_document(
+    spans: list[dict],
+    force_route: Optional[str] = None,
+    url: Optional[str] = None,
+    warm_url_patterns: tuple = (),
+) -> tuple[list[dict], dict[str, Any]]:
     """C9 routing predicate (/root/reference/src/HybridEngine.ts:58-66):
     sort spans by offset and decide fast vs warm from the raw HTML
     (shell-score + soft-block computed BEFORE any conversion, pinned by
-    the reference's test/HybridEngine.test.ts:311-330)."""
+    the reference's test/HybridEngine.test.ts:311-330).
+
+    Overrides (C10, /root/reference/src/HybridEngine.ts:160-170 and the
+    per-request ``fastMode`` knob, src/types.ts:221-230):
+    ``warm_url_patterns`` substrings matched against ``url`` force the
+    warm path; ``force_route`` ("fast"/"warm") is a per-row override —
+    forcing "fast" still yields warm when the doc physically needs the
+    warm engine (js_shell/pdf spans can't be extracted without it).
+    """
     spans = sorted(spans, key=lambda s: s["offset"])
     full_html = "\n".join(s["text"] or "" for s in spans if s["kind"] == "html")
     has_js_shell = any(s["kind"] == "js_shell" for s in spans)
@@ -149,6 +162,10 @@ def route_document(spans: list[dict]) -> tuple[list[dict], dict[str, Any]]:
     render_needed = assessment.render_likely_needed if assessment else False
     shell_score = assessment.render_likely_needed_score if assessment else 0
     route = "warm" if (soft_block or render_needed or has_js_shell or has_pdf) else "fast"
+    if force_route == "warm" or (url and any(p in url for p in warm_url_patterns)):
+        route = "warm"
+    elif force_route == "fast" and not (has_js_shell or has_pdf):
+        route = "fast"
     return spans, {
         "route": route,
         "shell_score": shell_score,
@@ -178,9 +195,17 @@ class DocumentExtractor:
         return conv.convert(html, base_url=base_url, max_content_length=self.max_content_length)
 
     def extract_document(
-        self, doc_id: str, spans: list[dict], base_url: Optional[str], archetype: str = ""
+        self,
+        doc_id: str,
+        spans: list[dict],
+        base_url: Optional[str],
+        archetype: str = "",
+        force_route: Optional[str] = None,
+        warm_url_patterns: tuple = (),
     ) -> dict[str, Any]:
-        spans, rt = route_document(spans)
+        spans, rt = route_document(
+            spans, force_route=force_route, url=base_url, warm_url_patterns=warm_url_patterns
+        )
         has_js_shell = rt["has_js_shell"]
         soft_block = rt["soft_block"]
         render_needed = rt["render_needed"]
@@ -350,9 +375,17 @@ def _placeholder_warm_row(
     }
 
 
-def extract_fast_batch(batch: pa.Table, max_content_length: Optional[int] = None) -> pa.Table:
+def extract_fast_batch(
+    batch: pa.Table,
+    max_content_length: Optional[int] = None,
+    warm_url_patterns: tuple = (),
+) -> pa.Table:
     """Stateless task-pool stage: route every doc; fully extract fast
     docs; pass warm docs through with raw spans for the actor stage.
+
+    Honors an optional per-row ``force_route`` column ("fast"/"warm",
+    the reference's per-request override surface, src/types.ts:221-230)
+    and ``warm_url_patterns`` config (C10 route overrides).
 
     Module-level extractor cache = warm compiled-regex state per worker
     process (tasks reuse processes, so this loads once per worker just
@@ -364,10 +397,15 @@ def extract_fast_batch(batch: pa.Table, max_content_length: Optional[int] = None
     names = batch.column_names
     base_urls = batch.column("base_url").to_pylist() if "base_url" in names else [None] * len(doc_ids)
     archetypes = batch.column("archetype").to_pylist() if "archetype" in names else [""] * len(doc_ids)
+    forces = (
+        batch.column("force_route").to_pylist() if "force_route" in names else [None] * len(doc_ids)
+    )
 
     rows = []
-    for d, s, u, a in zip(doc_ids, spans_col, base_urls, archetypes):
-        spans, rt = route_document(s or [])
+    for d, s, u, a, fr in zip(doc_ids, spans_col, base_urls, archetypes, forces):
+        spans, rt = route_document(
+            s or [], force_route=fr, url=u, warm_url_patterns=warm_url_patterns
+        )
         if rt["route"] == "warm":
             rows.append(_placeholder_warm_row(d, spans, u, a or "", rt))
         else:
@@ -409,8 +447,15 @@ class WarmExtractor:
 
         rows = []
         for r in warm_part.select(["doc_id", "raw_spans", "base_url", "archetype", "_pos"]).to_pylist():
+            # force_route="warm": the routing decision (incl. C10 /
+            # per-row overrides) was made upstream — re-deriving it here
+            # would silently demote pattern-forced docs back to "fast".
             out = self.extractor.extract_document(
-                r["doc_id"], r["raw_spans"] or [], r["base_url"], r["archetype"] or ""
+                r["doc_id"],
+                r["raw_spans"] or [],
+                r["base_url"],
+                r["archetype"] or "",
+                force_route="warm",
             )
             out["_pos"] = r["_pos"]
             rows.append(out)

@@ -1,0 +1,137 @@
+"""Sources/sinks (SURVEY.md §2.1 S1/S2/S6/S7 analogs), size-aware
+partitioning (§4.2), and route overrides (C10 / per-request knobs)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from fetch_engines_ray.corpus.generate import INPUT_SCHEMA, make_doc
+
+
+@pytest.fixture(scope="module")
+def small_corpus_dir(ray_session, tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    rows = [make_doc(i, 42) for i in range(40)]
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=INPUT_SCHEMA), str(out / "part0.parquet"))
+    return str(out)
+
+
+def test_read_html_dir_roundtrip(ray_session, tmp_path):
+    from fetch_engines_ray.sources import read_html_dir
+
+    d = tmp_path / "html"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.html").write_text("<html><body><main><h1>Alpha</h1><p>Body text here.</p></main></body></html>")
+    (d / "sub" / "b.htm").write_text("<html><body><main><h1>Beta</h1><p>More text.</p></main></body></html>")
+    ds = read_html_dir(str(d))
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == ["a.html", os.path.join("sub", "b.htm")]
+    assert rows[0]["spans"][0]["kind"] == "html"
+    assert "Alpha" in rows[0]["spans"][0]["text"]
+
+
+def test_read_jsonl_docs_both_shapes(ray_session, tmp_path):
+    from fetch_engines_ray.sources import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    recs = [
+        {"doc_id": "x", "html": "<p>plain html record</p>", "base_url": "https://e.com/x"},
+        {
+            "doc_id": "y",
+            "spans": [
+                {"kind": "html", "text": "<p>spanned</p>", "offset": 0},
+                {"kind": "image", "media_ref": "m/1.png", "offset": 1},
+            ],
+        },
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    rows = {r["doc_id"]: r for r in read_jsonl_docs(str(p)).take_all()}
+    assert rows["x"]["base_url"] == "https://e.com/x"
+    assert len(rows["y"]["spans"]) == 2
+    assert rows["y"]["spans"][1]["media_ref"] == "m/1.png"
+
+
+def test_markdown_tree_sink(ray_session, small_corpus_dir, tmp_path):
+    from fetch_engines_ray.pipelines.extract import extract_corpus
+    from fetch_engines_ray.sources import write_markdown_tree
+
+    out = tmp_path / "md"
+    n = write_markdown_tree(extract_corpus(small_corpus_dir), str(out))
+    files = [f for f in os.listdir(out) if f.endswith(".md")]
+    assert n == 40 and len(files) == 40
+    assert any(os.path.getsize(out / f) > 0 for f in files)
+
+
+def test_eval_report_sink(ray_session, small_corpus_dir, tmp_path):
+    from fetch_engines_ray.pipelines.extract import extract_corpus
+    from fetch_engines_ray.sources import write_eval_report
+
+    path = str(tmp_path / "report.json")
+    report = write_eval_report(extract_corpus(small_corpus_dir), path)
+    assert os.path.exists(path)
+    assert report["overall"]["n_docs"] == 40
+    assert 0.0 <= report["overall"]["pass_rate"] <= 1.0
+    assert set(report["archetypes"])  # at least one archetype bucket
+
+
+def test_add_doc_bytes_matches_python(ray_session, small_corpus_dir):
+    import ray.data
+
+    from fetch_engines_ray.ops.partitioning import add_doc_bytes
+
+    ds = ray.data.read_parquet(small_corpus_dir).map_batches(
+        add_doc_bytes, batch_format="pyarrow", batch_size=16
+    )
+    for r in ds.take(10):
+        expected = sum(len((s["text"] or "").encode()) for s in r["spans"])
+        assert r["doc_bytes"] == expected
+
+
+def test_size_aware_repartition_counts(ray_session, small_corpus_dir):
+    import ray.data
+
+    from fetch_engines_ray.ops.partitioning import size_aware_repartition
+
+    ds = ray.data.read_parquet(small_corpus_dir)
+    out = size_aware_repartition(ds, target_bytes=64 * 1024)
+    mat = out.materialize()
+    assert mat.count() == 40  # no rows lost
+    assert mat.num_blocks() >= 2  # 40 docs of ~6KB >> 64KB target → split
+
+
+def test_route_override_patterns(ray_session, small_corpus_dir):
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    base = extract_corpus(small_corpus_dir).to_pandas().set_index("doc_id")
+    forced = (
+        extract_corpus(
+            small_corpus_dir, PipelineConfig(warm_url_patterns=("example",))
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # every doc whose base_url contains "example" must now be warm
+    assert (forced["route"] == "warm").all() or (forced["route"] != base["route"]).any()
+    assert (forced.loc[base["route"] == "warm", "route"] == "warm").all()
+
+
+def test_force_route_column(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, build_pipeline
+
+    rows = [make_doc(i, 42) for i in range(12)]
+    t = pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+    t = t.append_column("force_route", pa.array(["warm"] * 12))
+    pq.write_table(t, str(tmp_path / "c.parquet"))
+    cfg = PipelineConfig(
+        read_columns=("doc_id", "spans", "archetype", "base_url", "force_route")
+    )
+    ds = ray.data.read_parquet(str(tmp_path), columns=list(cfg.read_columns))
+    out = build_pipeline(ds, cfg).to_pandas()
+    assert (out["route"] == "warm").all()
