@@ -70,7 +70,8 @@ def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
     # Warm up the worker pool (python worker spawn + package import is
     # ~1-2s CPU per worker — a fixed cluster-startup cost, not pipeline
     # throughput; excluded from the timed run).
-    extract_corpus(corpus, cfg).limit(min(512, n_docs)).count()
+    # slice large enough to spin up every worker at high CPU counts
+    extract_corpus(corpus, cfg).limit(min(4096, n_docs)).count()
 
     t0 = time.perf_counter()
     ds = extract_corpus(corpus, cfg)

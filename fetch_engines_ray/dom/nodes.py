@@ -178,3 +178,23 @@ def _escape_attr(v: str) -> str:
 
 def _escape_text(v: str) -> str:
     return v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def collect_elements(root: "Element") -> list:
+    """Document-order list of descendant elements (excl. root).
+
+    List-building loop variant of ``iter_elements`` for hot paths: one
+    selector pass over a big page resumes the generator hundreds of
+    thousands of times; a plain loop into a list is ~2x faster."""
+    out: list = []
+    append = out.append
+    stack = [c for c in reversed(root.children) if isinstance(c, Element)]
+    pop = stack.pop
+    push = stack.append
+    while stack:
+        el = pop()
+        append(el)
+        for c in reversed(el.children):
+            if isinstance(c, Element):
+                push(c)
+    return out

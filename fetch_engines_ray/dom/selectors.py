@@ -106,10 +106,35 @@ def compile_selector(selector: str) -> list[Compound]:
     return sels
 
 
+_PURE_TAGSET: dict[str, Optional[frozenset]] = {}
+
+
+def _pure_tagset(selector: str, sels: list) -> Optional[frozenset]:
+    """frozenset of tags when every compound is a bare tag selector
+    ("a", "p", "h1, h2, h3" — the converter's hottest lookups), else
+    None.  Lets iter_select skip the per-element Compound dispatch."""
+    ts = _PURE_TAGSET.get(selector, False)
+    if ts is False:
+        if all(
+            s.tag is not None and s.id is None and not s.classes and not s.attr_tests and not s.not_sels
+            for s in sels
+        ):
+            ts = frozenset(s.tag for s in sels)
+        else:
+            ts = None
+        _PURE_TAGSET[selector] = ts
+    return ts
+
+
 def iter_select(root: Element, selector: str) -> Iterator[Element]:
     """Document-order matches among *descendants* of ``root`` (excl. root)."""
     sels = compile_selector(selector)
-    if len(sels) == 1:
+    tagset = _pure_tagset(selector, sels)
+    if tagset is not None:
+        for el in root.iter_elements():
+            if el.tag in tagset:
+                yield el
+    elif len(sels) == 1:
         s = sels[0]
         for el in root.iter_elements():
             if s.matches(el):
@@ -146,3 +171,88 @@ def closest(el: Element, selector: str) -> Optional[Element]:
                 return node
         node = node.parent
     return None
+
+
+class CompiledGroup:
+    """Many selectors compiled for a SINGLE tree walk.
+
+    The converter's removal/count passes apply 10-20 selectors each;
+    evaluating them per-selector costs one full DOM traversal per
+    selector (~130 walks/document measured).  A group bucket-indexes
+    compounds by required tag so each element only tests the few
+    compounds that could match it — one walk total.
+    """
+
+    __slots__ = ("by_tag", "tagless", "n_selectors")
+
+    def __init__(self, selectors: tuple) -> None:
+        self.by_tag: dict[str, list[tuple[int, Compound]]] = {}
+        self.tagless: list[tuple[int, Compound]] = []
+        self.n_selectors = len(selectors)
+        for i, s in enumerate(selectors):
+            for c in compile_selector(s):
+                if c.tag is not None:
+                    self.by_tag.setdefault(c.tag, []).append((i, c))
+                else:
+                    self.tagless.append((i, c))
+
+    def matches(self, el: Element) -> bool:
+        for _, c in self.by_tag.get(el.tag, ()):
+            if c.matches(el):
+                return True
+        for _, c in self.tagless:
+            if c.matches(el):
+                return True
+        return False
+
+    def select(self, root: Element) -> list:
+        """Doc-order unique elements matching any selector of the group."""
+        from .nodes import collect_elements
+
+        return [el for el in collect_elements(root) if self.matches(el)]
+
+    def select_by_label(self, root: Element) -> list:
+        """Per-selector match lists (doc order within each), one walk.
+        Preserves selector-priority iteration semantics for callers that
+        process matches selector-by-selector."""
+        from .nodes import collect_elements
+
+        out: list = [[] for _ in range(self.n_selectors)]
+        for el in collect_elements(root):
+            for i, c in self.by_tag.get(el.tag, ()):
+                if c.matches(el):
+                    out[i].append(el)
+            for i, c in self.tagless:
+                if c.matches(el):
+                    out[i].append(el)
+        return out
+
+    def count_matches(self, root: Element) -> int:
+        """Total (element, selector) match pairs — an element matching
+        two selectors counts twice, mirroring per-selector summing."""
+        from .nodes import collect_elements
+
+        n = 0
+        for el in collect_elements(root):
+            for _, c in self.by_tag.get(el.tag, ()):
+                if c.matches(el):
+                    n += 1
+            for _, c in self.tagless:
+                if c.matches(el):
+                    n += 1
+        return n
+
+
+_GROUP_CACHE: dict[tuple, CompiledGroup] = {}
+
+
+def compile_group(selectors) -> CompiledGroup:
+    key = tuple(selectors)
+    g = _GROUP_CACHE.get(key)
+    if g is None:
+        g = _GROUP_CACHE[key] = CompiledGroup(key)
+    return g
+
+
+def select_group(root: Element, selectors) -> list:
+    return compile_group(selectors).select(root)

@@ -16,7 +16,7 @@ from urllib.parse import urljoin, urlparse
 
 from ..dom.nodes import Element, Text
 from ..dom.parser import parse_html
-from ..dom.selectors import closest, select_all, select_one
+from ..dom.selectors import closest, compile_group, select_all, select_group, select_one
 from .md_serializer import serialize
 
 # --- Constants (markdown-converter.ts:27-113) ------------------------------
@@ -201,10 +201,9 @@ def remove_svg_image_refs(root: Element) -> None:
 
 
 def remove_breadcrumbs(root: Element) -> None:
-    for sel in BREADCRUMB_SELECTORS:
-        for el in select_all(root, sel):
-            nav = closest(el, "nav")
-            (nav or el).remove()
+    for el in select_group(root, BREADCRUMB_SELECTORS):
+        nav = closest(el, "nav")
+        (nav or el).remove()
 
 
 # ---------------------------------------------------------------------------
@@ -363,9 +362,8 @@ def remove_high_link_density_elements(element: Element, threshold: float) -> Non
 # ---------------------------------------------------------------------------
 
 def remove_content_subtree_boilerplate(content: Element) -> None:
-    for sel in CONTENT_SUBTREE_REMOVE_SELECTORS:
-        for el in select_all(content, sel):
-            el.remove()
+    for el in select_group(content, CONTENT_SUBTREE_REMOVE_SELECTORS):
+        el.remove()
 
 
 def remove_high_link_density_in_selected_content(content: Element) -> None:
@@ -415,7 +413,8 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
 
 def detect_forum_page(root: Element) -> bool:
     def count(selectors) -> int:
-        return sum(len(select_all(root, s)) for s in selectors)
+        # one walk; an element matching two selectors still counts twice
+        return compile_group(selectors).count_matches(root)
 
     comment_count = count(FORUM_COMMENT_SELECTORS)
     thread_count = count(FORUM_THREAD_SELECTORS)
@@ -508,8 +507,10 @@ def extract_article_content_element(root: Element) -> Element:
         return semantic
     best: Optional[Element] = None
     max_score = -1.0
-    for selector in MAIN_CONTENT_SELECTORS:
-        for el in select_all(root, selector):
+    # one walk, but matches processed in selector-priority order — the
+    # scorer's BODY rejection depends on the running max_score
+    for matched in compile_group(MAIN_CONTENT_SELECTORS).select_by_label(root):
+        for el in matched:
             score = _calculate_element_score(el, max_score)
             if score > max_score:
                 max_score = score
@@ -539,9 +540,8 @@ def extract_forum_content_element(root: Element) -> Element:
             break
     if comments is not None:
         cloned = comments.clone()
-        for sel in FORUM_OBVIOUS_NON_CONTENT_SELECTORS:
-            for el in select_all(cloned, sel):
-                el.remove()
+        for el in select_group(cloned, FORUM_OBVIOUS_NON_CONTENT_SELECTORS):
+            el.remove()
         container.append(cloned)
 
     if container.children:
@@ -550,9 +550,8 @@ def extract_forum_content_element(root: Element) -> Element:
     body = select_one(root, "body")
     if body is not None:
         cloned_body = body.clone()
-        for sel in FORUM_OBVIOUS_NON_CONTENT_SELECTORS:
-            for el in select_all(cloned_body, sel):
-                el.remove()
+        for el in select_group(cloned_body, FORUM_OBVIOUS_NON_CONTENT_SELECTORS):
+            el.remove()
         remove_high_link_density_elements(cloned_body, DEFAULT_LINK_DENSITY_THRESHOLD)
         return cloned_body
 
@@ -638,9 +637,8 @@ def preprocess(html: str, base_url: Optional[str] = None) -> tuple[Element, str,
     try:
         root = parse_html(cleaned)
 
-        for sel in PREPROCESSING_REMOVE_SELECTORS:
-            for el in select_all(root, sel):
-                el.remove()
+        for el in select_group(root, PREPROCESSING_REMOVE_SELECTORS):
+            el.remove()
 
         absolutize_relative_urls(root, base_url)
         remove_svg_image_refs(root)
