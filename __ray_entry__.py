@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_month": rel.orders_per_month,
         "large_parts_by_brand": rel.large_parts_by_brand,
         "distinct_users_by_event_type": rel.distinct_users_by_event_type,
+        "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "top20_longest_docs": _q_top20_longest_docs,
     }
 
@@ -334,6 +335,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_event_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "revenue_by_orderpriority": (
+            "SELECT o_orderpriority, count(*) AS n_items,"
+            " round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "doc_quality_counts": (
             "SELECT doc_id,"

@@ -100,14 +100,47 @@ class MinHasher:
         )
 
 
+_MINHASHERS: dict = {}
+
+
+def minhash_batch(
+    batch: pa.Table, num_perm: int = 64, shingle_size: int = 3, seed: int = 7
+) -> pa.Table:
+    """Task-pool form of MinHasher: per-worker cached permutation state.
+    (An actor pool caps the fused upstream at pool size — see
+    stages/extract.py for the same pattern.)
+
+    Emits the signature as a fixed-width little-endian int64 blob —
+    Arrow hash joins don't support list payload columns, and the blob
+    is also ~half the wire size of a list<int64>."""
+    key = (num_perm, shingle_size, seed)
+    h = _MINHASHERS.get(key)
+    if h is None:
+        h = _MINHASHERS[key] = MinHasher(num_perm, shingle_size, seed)
+    ids = batch["doc_id"].to_pylist()
+    blobs = [
+        h.signature(t or "").astype("<i8").tobytes() for t in batch["text"].to_pylist()
+    ]
+    return pa.table({"doc_id": pa.array(ids), "minhash_sig": pa.array(blobs, type=pa.binary())})
+
+
+def _decode_sigs(col) -> np.ndarray:
+    return np.stack([np.frombuffer(b, dtype="<i8") for b in col.to_pylist()])
+
+
 def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
-    """Explode signatures into (band_bucket, doc_id, sig) rows."""
+    """Explode signatures into (band_bucket, doc_id) rows.
+
+    Deliberately does NOT carry the signature through the LSH shuffle —
+    that would duplicate ~0.5 KB/doc x num_bands across the all-to-all
+    exchange.  Signatures are re-attached to the (tiny) candidate-pair
+    set afterwards via hash join."""
     out_bucket: list[str] = []
     out_id: list = []
-    out_sig: list = []
     ids = batch["doc_id"].to_pylist()
-    sigs = batch["minhash_sig"].to_pylist()
+    sigs = _decode_sigs(batch["minhash_sig"])
     for doc_id, sig in zip(ids, sigs):
+        sig = sig.tolist()
         rows_per_band = len(sig) // num_bands
         for b in range(num_bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -116,14 +149,7 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
             ).hexdigest()
             out_bucket.append(digest)
             out_id.append(doc_id)
-            out_sig.append(sig)
-    return pa.table(
-        {
-            "bucket": pa.array(out_bucket),
-            "doc_id": pa.array(out_id),
-            "minhash_sig": pa.array(out_sig, type=pa.list_(pa.int64())),
-        }
-    )
+    return pa.table({"bucket": pa.array(out_bucket), "doc_id": pa.array(out_id)})
 
 
 def _collision_buckets_only(banded: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -163,12 +189,15 @@ def minhash_lsh_pairs(
     ``threshold``.
     """
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+        minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=4,
     )
+    # Signatures are consumed three times (banding + both join sides);
+    # materialize once — they are ~0.5 KB/doc.  At 10^12-doc scale this
+    # becomes a parquet checkpoint of the signature table instead.
+    sigs = sigs.materialize()
     banded = sigs.map_batches(
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
     )
@@ -177,21 +206,56 @@ def minhash_lsh_pairs(
     if colliding is None:
         return empty
 
+    # Candidate ID pairs per colliding bucket (ids only — tiny rows).
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        ids = group["doc_id"].tolist()
-        sig_list = [np.asarray(s) for s in group["minhash_sig"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sig_list[i] == sig_list[j]).mean())
-                if est >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    rows.append({"doc_a": a, "doc_b": b, "est_jaccard": est})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        ids = sorted(set(group["doc_id"].tolist()))
+        rows = [
+            {"doc_a": ids[i], "doc_b": ids[j]}
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ]
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
 
-    pairs = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    cand = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+    # Re-attach signatures to candidates with two hash joins (the
+    # at-scale shape: candidates are rare, signatures never fan out
+    # through the LSH shuffle).
+    left = cand.join(
+        sigs, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+    )
+    both = left.join(
+        sigs.map_batches(
+            lambda b: b.rename_columns(["doc_id", "minhash_sig_b"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=batch.column("doc_a").type),
+                    "doc_b": pa.array([], type=batch.column("doc_b").type),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        a = _decode_sigs(batch.column("minhash_sig"))
+        b = _decode_sigs(batch.column("minhash_sig_b"))
+        est = (a == b).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    pairs = both.map_batches(estimate, batch_format="pyarrow", batch_size=4096).to_pandas()
     if pairs.empty:
         return empty
     return (

@@ -253,3 +253,31 @@ def distinct_users_by_event_type(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
+    """Large-side distributed HASH JOIN (lineitem ⋈ orders on orderkey)
+    — the one relational query here where neither side is broadcast-
+    small, so it exercises Ray Data's hash-shuffle join; the grouped
+    rollup then runs on the joined stream."""
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+
+    lineitem = lineitem.map_batches(revenue, batch_format="pyarrow", batch_size=8192)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = lineitem.join(
+        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out = _round_cols(out, ["revenue"])
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
