@@ -91,6 +91,22 @@ def _q_media_decode(sf_dir: str) -> Any:
     return decode_media(media_spans_dataset(ds), concurrency=2)
 
 
+def _q_media_resize(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset, resize_images
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
+    return resize_images(decode_media(media_spans_dataset(ds), concurrency=2))
+
+
+def _q_video_frame_samples(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset, sample_frames
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
+    return sample_frames(decode_media(media_spans_dataset(ds), concurrency=2))
+
+
 def _read_documents(sf_dir: str):
     import ray.data
 
@@ -217,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_route_counts": _q_extract_route_counts,
         "extract_quality_by_archetype": _q_extract_quality_by_archetype,
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
+        "video_frame_samples": _q_video_frame_samples,
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -244,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_parts_by_brand": rel.large_parts_by_brand,
         "distinct_users_by_event_type": rel.distinct_users_by_event_type,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
+        "events_tumbling_window": rel.events_tumbling_window,
         "top20_longest_docs": _q_top20_longest_docs,
     }
 
@@ -335,6 +354,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_event_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_tumbling_window": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,"
+            " count(*) AS n_events, round(sum(value), 3) AS total_value"
+            " FROM events GROUP BY window_start ORDER BY window_start"
         ),
         "revenue_by_orderpriority": (
             "SELECT o_orderpriority, count(*) AS n_items,"

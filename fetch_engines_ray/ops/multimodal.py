@@ -116,3 +116,108 @@ def decode_media(media_ds, concurrency: int = 2):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("resized_width", pa.int32()),
+        ("resized_height", pa.int32()),
+        ("resize_status", pa.string()),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool stage: decoded image metadata → letterboxed resize
+    plan.  Real pixel work is stubbed (no PIL in this container); the
+    aspect-ratio math, schema, and actor plumbing are real."""
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224)) -> None:
+        self.tw, self.th = target_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.select(["media_ref", "kind", "width", "height"]).to_pylist():
+            w, h = r["width"] or 0, r["height"] or 0
+            if r["kind"] not in ("image", "video") or w <= 0 or h <= 0:
+                rows.append(
+                    {
+                        "media_ref": r["media_ref"],
+                        "width": w,
+                        "height": h,
+                        "resized_width": 0,
+                        "resized_height": 0,
+                        "resize_status": "skipped",
+                    }
+                )
+                continue
+            scale = min(self.tw / w, self.th / h)
+            rows.append(
+                {
+                    "media_ref": r["media_ref"],
+                    "width": w,
+                    "height": h,
+                    "resized_width": max(1, int(w * scale)),
+                    "resized_height": max(1, int(h * scale)),
+                    "resize_status": "stubbed",
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_index", pa.int32()),
+        ("timestamp_ms", pa.int32()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool flat-map stage: one video row → N uniformly-spaced
+    frame rows (sampling plan; frame extraction itself is stubbed)."""
+
+    def __init__(self, frames_per_video: int = 4) -> None:
+        self.n = frames_per_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.select(["media_ref", "kind", "duration_ms"]).to_pylist():
+            if r["kind"] != "video" or not r["duration_ms"]:
+                continue
+            step = r["duration_ms"] // (self.n + 1)
+            for i in range(self.n):
+                rows.append(
+                    {
+                        "media_ref": r["media_ref"],
+                        "frame_index": i,
+                        "timestamp_ms": (i + 1) * step,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FRAMES_SCHEMA)
+
+
+def resize_images(decoded_ds, target_size=(224, 224), concurrency: int = 2):
+    return decoded_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(decoded_ds, frames_per_video: int = 4, concurrency: int = 2):
+    return decoded_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"frames_per_video": frames_per_video},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -281,3 +281,33 @@ def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
     )
     out = _round_cols(out, ["revenue"])
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+    """Tumbling-window aggregate over the event stream: count + value
+    sum per [window_start, window_start + w) bucket.  The bucket key is
+    computed vectorized per batch (epoch floor-div), so the only wide
+    op is the final grouped rollup — the streaming-window shape for a
+    replayed log."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    w_us = window_minutes * 60 * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        # integer epoch-second window key: timezone-free and exact-hash
+        # stable against the SQL oracle (no strftime/locale drift)
+        epoch_us = pc.cast(batch.column("ts"), pa.int64())
+        win = pc.multiply(
+            pc.divide(epoch_us, pa.scalar(w_us)), pa.scalar(window_minutes * 60)
+        )
+        return pa.table(
+            {"window_start": pc.cast(win, pa.int64()), "value": batch.column("value")}
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out = _round_cols(out, ["total_value"])
+    return out.sort_values("window_start").reset_index(drop=True)

@@ -235,3 +235,48 @@ def run_resumable(
     ).take_all()
     rows = sum(r["rows"] for r in results)
     return {"processed": len(todo), "skipped": len(fragments) - len(todo), "rows": rows}
+
+
+def escalate_low_quality(
+    input_path: str,
+    extracted: "ray.data.Dataset",
+    cfg: Optional[PipelineConfig] = None,
+    min_quality: int = 3,
+) -> "ray.data.Dataset":
+    """Second-pass escalation (reference analog: the retry ladder's
+    mode escalation, /root/reference/src/PlaywrightEngine.ts:746-794 —
+    re-fetch with a heavier engine when the fast result is poor).
+
+    Docs whose fast extraction scored below ``min_quality`` are re-run
+    through the warm path (forced route).  The low-quality doc-id set is
+    broadcast via ``ray.put`` and the corpus re-read is filtered at the
+    batch level — no shuffle; the second pass touches only the escalated
+    fraction.  Returns the re-extracted rows (union with the kept rows
+    is the caller's choice).
+    """
+    cfg = cfg or PipelineConfig()
+    low_ids = set(
+        r["doc_id"]
+        for r in extracted.select_columns(["doc_id", "quality_score", "route"])
+        .filter(expr=f"quality_score < {int(min_quality)}")
+        .take_all()
+    )
+    if not low_ids:
+        return None  # type: ignore[return-value]
+    ids_ref = ray.put(low_ids)
+
+    def keep_low(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        mask = pa.array([d in ids for d in batch.column("doc_id").to_pylist()])
+        return batch.filter(mask)
+
+    corpus = read_corpus(input_path, cfg).map_batches(
+        keep_low, batch_format="pyarrow", batch_size=1024
+    )
+
+    def force_warm(batch: pa.Table) -> pa.Table:
+        return batch.append_column("force_route", pa.array(["warm"] * batch.num_rows))
+
+    return build_pipeline(
+        corpus.map_batches(force_warm, batch_format="pyarrow", batch_size=1024), cfg
+    )

@@ -159,3 +159,34 @@ def test_media_decode_schema(ray_session):
     rows2 = decode_media(ds, concurrency=1).take_all()
     key = lambda r: r["media_ref"]  # noqa: E731
     assert sorted(rows, key=key) == sorted(rows2, key=key)
+
+
+def test_image_resize_plan(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.multimodal import resize_images
+
+    rows = [
+        {"media_ref": "m/a.png", "kind": "image", "width": 640, "height": 480, "duration_ms": 0},
+        {"media_ref": "m/b.mp4", "kind": "video", "width": 1920, "height": 1080, "duration_ms": 9000},
+        {"media_ref": "m/c.mp3", "kind": "audio", "width": 0, "height": 0, "duration_ms": 4000},
+    ]
+    out = {r["media_ref"]: r for r in resize_images(ray.data.from_items(rows), concurrency=1).take_all()}
+    a = out["m/a.png"]
+    assert (a["resized_width"], a["resized_height"]) == (224, 168)  # 640x480 letterboxed
+    assert out["m/b.mp4"]["resized_height"] == 126  # 1920x1080 -> 224x126
+    assert out["m/c.mp3"]["resize_status"] == "skipped"
+
+
+def test_frame_sampling_plan(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.multimodal import sample_frames
+
+    rows = [
+        {"media_ref": "m/v.mp4", "kind": "video", "width": 0, "height": 0, "duration_ms": 10000},
+        {"media_ref": "m/i.png", "kind": "image", "width": 1, "height": 1, "duration_ms": 0},
+    ]
+    frames = sample_frames(ray.data.from_items(rows), frames_per_video=4, concurrency=1).take_all()
+    assert len(frames) == 4  # only the video yields frames
+    assert [f["timestamp_ms"] for f in frames] == [2000, 4000, 6000, 8000]

@@ -139,3 +139,48 @@ def test_resumable_run_with_lineage(tmp_path):
     recs_after = lin.read_lineage(out1)
     assert recs_after[victim]["span_hash"] == recs_before[victim]["span_hash"]
     assert recs_after[victim]["row_count"] == recs_before[victim]["row_count"]
+
+
+def test_resumable_matches_direct_pipeline(ray_session, tmp_path):
+    """Kill/resume contract: the partition-atomic runner's output is
+    span-identical to the one-shot streaming pipeline."""
+    import pyarrow.parquet as pq
+
+    from fetch_engines_ray.corpus.generate import generate_corpus
+    from fetch_engines_ray.pipelines.extract import extract_corpus, run_resumable
+    from fetch_engines_ray.state.lineage import span_hash_for_doc
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=60, seed=11, rows_per_file=20)
+
+    direct = {
+        r["doc_id"]: span_hash_for_doc(r["doc_id"], r["out_spans"])
+        for r in extract_corpus(corpus).select_columns(["doc_id", "out_spans"]).take_all()
+    }
+
+    out_dir = str(tmp_path / "resumable")
+    run_resumable(corpus, out_dir, concurrency=2)
+    resumed = {}
+    for f in sorted(os.listdir(out_dir)):
+        if f.endswith(".out.parquet"):
+            t = pq.read_table(os.path.join(out_dir, f), columns=["doc_id", "out_spans"])
+            for r in t.to_pylist():
+                resumed[r["doc_id"]] = span_hash_for_doc(r["doc_id"], r["out_spans"])
+    assert direct == resumed
+
+
+def test_escalate_low_quality(ray_session, tmp_path):
+    from fetch_engines_ray.corpus.generate import generate_corpus
+    from fetch_engines_ray.pipelines.extract import escalate_low_quality, extract_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=40, seed=5, rows_per_file=20)
+    extracted = extract_corpus(corpus).materialize()
+    low = {r["doc_id"] for r in extracted.filter(expr="quality_score < 3").take_all()}
+    second = escalate_low_quality(corpus, extracted, min_quality=3)
+    if not low:
+        assert second is None
+        return
+    rows = second.take_all()
+    assert {r["doc_id"] for r in rows} == low
+    assert all(r["route"] == "warm" for r in rows)  # escalation forces warm
