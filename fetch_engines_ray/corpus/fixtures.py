@@ -337,3 +337,65 @@ F25_REPEATED_LINES = """
           <p>Unique closing sentence for the document body text.</p>
         </main>
       </body>"""
+
+# --- Serializer-focused fixtures (reference behaviors pinned by the
+# Kreuzberg conversion surface: code fences, list nesting, blockquotes,
+# explicit-<th> tables, inline formatting) ---------------------------------
+
+F26_CODE_FENCES = """
+<main>
+  <h1>Install guide</h1>
+  <p>Run the following command:</p>
+  <pre><code class="language-bash">pip install ray[data]
+ray start --head</code></pre>
+  <p>Then in Python:</p>
+  <pre><code class="language-python">import ray
+ray.init()</code></pre>
+</main>
+"""
+
+F27_NESTED_LISTS = """
+<main>
+  <h1>Checklist</h1>
+  <ol>
+    <li>Prepare the corpus</li>
+    <li>Run extraction
+      <ul>
+        <li>fast path</li>
+        <li>warm path</li>
+      </ul>
+    </li>
+    <li>Validate goldens</li>
+  </ol>
+</main>
+"""
+
+F28_BLOCKQUOTE = """
+<main>
+  <h1>Review</h1>
+  <blockquote><p>The fastest way to clean a page is not to fetch the junk at all.</p></blockquote>
+  <p>That quote summarises the design.</p>
+</main>
+"""
+
+F29_TH_TABLE = """
+<main>
+  <h1>Limits</h1>
+  <table>
+    <thead><tr><th>Resource</th><th>Limit</th></tr></thead>
+    <tbody>
+      <tr><td>CPUs</td><td>32</td></tr>
+      <tr><td>Memory</td><td>128 GiB</td></tr>
+    </tbody>
+  </table>
+</main>
+"""
+
+F30_INLINE_FORMATTING = """
+<main>
+  <h1>Typography</h1>
+  <p>Use <strong>bold</strong> for warnings, <em>italics</em> for terms,
+  and <code>inline_code()</code> for identifiers. See the
+  <a href="https://docs.example.com/guide">full guide</a> for details.</p>
+</main>
+"""

@@ -281,6 +281,11 @@ def fixture_docs() -> list[dict]:
         ("F19", fx.F19_BREADCRUMB_SVG, "", "fast"),
         ("F20", fx.F20_NO_H1, "", "fast"),
         ("F25", fx.F25_REPEATED_LINES, "", "fast"),
+        ("F26", fx.F26_CODE_FENCES, "", "fast"),
+        ("F27", fx.F27_NESTED_LISTS, "", "fast"),
+        ("F28", fx.F28_BLOCKQUOTE, "", "fast"),
+        ("F29", fx.F29_TH_TABLE, "", "fast"),
+        ("F30", fx.F30_INLINE_FORMATTING, "", "fast"),
     ]
     from ..functions import render_detection as rd
 

@@ -173,3 +173,42 @@ def test_inject_source_url():
     assert "# Title\n\nSource: https://example.com/a" in out
     # idempotent
     assert inject_source_url(out, "https://example.com/a") == out
+
+
+def test_f26_code_fences_preserved():
+    md = convert(fx.F26_CODE_FENCES).markdown
+    assert "```bash\npip install ray[data]\nray start --head\n```" in md
+    assert "```python\nimport ray\nray.init()\n```" in md
+
+
+def test_f27_nested_lists():
+    md = convert(fx.F27_NESTED_LISTS).markdown
+    assert "1. Prepare the corpus" in md
+    assert "2. Run extraction" in md
+    assert "3. Validate goldens" in md
+    # nested items keep their markers; leading indentation is flattened
+    # by postprocess step 6 (per-line trim, markdown-converter.ts:936)
+    assert "- fast path" in md
+    assert "- warm path" in md
+
+
+def test_f28_blockquote():
+    md = convert(fx.F28_BLOCKQUOTE).markdown
+    assert "> The fastest way to clean a page" in md
+    assert "That quote summarises the design." in md
+
+
+def test_f29_th_table_header_not_duplicated():
+    md = convert(fx.F29_TH_TABLE).markdown
+    assert "| Resource | Limit |" in md
+    assert "| --- | --- |" in md
+    assert "| CPUs | 32 |" in md
+    assert md.count("Resource") == 1  # explicit <th> header: no promotion
+
+
+def test_f30_inline_formatting():
+    md = convert(fx.F30_INLINE_FORMATTING).markdown
+    assert "**bold**" in md
+    assert "*italics*" in md
+    assert "`inline_code()`" in md
+    assert "[full guide](https://docs.example.com/guide)" in md
