@@ -92,6 +92,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "knn_bruteforce",
         "lineitem_pricing_summary",
         "customer_revenue_by_segment",
+        "revenue_by_orderpriority",
+        "events_tumbling_window",
     ]
     times = {}
     for name in names:

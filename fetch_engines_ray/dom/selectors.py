@@ -134,17 +134,24 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
         for el in root.iter_elements():
             if el.tag in tagset:
                 yield el
-    elif len(sels) == 1:
-        s = sels[0]
-        for el in root.iter_elements():
-            if s.matches(el):
-                yield el
     else:
+        # tag-bucketed matching: elements only test compounds that could
+        # match their tag (most test zero)
+        g = compile_group((selector,))
+        by_tag, tagless = g.by_tag, g.tagless
         for el in root.iter_elements():
-            for s in sels:
-                if s.matches(el):
-                    yield el
+            matched = False
+            for _, c in by_tag.get(el.tag, ()):
+                if c.matches(el):
+                    matched = True
                     break
+            if not matched:
+                for _, c in tagless:
+                    if c.matches(el):
+                        matched = True
+                        break
+            if matched:
+                yield el
 
 
 def select_all(root: Element, selector: str) -> list[Element]:

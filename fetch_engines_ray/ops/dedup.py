@@ -77,14 +77,23 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle_size = shingle_size
 
+    # distinct odd multipliers combining the k token hashes of a shingle
+    _POS_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
     def signature(self, text: str) -> np.ndarray:
         toks = text.lower().split()
         k = self.shingle_size
         if len(toks) < k:
-            shingles = {" ".join(toks)} if toks else {""}
+            hv = np.array([_stable_hash32(" ".join(toks))], dtype=np.int64)
         else:
-            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-        hv = np.fromiter((_stable_hash32(s) for s in shingles), dtype=np.int64, count=len(shingles))
+            # shingle hash = position-weighted combine of per-TOKEN crc32s,
+            # fully vectorized — no per-shingle string join/encode/hash
+            th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+            n_sh = len(toks) - k + 1
+            acc = np.zeros(n_sh, dtype=np.uint64)
+            for j in range(k):
+                acc ^= th[j : j + n_sh] * np.uint64(self._POS_MULT[j % len(self._POS_MULT)])
+            hv = np.unique(acc).astype(np.int64) & np.int64((1 << 62) - 1)
         # sig[j] = min over shingles of (a_j * h + b_j) mod p   (vectorized)
         vals = (np.outer(self.a, hv) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
@@ -220,16 +229,19 @@ def minhash_lsh_pairs(
 
     # Re-attach signatures to candidates with two hash joins (the
     # at-scale shape: candidates are rare, signatures never fan out
-    # through the LSH shuffle).
+    # through the LSH shuffle).  Partition count scales with the
+    # signature table — each join partition is a shuffle-aggregator
+    # actor with multi-second fixed cost.
+    n_parts = max(2, min(16, sigs.count() // 200_000 + 1))
     left = cand.join(
-        sigs, join_type="inner", num_partitions=8, on=("doc_a",), right_on=("doc_id",)
+        sigs, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",)
     )
     both = left.join(
         sigs.map_batches(
             lambda b: b.rename_columns(["doc_id", "minhash_sig_b"]), batch_format="pyarrow"
         ),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=n_parts,
         on=("doc_b",),
         right_on=("doc_id",),
     )

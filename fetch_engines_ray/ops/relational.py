@@ -271,8 +271,14 @@ def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
 
     lineitem = lineitem.map_batches(revenue, batch_format="pyarrow", batch_size=8192)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # partition count scaled to input size (counting a bare parquet
+    # read is metadata-only) — every join partition spins up a shuffle
+    # aggregator actor, a multi-second fixed cost that dwarfs small
+    # inputs
+    n_rows = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
+    n_parts = max(2, min(16, n_rows // 100_000 + 1))
     joined = lineitem.join(
-        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",)
     )
     out = (
         joined.groupby("o_orderpriority")
