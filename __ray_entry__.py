@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_event_type": rel.distinct_users_by_event_type,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
+        "user_sessions": rel.user_sessions,
         "top20_longest_docs": _q_top20_longest_docs,
     }
 
@@ -354,6 +355,20 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_event_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "user_sessions": (
+            "WITH d AS ("
+            "  SELECT user_id, event_id, ts, value,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT user_id, event_id, ts, value,"
+            "   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM d)"
+            " SELECT user_id, session_idx, count(*) AS n_events,"
+            "   CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS start_epoch,"
+            "   round(sum(value), 3) AS total_value"
+            " FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
         ),
         "events_tumbling_window": (
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,"

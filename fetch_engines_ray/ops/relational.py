@@ -317,3 +317,47 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFram
     )
     out = _round_cols(out, ["total_value"])
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization (session windows): per-user event runs split on
+    inactivity gaps > ``gap_minutes``.
+
+    The wide op is ONE ``groupby(user_id).map_groups`` — each group
+    sorts its own events and derives session boundaries vectorized
+    (numpy diff on epoch seconds), so no cross-group state and no
+    second shuffle.  Equivalent SQL needs lag() + a windowed running
+    sum; see the oracle in __ray_entry__.oracle_sql.
+    """
+    gap_s = gap_minutes * 60
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        # microsecond integers end-to-end: fractional-second gaps and
+        # round-vs-floor casts otherwise drift off the SQL oracle
+        epoch_us = g["ts"].astype("datetime64[us]").astype("int64")
+        new_sess = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_sess[1:] = (np.diff(epoch_us.to_numpy()) > gap_s * 1_000_000).astype(np.int64)
+        sess_idx = np.cumsum(new_sess) - 1
+        g = g.assign(session_idx=sess_idx, epoch=epoch_us // 1_000_000)
+        out = (
+            g.groupby("session_idx", as_index=False)
+            .agg(
+                n_events=("event_id", "size"),
+                start_epoch=("epoch", "min"),
+                total_value=("value", "sum"),
+            )
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["total_value"] = out["total_value"].round(3)
+        return out[["user_id", "session_idx", "n_events", "start_epoch", "total_value"]]
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
