@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
         "user_sessions": rel.user_sessions,
+        "events_last_order_asof": rel.events_last_order_asof,
         "top20_longest_docs": _q_top20_longest_docs,
     }
 
@@ -355,6 +356,14 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_event_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users"
             " FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_last_order_asof": (
+            "SELECT e.event_id, e.user_id,"
+            " CAST(coalesce(floor(epoch_us(o.o_orderdate) / 1000000), -1) AS BIGINT)"
+            " AS last_order_epoch"
+            " FROM events e ASOF LEFT JOIN orders o"
+            " ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+            " ORDER BY e.event_id"
         ),
         "user_sessions": (
             "WITH d AS ("

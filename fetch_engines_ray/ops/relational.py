@@ -361,3 +361,66 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def events_last_order_asof(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN: for every event, the date of the same customer's
+    latest order at-or-before the event time (-1 if none).
+
+    Ray Data has no asof-join primitive; the Ray-Data-first composition
+    is a tagged UNION of both streams followed by ONE
+    ``groupby(key).map_groups`` — each group sorts its own order dates
+    once and resolves all its events with a vectorized searchsorted.
+    Output carries the matched order DATE (not key) so equal-date ties
+    cannot make the result nondeterministic.  Partitioning assumption:
+    one customer's events+orders fit in a group (same as any
+    sort-merge-per-key operator; salt the key if a customer is hot).
+    """
+    events = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        t_us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "key": pc.cast(batch.column("user_id"), pa.int64()),
+                "t_us": t_us,
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        t_us = pc.cast(batch.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "t_us": t_us,
+                "event_id": pa.array([-1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["event_id"] >= 0]
+        od = np.sort(group.loc[group["event_id"] < 0, "t_us"].to_numpy())
+        if len(ev) == 0:
+            return pd.DataFrame(columns=["event_id", "user_id", "last_order_epoch"])
+        ev_t = ev["t_us"].to_numpy()
+        if len(od) == 0:
+            matched = np.full(len(ev), -1, dtype=np.int64)
+        else:
+            idx = np.searchsorted(od, ev_t, side="right") - 1
+            matched = np.where(idx >= 0, od[np.clip(idx, 0, None)] // 1_000_000, -1)
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev["key"].to_numpy(),
+                "last_order_epoch": matched.astype("int64"),
+            }
+        )
+
+    out = tagged.groupby("key").map_groups(asof, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
