@@ -209,6 +209,15 @@ def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
     return pd.DataFrame(rows)
 
 
+def _q_hll_users_per_event_type(sf_dir: str) -> Any:
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import hll_distinct_by_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return hll_distinct_by_key(ds, "event_type", "user_id")
+
+
 def _q_doc_quality_counts(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.textstats import add_quality_counts, add_token_count
 
@@ -261,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_month": rel.orders_per_month,
         "large_parts_by_brand": rel.large_parts_by_brand,
         "distinct_users_by_event_type": rel.distinct_users_by_event_type,
+        "hll_users_per_event_type": _q_hll_users_per_event_type,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
         "user_sessions": rel.user_sessions,

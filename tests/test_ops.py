@@ -190,3 +190,27 @@ def test_frame_sampling_plan(ray_session):
     frames = sample_frames(ray.data.from_items(rows), frames_per_video=4, concurrency=1).take_all()
     assert len(frames) == 4  # only the video yields frames
     assert [f["timestamp_ms"] for f in frames] == [2000, 4000, 6000, 8000]
+
+
+def test_hll_distinct_accuracy(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import hll_distinct, hll_distinct_by_key
+
+    ds = ray.data.from_items([{"v": f"item-{i % 4000}", "k": i % 2} for i in range(40000)])
+    est = hll_distinct(ds, "v")
+    assert abs(est - 4000) / 4000 < 0.05  # p=12 → ~1.6% std error
+
+    per = hll_distinct_by_key(ds, "k", "v")
+    assert len(per) == 2
+    # parity partitions the value space: each key sees 2000 distinct values
+    assert all(abs(v - 2000) / 2000 < 0.05 for v in per["approx_distinct"])
+
+
+def test_hll_small_range_linear_counting(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import hll_distinct
+
+    ds = ray.data.from_items([{"v": i % 37} for i in range(5000)])
+    assert round(hll_distinct(ds, "v")) == 37  # linear-counting regime is exact-ish
