@@ -209,6 +209,20 @@ def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
     return pd.DataFrame(rows)
 
 
+def _q_doc_winnowing_fingerprints(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_winnowing_fingerprint
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_winnowing_fingerprint, batch_format="pyarrow", batch_size=2048
+    )
+    return (
+        ds.select_columns(["doc_id", "fp_hashes"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_hll_users_per_event_type(sf_dir: str) -> Any:
     import ray.data
 
@@ -249,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_quality_counts": _q_doc_quality_counts,
         "text_features": _q_text_features,
+        "doc_winnowing_fingerprints": _q_doc_winnowing_fingerprints,
         # dedup family
         "exact_dedup_groups": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,

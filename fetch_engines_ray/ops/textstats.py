@@ -9,6 +9,7 @@ over Arrow batches; nothing materializes the dataset.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -121,3 +122,43 @@ def add_quality_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
     batch = batch.append_column("punct_count", punct)
     return batch.append_column("stopword_count", stop)
+
+
+def add_winnowing_fingerprint(
+    batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 4
+) -> pa.Table:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD 2003): Rabin-Karp rolling hashes over k-grams of tokens, then
+    the minimum hash of each sliding window — position-robust local
+    fingerprints (two docs sharing a long passage share its selected
+    hashes regardless of where the passage sits).
+
+    Appends ``fp_hashes: list<int64>`` (sorted unique selections).
+    """
+    B = np.int64(1000003)          # rolling base
+    MOD = np.int64((1 << 61) - 1)  # large prime modulus
+    texts = batch[text_col].to_pylist()
+    out: list[list[int]] = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if len(toks) < k:
+            out.append([])
+            continue
+        th = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.int64)
+        n = len(toks) - k + 1
+        # rolling k-gram hash: h_i = sum_j th[i+j] * B^(k-1-j) mod MOD
+        powers = np.array([pow(int(B), k - 1 - j, int(MOD)) for j in range(k)], dtype=np.int64)
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            acc = (acc + (th[j : j + n].astype(object) * int(powers[j])) % int(MOD)) % int(MOD)
+        acc = acc.astype(np.int64)
+        if n <= window:
+            sel = {int(acc.min())}
+        else:
+            # winnowing: min of each length-`window` sliding window
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            mins = sliding_window_view(acc, window).min(axis=1)
+            sel = set(int(x) for x in np.unique(mins))
+        out.append(sorted(sel))
+    return batch.append_column("fp_hashes", pa.array(out, type=pa.list_(pa.int64())))

@@ -214,3 +214,26 @@ def test_hll_small_range_linear_counting(ray_session):
 
     ds = ray.data.from_items([{"v": i % 37} for i in range(5000)])
     assert round(hll_distinct(ds, "v")) == 37  # linear-counting regime is exact-ish
+
+
+def test_winnowing_fingerprint_position_robust():
+    import pyarrow as pa
+
+    from fetch_engines_ray.ops.textstats import add_winnowing_fingerprint
+
+    passage = "the quick brown fox jumps over the lazy dog again and again until done"
+    t = pa.table(
+        {
+            "text": [
+                "intro words here . " + passage + " trailing content x",
+                "completely different lead-in sentence comes first then " + passage,
+                "unrelated text entirely about ray data pipelines and arrow",
+            ]
+        }
+    )
+    fa, fb, fc = (set(x) for x in add_winnowing_fingerprint(t)["fp_hashes"].to_pylist())
+    assert len(fa & fb) >= 3  # shared passage → shared fingerprints at any offset
+    assert not (fa & fc)
+    # short-text edge: fewer tokens than k → empty fingerprint, no crash
+    short = add_winnowing_fingerprint(pa.table({"text": ["tiny doc"]}))
+    assert short["fp_hashes"].to_pylist() == [[]]
