@@ -223,6 +223,49 @@ def _q_doc_winnowing_fingerprints(sf_dir: str) -> Any:
     )
 
 
+def _q_doc_gopher_quality(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_gopher_quality_flags
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_gopher_quality_flags, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(
+            ["doc_id", "n_words", "mean_word_len_x100", "symbol_ratio_x1000", "stopword_hits", "gopher_pass"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_clean_corpus(sf_dir: str) -> Any:
+    """Composite curation pipeline: exact-dedup winners that also pass
+    the Gopher-style quality rules — the canonical training-data
+    cleaning chain (dedup -> quality filter) as one streaming run."""
+    import pyarrow as pa
+    import ray
+
+    from fetch_engines_ray.ops.dedup import exact_dedup_groups
+    from fetch_engines_ray.ops.textstats import add_gopher_quality_flags
+
+    winners_ref = ray.put(
+        set(exact_dedup_groups(_read_documents(sf_dir)).to_pandas()["keep_doc_id"])
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        winners = ray.get(winners_ref)
+        batch = add_gopher_quality_flags(batch)
+        mask = pa.array(
+            [bool(p) and d in winners
+             for d, p in zip(batch.column("doc_id").to_pylist(), batch.column("gopher_pass").to_pylist())]
+        )
+        return batch.filter(mask).select(["doc_id", "n_words"])
+
+    ds = _read_documents(sf_dir).map_batches(keep, batch_format="pyarrow", batch_size=4096)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_hll_users_per_event_type(sf_dir: str) -> Any:
     import ray.data
 
@@ -262,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_quality_counts": _q_doc_quality_counts,
+        "doc_gopher_quality": _q_doc_gopher_quality,
+        "clean_corpus": _q_clean_corpus,
         "text_features": _q_text_features,
         "doc_winnowing_fingerprints": _q_doc_winnowing_fingerprints,
         # dedup family
@@ -414,6 +459,41 @@ def oracle_sql() -> dict[str, str]:
             " round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "clean_corpus": (
+            "WITH f AS (SELECT doc_id, text,\n"
+            "  CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,"
+            "  CAST(length(text) AS BIGINT) AS n_chars,"
+            "  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,"
+            "  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,"
+            "  CAST(array_length(regexp_extract_all(lower(text),"
+            "    '\\b(?:the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS stopword_hits"
+            "  FROM documents),"
+            " w AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY md5(text))"
+            " SELECT f.doc_id, f.n_words FROM f JOIN w ON md5(f.text) = w.h AND f.doc_id = w.keep"
+            " WHERE n_words BETWEEN 50 AND 100000 AND ((n_chars - (n_words - 1)) * 100 // greatest(n_words, 1)) BETWEEN 300 AND 1000 AND ((n_hash + n_ell) * 1000 // greatest(n_words, 1)) <= 100 AND stopword_hits >= 2"
+            " ORDER BY f.doc_id"
+        ),
+        "doc_gopher_quality": (
+            "WITH f AS (SELECT doc_id,"
+            "  CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,"
+            "  CAST(length(text) AS BIGINT) AS n_chars,"
+            "  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,"
+            "  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,"
+            "  CAST(array_length(regexp_extract_all(lower(text),"
+            "    '\\b(?:the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS stopword_hits"
+            "  FROM documents)"
+            " SELECT doc_id, n_words,"
+            "  CAST((n_chars - (n_words - 1)) * 100 // greatest(n_words, 1) AS BIGINT)"
+            "    AS mean_word_len_x100,"
+            "  CAST((n_hash + n_ell) * 1000 // greatest(n_words, 1) AS BIGINT)"
+            "    AS symbol_ratio_x1000,"
+            "  stopword_hits,"
+            "  (n_words BETWEEN 50 AND 100000"
+            "   AND ((n_chars - (n_words - 1)) * 100 // greatest(n_words, 1)) BETWEEN 300 AND 1000"
+            "   AND ((n_hash + n_ell) * 1000 // greatest(n_words, 1)) <= 100"
+            "   AND stopword_hits >= 2) AS gopher_pass"
+            " FROM f ORDER BY doc_id"
         ),
         "doc_quality_counts": (
             "SELECT doc_id,"

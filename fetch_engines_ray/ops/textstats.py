@@ -162,3 +162,57 @@ def add_winnowing_fingerprint(
             sel = set(int(x) for x in np.unique(mins))
         out.append(sorted(sel))
     return batch.append_column("fp_hashes", pa.array(out, type=pa.list_(pa.int64())))
+
+
+def add_gopher_quality_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Rule-based document quality filter in the style of the published
+    Gopher/MassiveText heuristics (Rae et al. 2021, public paper):
+    word-count bounds, mean word length bounds, max symbol-to-word
+    ratio, and a minimum stopword-hit requirement.  All integer/boolean
+    outputs (oracle-friendly), vectorized per batch.
+    """
+    text = batch[text_col]
+    trimmed = pc.utf8_trim_whitespace(text)
+    words = pc.split_pattern_regex(trimmed, r"\s+")
+    n_words = pc.cast(pc.list_value_length(words), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    # mean word length x100 as integer (avoids float-hash drift)
+    denom = pc.max_element_wise(n_words, pa.scalar(1, type=pa.int64()))
+    mwl100 = pc.cast(
+        pc.divide(
+            pc.multiply(pc.subtract(n_chars, pc.subtract(n_words, pa.scalar(1, type=pa.int64()))), pa.scalar(100, type=pa.int64())),
+            denom,
+        ),
+        pa.int64(),
+    )
+    n_hash = pc.cast(pc.count_substring(text, "#"), pa.int64())
+    n_ellipsis = pc.cast(pc.count_substring(text, "..."), pa.int64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(pc.utf8_lower(text), r"\b(?:the|be|to|of|and|that|have|with)\b"),
+        pa.int64(),
+    )
+    symbol_ratio_1000 = pc.cast(
+        pc.divide(pc.multiply(pc.add(n_hash, n_ellipsis), pa.scalar(1000, type=pa.int64())), denom),
+        pa.int64(),
+    )
+    passes = pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, pa.scalar(50, type=pa.int64())),
+                pc.less_equal(n_words, pa.scalar(100_000, type=pa.int64())),
+            ),
+            pc.and_(
+                pc.greater_equal(mwl100, pa.scalar(300, type=pa.int64())),
+                pc.less_equal(mwl100, pa.scalar(1000, type=pa.int64())),
+            ),
+        ),
+        pc.and_(
+            pc.less_equal(symbol_ratio_1000, pa.scalar(100, type=pa.int64())),
+            pc.greater_equal(n_stop, pa.scalar(2, type=pa.int64())),
+        ),
+    )
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column("mean_word_len_x100", mwl100)
+    batch = batch.append_column("symbol_ratio_x1000", symbol_ratio_1000)
+    batch = batch.append_column("stopword_hits", n_stop)
+    return batch.append_column("gopher_pass", passes)

@@ -237,3 +237,18 @@ def test_winnowing_fingerprint_position_robust():
     # short-text edge: fewer tokens than k → empty fingerprint, no crash
     short = add_winnowing_fingerprint(pa.table({"text": ["tiny doc"]}))
     assert short["fp_hashes"].to_pylist() == [[]]
+
+
+def test_gopher_quality_flags():
+    import pyarrow as pa
+
+    from fetch_engines_ray.ops.textstats import add_gopher_quality_flags
+
+    good = "the quick brown fox likes to be jumping over and around the lazy dog with friends " * 5
+    t = pa.table({"text": [good, "too short", "### " * 60, ""]})
+    r = add_gopher_quality_flags(t)
+    flags = r["gopher_pass"].to_pylist()
+    assert flags == [True, False, False, False]
+    rows = r.to_pylist()
+    assert rows[0]["stopword_hits"] >= 2
+    assert rows[2]["symbol_ratio_x1000"] > 100  # symbol-heavy rejected
