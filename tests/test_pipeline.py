@@ -184,3 +184,62 @@ def test_escalate_low_quality(ray_session, tmp_path):
     rows = second.take_all()
     assert {r["doc_id"] for r in rows} == low
     assert all(r["route"] == "warm" for r in rows)  # escalation forces warm
+
+
+def test_kill_and_resume_produces_identical_hashes(ray_session, tmp_path):
+    """North-rule resume evidence: SIGKILL a resumable run mid-flight,
+    resume it, and the final output hashes equal a one-shot run's."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from fetch_engines_ray.corpus.generate import generate_corpus
+    from fetch_engines_ray.pipelines.extract import extract_corpus, run_resumable
+    from fetch_engines_ray.state.lineage import span_hash_for_doc
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=300, seed=7, rows_per_file=20)
+    out_dir = str(tmp_path / "out")
+
+    script = (
+        "import ray; ray.init(address='local', num_cpus=2, include_dashboard=False, logging_level='ERROR')\n"
+        "from ray.data import DataContext; DataContext.get_current().enable_progress_bars=False\n"
+        "from fetch_engines_ray.pipelines.extract import run_resumable\n"
+        f"run_resumable({corpus!r}, {out_dir!r}, concurrency=1)\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", script], cwd="/root/repo")
+    # wait until at least one fragment committed, then hard-kill
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = [f for f in os.listdir(out_dir)] if os.path.isdir(out_dir) else []
+        if any(f.endswith(".out.parquet") for f in done):
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill — still a valid (weaker) run
+        _time.sleep(0.3)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+
+    committed_before = {f for f in os.listdir(out_dir) if f.endswith(".out.parquet")}
+    n_fragments = len([f for f in os.listdir(corpus) if f.endswith(".parquet")])
+    r = run_resumable(corpus, out_dir, concurrency=2)
+    assert r["processed"] + r["skipped"] == n_fragments  # all fragments accounted for
+    if committed_before:
+        assert r["skipped"] >= len(committed_before) - 1  # committed work not redone
+
+    resumed = {}
+    for f in sorted(os.listdir(out_dir)):
+        if f.endswith(".out.parquet"):
+            t = pq.read_table(os.path.join(out_dir, f), columns=["doc_id", "out_spans"])
+            for row in t.to_pylist():
+                resumed[row["doc_id"]] = span_hash_for_doc(row["doc_id"], row["out_spans"])
+
+    direct = {
+        row["doc_id"]: span_hash_for_doc(row["doc_id"], row["out_spans"])
+        for row in extract_corpus(corpus).select_columns(["doc_id", "out_spans"]).take_all()
+    }
+    assert resumed == direct
