@@ -45,7 +45,12 @@ def knn_bruteforce(
     (query_id, neighbor_id, rank) with rank 1..k, ties broken by
     neighbor_id (deterministic; matches the SQL oracle's ORDER BY)."""
     qset = set(query_ids)
-    q_rows = ds.filter(lambda r: r[id_col] in qset).take_all()
+
+    def _pick_queries(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in qset for v in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    q_rows = ds.map_batches(_pick_queries, batch_format="pyarrow", batch_size=8192).take_all()
     q_rows.sort(key=lambda r: r[id_col])
     qids = [r[id_col] for r in q_rows]
     qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
@@ -135,7 +140,12 @@ def ivf_knn(
     if centroids is None:
         centroids = build_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
     qset = set(query_ids)
-    q_rows = ds.filter(lambda r: r[id_col] in qset).take_all()
+
+    def _pick_queries(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in qset for v in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    q_rows = ds.map_batches(_pick_queries, batch_format="pyarrow", batch_size=8192).take_all()
     q_rows.sort(key=lambda r: r[id_col])
     qids = [r[id_col] for r in q_rows]
     qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
