@@ -1,0 +1,22 @@
+"""fetch_engines_ray — Ray-Data-native content-extraction engine.
+
+Public surface (reference analog: /root/reference/src/index.ts:1-9):
+
+* :func:`extract_corpus` / :func:`build_pipeline` — the flagship
+  HTML→Markdown extraction pipeline over interleaved-span corpora.
+* :class:`PipelineConfig` — engine knobs.
+* :func:`run_resumable` — partition-atomic runner with lineage resume.
+* :func:`convert` — the pure per-document converter (M1-M22 chain).
+* ``sources`` / ``ops`` submodules — readers/sinks and the
+  training-data operator families (dedup, similarity, text stats,
+  sketches, partitioning, multimodal).
+"""
+
+from .functions.converter import convert  # noqa: F401
+from .pipelines.extract import (  # noqa: F401
+    PipelineConfig,
+    build_pipeline,
+    escalate_low_quality,
+    extract_corpus,
+    run_resumable,
+)
