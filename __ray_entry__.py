@@ -164,6 +164,12 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     return minhash_lsh_pairs(_read_documents(sf_dir))
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read_documents(sf_dir))
+
+
 def _q_simhash_pairs(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.dedup import simhash_pairs
 
@@ -313,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_groups": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_dedup_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,

@@ -377,3 +377,75 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
         return 1.0
     union = len(ga | gb)
     return len(ga & gb) / union if union else 0.0
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+) -> pd.DataFrame:
+    """Near-dup pairs verified by EXACT word n-gram Jaccard.
+
+    Same LSH candidate generation as :func:`minhash_lsh_pairs`, but the
+    verification joins the candidate ids back to the raw TEXTS (hash
+    join) and computes the true n-gram Jaccard — the estimator-free
+    variant for when candidate volume is small enough to afford exact
+    verification.  Returns (doc_a, doc_b, jaccard_x1000) with an
+    integer-scaled score (hash-stable).
+    """
+    sigs = ds.map_batches(
+        minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).materialize()
+    banded = sigs.map_batches(
+        lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
+    )
+    empty = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_x1000"])
+    colliding = _collision_buckets_only(banded)
+    if colliding is None:
+        return empty
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        return pd.DataFrame(
+            [{"doc_a": ids[i], "doc_b": ids[j]} for i in range(len(ids)) for j in range(i + 1, len(ids))],
+            columns=["doc_a", "doc_b"],
+        )
+
+    cand = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    texts = ds.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow", batch_size=4096
+    )
+    n_parts = max(2, min(16, sigs.count() // 200_000 + 1))
+    left = cand.join(texts, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",))
+    both = left.join(
+        texts.map_batches(lambda b: b.rename_columns(["doc_id", "text_b"]), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.select(["doc_a", "doc_b", "text", "text_b"]).to_pylist():
+            j = ngram_jaccard(r["text"] or "", r["text_b"] or "", n=shingle_size)
+            if j >= threshold:
+                rows.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard_x1000": int(round(j * 1000))})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("doc_a", batch.schema.field("doc_a").type), ("doc_b", batch.schema.field("doc_b").type), ("jaccard_x1000", pa.int64())]
+            ),
+        )
+
+    pairs = both.map_batches(verify, batch_format="pyarrow", batch_size=2048).to_pandas()
+    if pairs.empty:
+        return empty
+    return (
+        pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )

@@ -252,3 +252,13 @@ def test_gopher_quality_flags():
     rows = r.to_pylist()
     assert rows[0]["stopword_hits"] >= 2
     assert rows[2]["symbol_ratio_x1000"] > 100  # symbol-heavy rejected
+
+
+def test_ngram_jaccard_pairs_exact_verification(docs_with_dups):
+    from fetch_engines_ray.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    found = {(a, b): j for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard_x1000"])}
+    assert found[(0, 100)] == 1000  # exact dup → jaccard exactly 1.0
+    assert found[(0, 101)] == 1000
+    assert (1, 102) in found and found[(1, 102)] < 1000  # near-dup strictly below 1
