@@ -164,6 +164,12 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     return minhash_lsh_pairs(_read_documents(sf_dir))
 
 
+def _q_minhash_dedup_decisions(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_read_documents(sf_dir))
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.dedup import ngram_jaccard_pairs
 
@@ -320,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_dedup_decisions": _q_minhash_dedup_decisions,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,
@@ -340,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_per_event_type": _q_hll_users_per_event_type,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
+        "events_props_k_by_type": rel.events_props_k_by_type,
         "user_sessions": rel.user_sessions,
         "events_last_order_asof": rel.events_last_order_asof,
         "top20_longest_docs": _q_top20_longest_docs,
@@ -455,6 +463,11 @@ def oracle_sql() -> dict[str, str]:
             "   CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS start_epoch,"
             "   round(sum(value), 3) AS total_value"
             " FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
+        "events_props_k_by_type": (
+            "SELECT event_type, count(*) AS n_events,"
+            " CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total"
+            " FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "events_tumbling_window": (
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,"

@@ -449,3 +449,53 @@ def ngram_jaccard_pairs(
     return (
         pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
+
+
+def dedup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Resolve near-dup PAIRS into clusters via union-find and pick the
+    min doc_id as each cluster's representative.
+
+    Pair lists are tiny relative to the corpus (only near-dups), so the
+    union-find runs driver-side; at a scale where even the pair list is
+    distributed, this becomes iterative label propagation over the same
+    (doc_a, doc_b) edge dataset — same output contract.
+
+    Returns (doc_id, cluster_rep, is_kept) for every doc appearing in a
+    pair; docs not in any pair are implicitly kept.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller id as root → deterministic representative
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    rows = [
+        {"doc_id": d, "cluster_rep": find(d), "is_kept": find(d) == d}
+        for d in sorted(parent)
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_rep", "is_kept"])
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """End-to-end near-dedup: LSH pairs → clusters → per-doc keep/drop
+    decision (docs in no cluster are kept)."""
+    pairs = minhash_lsh_pairs(ds, threshold=threshold, **lsh_kwargs)
+    return dedup_clusters(pairs)

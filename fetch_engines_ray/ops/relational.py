@@ -424,3 +424,25 @@ def events_last_order_asof(sf_dir: str) -> pd.DataFrame:
 
     out = tagged.groupby("key").map_groups(asof, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_props_k_by_type(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: the events table carries a JSON
+    ``props`` column ('{"k": 87}'); extract the integer field with a
+    vectorized regex (no per-row json.loads) and roll it up per
+    event_type.  Oracle: DuckDB json_extract."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": kv})
+
+    out = (
+        ds.map_batches(extract_k, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("k", alias_name="k_total"))
+        .to_pandas()
+    )
+    out["k_total"] = out["k_total"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

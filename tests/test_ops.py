@@ -262,3 +262,28 @@ def test_ngram_jaccard_pairs_exact_verification(docs_with_dups):
     assert found[(0, 100)] == 1000  # exact dup → jaccard exactly 1.0
     assert found[(0, 101)] == 1000
     assert (1, 102) in found and found[(1, 102)] < 1000  # near-dup strictly below 1
+
+
+def test_dedup_clusters_union_find(docs_with_dups):
+    from fetch_engines_ray.ops.dedup import minhash_dedup
+
+    out = minhash_dedup(docs_with_dups, threshold=0.5)
+    by_doc = out.set_index("doc_id")
+    # 0/100/101 form one cluster represented (and kept) by 0
+    assert by_doc.loc[0, "is_kept"] and by_doc.loc[0, "cluster_rep"] == 0
+    assert not by_doc.loc[100, "is_kept"] and by_doc.loc[100, "cluster_rep"] == 0
+    assert not by_doc.loc[101, "is_kept"] and by_doc.loc[101, "cluster_rep"] == 0
+    # 1/102 cluster kept by 1
+    assert by_doc.loc[102, "cluster_rep"] == 1 and not by_doc.loc[102, "is_kept"]
+
+
+def test_dedup_clusters_transitive():
+    import pandas as pd
+
+    from fetch_engines_ray.ops.dedup import dedup_clusters
+
+    # a-b and b-c but never a-c: transitivity must still cluster them
+    pairs = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+    out = dedup_clusters(pairs).set_index("doc_id")
+    assert set(out["cluster_rep"]) == {1}
+    assert out["is_kept"].tolist() == [True, False, False]
