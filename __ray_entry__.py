@@ -30,7 +30,7 @@ def _synth_corpus(sf_dir: str) -> str:
 
     sf = _sf_of(sf_dir)
     n = _SYNTH_DOCS.get(sf, 1000)
-    key = hashlib.md5(f"{sf}:{n}:v2".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf}:{n}:v3".encode()).hexdigest()[:10]
     out = f"/tmp/fer_corpus_{sf}_{key}"
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):

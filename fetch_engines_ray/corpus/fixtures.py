@@ -399,3 +399,47 @@ F30_INLINE_FORMATTING = """
   <a href="https://docs.example.com/guide">full guide</a> for details.</p>
 </main>
 """
+
+F31_ENTITIES = """
+<main>
+  <h1>Entities</h1>
+  <p>Fish &amp; chips &lt;tag&gt; &quot;quoted&quot; &copy; &#8212; dash</p>
+</main>
+"""
+
+F32_LINE_BREAKS = """
+<main>
+  <h1>Lines</h1>
+  <p>first line<br>second line<br/>third line</p>
+  <p>above the rule</p>
+  <hr>
+  <p>below the rule</p>
+</main>
+"""
+
+F33_FIGURE = """
+<main>
+  <h1>Fig</h1>
+  <figure>
+    <img src="https://e.com/a.png" alt="diagram">
+    <figcaption>A system diagram</figcaption>
+  </figure>
+</main>
+"""
+
+F34_DEFINITION_LIST = """
+<main>
+  <h1>Terms</h1>
+  <dl>
+    <dt>Arrow</dt><dd>Columnar memory format</dd>
+    <dt>Ray</dt><dd>Distributed runtime</dd>
+  </dl>
+</main>
+"""
+
+F35_NESTED_BLOCKQUOTE = """
+<main>
+  <h1>Q</h1>
+  <blockquote><p>outer words</p><blockquote><p>inner words</p></blockquote></blockquote>
+</main>
+"""

@@ -286,6 +286,11 @@ def fixture_docs() -> list[dict]:
         ("F28", fx.F28_BLOCKQUOTE, "", "fast"),
         ("F29", fx.F29_TH_TABLE, "", "fast"),
         ("F30", fx.F30_INLINE_FORMATTING, "", "fast"),
+        ("F31", fx.F31_ENTITIES, "", "fast"),
+        ("F32", fx.F32_LINE_BREAKS, "", "fast"),
+        ("F33", fx.F33_FIGURE, "", "fast"),
+        ("F34", fx.F34_DEFINITION_LIST, "", "fast"),
+        ("F35", fx.F35_NESTED_BLOCKQUOTE, "", "fast"),
     ]
     from ..functions import render_detection as rd
 

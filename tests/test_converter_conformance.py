@@ -212,3 +212,32 @@ def test_f30_inline_formatting():
     assert "*italics*" in md
     assert "`inline_code()`" in md
     assert "[full guide](https://docs.example.com/guide)" in md
+
+
+def test_f31_entities_decoded():
+    md = convert(fx.F31_ENTITIES).markdown
+    assert 'Fish & chips <tag> "quoted" © — dash' in md
+
+
+def test_f32_br_and_hr():
+    md = convert(fx.F32_LINE_BREAKS).markdown
+    assert "first line\nsecond line\nthird line" in md
+    assert "above the rule\n\n---\n\nbelow the rule" in md
+
+
+def test_f33_figure_caption():
+    md = convert(fx.F33_FIGURE).markdown
+    assert "![diagram](https://e.com/a.png)" in md
+    assert "A system diagram" in md
+
+
+def test_f34_definition_list():
+    md = convert(fx.F34_DEFINITION_LIST).markdown
+    assert "**Arrow**" in md and "Columnar memory format" in md
+    assert "**Ray**" in md and "Distributed runtime" in md
+
+
+def test_f35_nested_blockquote():
+    md = convert(fx.F35_NESTED_BLOCKQUOTE).markdown
+    assert "> outer words" in md
+    assert "> > inner words" in md
