@@ -97,12 +97,16 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     ]
     times = {}
     for name in names:
-        t0 = time.perf_counter()
-        result = qs[name](sf_dir)
-        # consume lazily-returned datasets
-        if hasattr(result, "count") and not hasattr(result, "columns"):
-            result.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: the box has ±30% noise phases
+            t0 = time.perf_counter()
+            result = qs[name](sf_dir)
+            # consume lazily-returned datasets
+            if hasattr(result, "count") and not hasattr(result, "columns"):
+                result.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 
