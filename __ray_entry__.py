@@ -235,6 +235,38 @@ def _q_doc_winnowing_fingerprints(sf_dir: str) -> Any:
     )
 
 
+def _q_parts_in_supplier_band(sf_dir: str) -> Any:
+    """Range (interval) join: parts whose retail price falls inside each
+    supplier's account-balance ±50 band — grid-bucketed interval join."""
+    import ray.data
+
+    from fetch_engines_ray.ops.rangejoin import interval_join_counts
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    supplier = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+
+    def to_interval(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": batch.column("s_suppkey"),
+                "lo": pc.subtract(batch.column("s_acctbal"), pa.scalar(50.0)),
+                "hi": pc.add(batch.column("s_acctbal"), pa.scalar(50.0)),
+            }
+        )
+
+    intervals = supplier.map_batches(to_interval, batch_format="pyarrow", batch_size=8192)
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    out = interval_join_counts(
+        parts, intervals,
+        point_val="p_retailprice", point_id="p_partkey",
+        lo_col="lo", hi_col="hi", interval_id="s_suppkey",
+        cell_width=100.0,
+    )
+    return out.rename(columns={"interval_id": "s_suppkey"})
+
+
 def _q_doc_gopher_quality(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.textstats import add_gopher_quality_flags
 
@@ -348,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
         "events_props_k_by_type": rel.events_props_k_by_type,
+        "parts_in_supplier_band": _q_parts_in_supplier_band,
         "user_sessions": rel.user_sessions,
         "events_last_order_asof": rel.events_last_order_asof,
         "top20_longest_docs": _q_top20_longest_docs,
@@ -463,6 +496,12 @@ def oracle_sql() -> dict[str, str]:
             "   CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS start_epoch,"
             "   round(sum(value), 3) AS total_value"
             " FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
+        "parts_in_supplier_band": (
+            "SELECT s_suppkey, count(*) AS n_points"
+            " FROM supplier JOIN part"
+            " ON p_retailprice BETWEEN s_acctbal - 50 AND s_acctbal + 50"
+            " GROUP BY s_suppkey ORDER BY s_suppkey"
         ),
         "events_props_k_by_type": (
             "SELECT event_type, count(*) AS n_events,"

@@ -287,3 +287,26 @@ def test_dedup_clusters_transitive():
     out = dedup_clusters(pairs).set_index("doc_id")
     assert set(out["cluster_rep"]) == {1}
     assert out["is_kept"].tolist() == [True, False, False]
+
+
+def test_interval_join_counts_boundaries(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.rangejoin import interval_join_counts
+
+    # points 0..99; intervals include boundary-exact and multi-cell spans
+    points = ray.data.from_items([{"pid": i, "v": float(i)} for i in range(100)])
+    intervals = ray.data.from_items(
+        [
+            {"iid": 1, "lo": 10.0, "hi": 20.0},   # inclusive both ends -> 11
+            {"iid": 2, "lo": 95.0, "hi": 200.0},  # clipped by data -> 5
+            {"iid": 3, "lo": 0.0, "hi": 99.0},    # spans many cells -> 100
+            {"iid": 4, "lo": 300.0, "hi": 310.0}, # empty -> absent
+            {"iid": 5, "lo": 50.0, "hi": 50.0},   # degenerate point interval -> 1
+        ]
+    )
+    out = interval_join_counts(
+        points, intervals, point_val="v", point_id="pid",
+        lo_col="lo", hi_col="hi", interval_id="iid", cell_width=7.0,
+    ).set_index("interval_id")["n_points"].to_dict()
+    assert out == {1: 11, 2: 5, 3: 100, 5: 1}
