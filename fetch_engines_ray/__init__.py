@@ -18,5 +18,6 @@ from .pipelines.extract import (  # noqa: F401
     build_pipeline,
     escalate_low_quality,
     extract_corpus,
+    extract_with_escalation,
     run_resumable,
 )

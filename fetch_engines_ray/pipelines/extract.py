@@ -280,3 +280,32 @@ def escalate_low_quality(
     return build_pipeline(
         corpus.map_batches(force_warm, batch_format="pyarrow", batch_size=1024), cfg
     )
+
+
+def extract_with_escalation(
+    input_path: str,
+    cfg: Optional[PipelineConfig] = None,
+    min_quality: int = 3,
+) -> "ray.data.Dataset":
+    """Extraction + escalation in one call: rows whose fast extraction
+    scored below ``min_quality`` are replaced by their warm re-run.
+
+    The first-pass output is materialized once (it is the OUTPUT table,
+    bounded; at 10^12-doc scale this is the already-written parquet that
+    the second pass reads back), then kept rows and escalated rows union
+    into the final stream.
+    """
+    cfg = cfg or PipelineConfig()
+    first = extract_corpus(input_path, cfg).materialize()
+    second = escalate_low_quality(input_path, first, cfg, min_quality)
+    if second is None:
+        return first
+
+    import pyarrow.compute as pc
+
+    kept = first.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("quality_score"), min_quality)),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    return kept.union(second)

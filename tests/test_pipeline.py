@@ -243,3 +243,18 @@ def test_kill_and_resume_produces_identical_hashes(ray_session, tmp_path):
         for row in extract_corpus(corpus).select_columns(["doc_id", "out_spans"]).take_all()
     }
     assert resumed == direct
+
+
+def test_extract_with_escalation_merges(ray_session, tmp_path):
+    from fetch_engines_ray.corpus.generate import generate_corpus
+    from fetch_engines_ray.pipelines.extract import extract_corpus, extract_with_escalation
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, num_docs=40, seed=5, rows_per_file=20)
+    base = extract_corpus(corpus).to_pandas()
+    merged = extract_with_escalation(corpus, min_quality=3).to_pandas()
+    # same doc set, no duplicates
+    assert sorted(merged["doc_id"]) == sorted(base["doc_id"])
+    # every previously-low doc is now the warm re-run
+    low = set(base.loc[base["quality_score"] < 3, "doc_id"])
+    assert (merged.set_index("doc_id").loc[sorted(low), "route"] == "warm").all()
