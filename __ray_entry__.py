@@ -394,7 +394,7 @@ def oracle_sql() -> dict[str, str]:
             " AS token_count FROM documents ORDER BY doc_id"
         ),
         "doc_stats_by_lang": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars"
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"
             " FROM documents GROUP BY lang ORDER BY lang"
         ),
         "exact_dedup_groups": (
@@ -490,8 +490,8 @@ def oracle_sql() -> dict[str, str]:
             "         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess"
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
             " s AS (SELECT user_id, event_id, ts, value,"
-            "   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-            "     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM d)"
+            "   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM d)"
             " SELECT user_id, session_idx, count(*) AS n_events,"
             "   CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS start_epoch,"
             "   round(sum(value), 3) AS total_value"

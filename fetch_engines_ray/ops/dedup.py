@@ -23,6 +23,14 @@ from ray.data.aggregate import Count, Min
 _MERSENNE = (1 << 61) - 1
 
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
 def _stable_hash32(s: str) -> int:
     return zlib.crc32(s.encode())
 
@@ -76,8 +84,17 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.shingle_size = shingle_size
+        # one DISTINCT odd multiplier per shingle position — cycling a
+        # fixed 4-tuple made positions j and j+4 share a multiplier, so
+        # the commutative XOR combine collided shingles differing only
+        # by a token swap at distance 4 (shingle_size > 4 only)
+        self.pos_mult = tuple(
+            self._POS_MULT[j] if j < len(self._POS_MULT) else _splitmix64(0x9E3779B9 + j) | 1
+            for j in range(shingle_size)
+        )
 
     # distinct odd multipliers combining the k token hashes of a shingle
+    # (first four kept verbatim so default-config signatures are stable)
     _POS_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
 
     def signature(self, text: str) -> np.ndarray:
@@ -92,7 +109,7 @@ class MinHasher:
             n_sh = len(toks) - k + 1
             acc = np.zeros(n_sh, dtype=np.uint64)
             for j in range(k):
-                acc ^= th[j : j + n_sh] * np.uint64(self._POS_MULT[j % len(self._POS_MULT)])
+                acc ^= th[j : j + n_sh] * np.uint64(self.pos_mult[j])
             hv = np.unique(acc).astype(np.int64) & np.int64((1 << 62) - 1)
         # sig[j] = min over shingles of (a_j * h + b_j) mod p   (vectorized)
         vals = (np.outer(self.a, hv) + self.b[:, None]) % _MERSENNE

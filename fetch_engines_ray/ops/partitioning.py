@@ -61,11 +61,14 @@ def size_aware_repartition(
     """Repartition so each partition carries ~``target_bytes`` of span
     text.
 
-    Two passes over metadata only: the byte pre-pass aggregates a single
-    int on workers (`Sum`), then the repartition redistributes blocks.
-    The data pass is NOT an all-to-all shuffle (``shuffle=False``
-    semantics of ``repartition``): blocks are split/coalesced.
+    The input is materialized ONCE up front, so an expensive lazy
+    upstream (e.g. extraction) is not executed twice by the byte
+    pre-pass and the repartition — both run over the pinned blocks.
+    The byte pre-pass aggregates a single int on workers (``Sum``);
+    the repartition is NOT an all-to-all shuffle (``shuffle=False``
+    semantics): blocks are split/coalesced.
     """
+    ds = ds.materialize()
     total = (
         ds.map_batches(
             lambda b: pa.Table.from_pydict(

@@ -47,7 +47,9 @@ def knn_bruteforce(
     qset = set(query_ids)
 
     def _pick_queries(batch: pa.Table) -> pa.Table:
-        mask = pa.array([int(v) in qset for v in batch[id_col].to_pylist()])
+        # membership on the RAW value — coercing with int() raised on
+        # string/null id columns that the row-level filter used to accept
+        mask = pa.array([v in qset for v in batch[id_col].to_pylist()])
         return batch.filter(mask)
 
     q_rows = ds.map_batches(_pick_queries, batch_format="pyarrow", batch_size=8192).take_all()
@@ -142,7 +144,9 @@ def ivf_knn(
     qset = set(query_ids)
 
     def _pick_queries(batch: pa.Table) -> pa.Table:
-        mask = pa.array([int(v) in qset for v in batch[id_col].to_pylist()])
+        # membership on the RAW value — coercing with int() raised on
+        # string/null id columns that the row-level filter used to accept
+        mask = pa.array([v in qset for v in batch[id_col].to_pylist()])
         return batch.filter(mask)
 
     q_rows = ds.map_batches(_pick_queries, batch_format="pyarrow", batch_size=8192).take_all()

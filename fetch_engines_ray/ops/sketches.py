@@ -92,11 +92,15 @@ def hll_distinct_by_key(
     regardless of raw cardinality."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # explicit schema (key type from the input batch, regs binary):
+        # a zero-row batch must emit the SAME schema as full batches or
+        # Ray Data's schema unification fails at runtime
+        schema = pa.schema([(key, batch.schema.field(key).type), ("regs", pa.binary())])
         df = pd.DataFrame({key: batch.column(key).to_pylist(), column: batch.column(column).to_pylist()})
         rows = []
         for k, grp in df.groupby(key, sort=False):
             rows.append({key: k, "regs": _registers_for(grp[column].tolist(), p).tobytes()})
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=schema)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         merged = np.zeros(1 << p, dtype=np.uint8)

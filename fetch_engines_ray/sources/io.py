@@ -7,8 +7,9 @@ Reference analogs (SURVEY.md §2.1):
   load that corpus (parquet always; Lance behind an import-try since the
   sandbox lacks the ``lance`` wheel) or build corpus-shaped rows from
   raw ``.html`` files / JSONL (/root/reference/src/FetchEngine.ts:83-259).
-* S6 Markdown file sink — one ``.md`` per document under
-  ``out_dir/<host-ish prefix>/`` (/root/reference/scripts/hybrid-md-dump.mjs:18-39).
+* S6 Markdown file sink — one ``.md`` per document directly under
+  ``out_dir`` with a collision-proof hashed name
+  (/root/reference/scripts/hybrid-md-dump.mjs:18-39).
 * S7 eval JSON report sink — per-archetype pass-rate summary
   (/root/reference/scripts/eval-auto-render.mjs:142-174).
 
@@ -157,12 +158,16 @@ def _safe_name(s: str) -> str:
 
 
 def write_markdown_tree(ds: "ray.data.Dataset", out_dir: str) -> int:
-    """S6 analog: write each document's text spans as
-    ``out_dir/<doc_id>.md``; returns number of files written.
+    """S6 analog: write each document's text spans as one ``.md`` file
+    under ``out_dir``; returns the number of distinct files written.
 
-    Runs as a distributed ``map_batches`` consumer — each task writes
-    its own files and emits one manifest row per file.
+    File names are ``<sanitized doc_id>-<hash8>.md`` — the hash of the
+    RAW doc_id guarantees distinct doc_ids never collide even when they
+    sanitize to the same string ('a/b' vs 'a_b').  Runs as a distributed
+    ``map_batches`` consumer — each task writes its own files and emits
+    one manifest row per file; the count is over distinct paths.
     """
+    import hashlib
 
     def dump(batch: pa.Table) -> pa.Table:
         os.makedirs(out_dir, exist_ok=True)
@@ -171,7 +176,8 @@ def write_markdown_tree(ds: "ray.data.Dataset", out_dir: str) -> int:
             text = "\n\n".join(
                 s["text"] for s in (rec["out_spans"] or []) if s["kind"] == "text" and s["text"]
             )
-            name = _safe_name(rec["doc_id"]) + ".md"
+            suffix = hashlib.blake2b(str(rec["doc_id"]).encode(), digest_size=4).hexdigest()
+            name = f"{_safe_name(rec['doc_id'])}-{suffix}.md"
             tmp = os.path.join(out_dir, "." + name + ".tmp")
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(text)
@@ -179,7 +185,8 @@ def write_markdown_tree(ds: "ray.data.Dataset", out_dir: str) -> int:
             names.append({"file": name})
         return pa.Table.from_pylist(names, schema=pa.schema([("file", pa.string())]))
 
-    return ds.map_batches(dump, batch_format="pyarrow", batch_size=256).count()
+    manifest = ds.map_batches(dump, batch_format="pyarrow", batch_size=256)
+    return int(manifest.unique("file").__len__())
 
 
 def write_corpus_parquet(ds: "ray.data.Dataset", out_dir: str) -> None:
