@@ -286,28 +286,28 @@ def _q_doc_gopher_quality(sf_dir: str) -> Any:
 def _q_clean_corpus(sf_dir: str) -> Any:
     """Composite curation pipeline: exact-dedup winners that also pass
     the Gopher-style quality rules — the canonical training-data
-    cleaning chain (dedup -> quality filter) as one streaming run."""
+    cleaning chain (dedup -> quality filter).
+
+    The dedup-winner set is corpus-sized (most docs are unique), so it
+    is NEVER collected or broadcast: quality-passing docs semi-join the
+    winners table with a distributed hash join on doc_id."""
     import pyarrow as pa
-    import ray
 
     from fetch_engines_ray.ops.dedup import exact_dedup_groups
     from fetch_engines_ray.ops.textstats import add_gopher_quality_flags
 
-    winners_ref = ray.put(
-        set(exact_dedup_groups(_read_documents(sf_dir)).to_pandas()["keep_doc_id"])
-    )
+    winners = exact_dedup_groups(_read_documents(sf_dir)).select_columns(["keep_doc_id"])
 
-    def keep(batch: pa.Table) -> pa.Table:
-        winners = ray.get(winners_ref)
+    def flags(batch: pa.Table) -> pa.Table:
         batch = add_gopher_quality_flags(batch)
-        mask = pa.array(
-            [bool(p) and d in winners
-             for d, p in zip(batch.column("doc_id").to_pylist(), batch.column("gopher_pass").to_pylist())]
-        )
-        return batch.filter(mask).select(["doc_id", "n_words"])
+        return batch.filter(batch.column("gopher_pass")).select(["doc_id", "n_words"])
 
-    ds = _read_documents(sf_dir).map_batches(keep, batch_format="pyarrow", batch_size=4096)
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = _read_documents(sf_dir).map_batches(flags, batch_format="pyarrow", batch_size=4096)
+    out = docs.join(
+        winners, join_type="inner", num_partitions=2, on=("doc_id",), right_on=("keep_doc_id",)
+    )
+    df = out.to_pandas()[["doc_id", "n_words"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_hll_users_per_event_type(sf_dir: str) -> Any:

@@ -155,50 +155,82 @@ def _decode_sigs(col) -> np.ndarray:
 
 
 def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
-    """Explode signatures into (band_bucket, doc_id) rows.
+    """Explode signatures into (band_bucket, doc_id) rows — fully
+    vectorized (one reshape + a ``rows_per_band``-step mix loop per
+    batch, no per-doc Python).
 
-    Deliberately does NOT carry the signature through the LSH shuffle —
-    that would duplicate ~0.5 KB/doc x num_bands across the all-to-all
-    exchange.  Signatures are re-attached to the (tiny) candidate-pair
-    set afterwards via hash join."""
-    out_bucket: list[str] = []
-    out_id: list = []
-    ids = batch["doc_id"].to_pylist()
-    sigs = _decode_sigs(batch["minhash_sig"])
-    for doc_id, sig in zip(ids, sigs):
-        sig = sig.tolist()
-        rows_per_band = len(sig) // num_bands
-        for b in range(num_bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            digest = hashlib.blake2b(
-                (str(b) + ":" + ",".join(map(str, chunk))).encode(), digest_size=8
-            ).hexdigest()
-            out_bucket.append(digest)
-            out_id.append(doc_id)
-    return pa.table({"bucket": pa.array(out_bucket), "doc_id": pa.array(out_id)})
+    Bucket keys are int64 (8 bytes on the wire vs a 16-char hex string)
+    and deliberately do NOT carry the signature through the LSH shuffle
+    — that would duplicate ~0.5 KB/doc x num_bands across the
+    all-to-all exchange.  Signatures are re-attached to the (tiny)
+    candidate-pair set afterwards via hash join."""
+    sigs = _decode_sigs(batch["minhash_sig"])  # (n_docs, num_perm) int64
+    n, num_perm = sigs.shape
+    rpb = num_perm // num_bands
+    chunks = sigs[:, : num_bands * rpb].reshape(n, num_bands, rpb).astype(np.uint64)
+    # multiply-xor fold per band (splitmix64 constants); equal chunks →
+    # equal keys, spurious 64-bit collisions are removed by verification
+    acc = np.full((n, num_bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for j in range(rpb):
+        acc = (acc ^ chunks[:, :, j]) * np.uint64(0xBF58476D1CE4E5B9)
+        acc ^= acc >> np.uint64(29)
+    # mix the band index so identical chunks in different bands differ
+    acc ^= np.arange(num_bands, dtype=np.uint64) * np.uint64(0x94D049BB133111EB)
+    bucket = acc.reshape(-1).view(np.int64)
+    ids = batch["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
+    return pa.table({"bucket": pa.array(bucket), "doc_id": ids.take(idx)})
 
 
-def _collision_buckets_only(banded: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Drop singleton LSH buckets before the per-bucket pair pass.
+def _lsh_candidate_pairs(
+    banded: "ray.data.Dataset", n_parts: int = 2, carry: tuple = ()
+) -> "ray.data.Dataset":
+    """All co-bucket candidate pairs (doc_a < doc_b) via ONE distributed
+    self-join on the band-bucket key.
 
-    A vectorized ``groupby(bucket).count`` finds the (rare) colliding
-    buckets; their keys are broadcast (``ray.put``) and the band rows
-    are filtered in ``map_batches``.  At corpus scale where the
-    colliding-key set itself outgrows memory, this broadcast becomes a
-    hash-partitioned semi-join — same plan shape, no API change.
-    """
-    counts = banded.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
-    dup_keys = set(counts.loc[counts["n"] >= 2, "bucket"])
-    if not dup_keys:
-        return None  # type: ignore[return-value]
-    keys_ref = ray.put(dup_keys)
+    This replaces the round-1 shape (count-groupby → driver-broadcast
+    collision set → per-bucket ``map_groups``) with a single wide op and
+    NO driver-side state: singleton buckets only self-match and fall to
+    the ``doc_a < doc_b`` filter, colliding buckets emit their pairs
+    directly from the hash-join partitions.  ``carry`` columns (small,
+    fixed-width — e.g. an 8-byte simhash) ride through both sides as
+    ``<col>`` / ``<col>_b``.  A pair that collides in k bands appears k
+    times; dedup happens on the (tiny) verified output."""
+    carry = tuple(carry)
+    rename = {"doc_id": "doc_b", **{c: c + "_b" for c in carry}}
 
-    def keep_collisions(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array([b in keys for b in batch["bucket"].to_pylist()])
-        return batch.filter(mask)
+    def to_right(b: pa.Table) -> pa.Table:
+        return b.rename_columns([rename.get(n, n) for n in b.column_names])
 
-    return banded.map_batches(keep_collisions, batch_format="pyarrow", batch_size=8192)
+    right = banded.map_batches(to_right, batch_format="pyarrow", batch_size=8192)
+    raw = banded.join(right, join_type="inner", num_partitions=n_parts, on=("bucket",))
+    out_cols = ["doc_a", "doc_b"] + list(carry) + [c + "_b" for c in carry]
+
+    def ordered(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.less(b["doc_id"], b["doc_b"]))
+        t = t.select(["doc_id", "doc_b"] + list(carry) + [c + "_b" for c in carry])
+        return t.rename_columns(out_cols)
+
+    return raw.map_batches(ordered, batch_format="pyarrow", batch_size=8192)
+
+
+def _checkpoint_parquet(ds: "ray.data.Dataset", tag: str = "ckpt") -> "ray.data.Dataset":
+    """Spill a dataset to a parquet checkpoint and read it back.
+
+    Used where a mid-pipeline table is consumed by several downstream
+    branches: unlike ``materialize()`` this does NOT pin the whole table
+    in the object store — each consumer streams it back from disk, and
+    at cluster scale the checkpoint lands on shared storage and doubles
+    as a resume point."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"fer_{tag}_", dir="/tmp")
+    ds.write_parquet(path)
+    return ray.data.read_parquet(path)
 
 
 def minhash_lsh_pairs(
@@ -221,35 +253,19 @@ def minhash_lsh_pairs(
         batch_size=1024,
     )
     # Signatures are consumed three times (banding + both join sides);
-    # materialize once — they are ~0.5 KB/doc.  At 10^12-doc scale this
-    # becomes a parquet checkpoint of the signature table instead.
-    sigs = sigs.materialize()
+    # checkpoint to parquet once — nothing pins the object store, and at
+    # cluster scale the checkpoint is the resume point.
+    sigs = _checkpoint_parquet(sigs, "minhash_sigs")
     banded = sigs.map_batches(
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
     )
     empty = pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-    colliding = _collision_buckets_only(banded)
-    if colliding is None:
-        return empty
-
-    # Candidate ID pairs per colliding bucket (ids only — tiny rows).
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        rows = [
-            {"doc_a": ids[i], "doc_b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
-
-    cand = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-
-    # Re-attach signatures to candidates with two hash joins (the
-    # at-scale shape: candidates are rare, signatures never fan out
-    # through the LSH shuffle).  Partition count scales with the
-    # signature table — each join partition is a shuffle-aggregator
-    # actor with multi-second fixed cost.
-    n_parts = max(2, min(16, sigs.count() // 200_000 + 1))
+    # Partition count scales with the table (count on a parquet read is
+    # metadata-only) — every join/shuffle partition is an aggregator
+    # actor with multi-second fixed cost, so stay small at small scale.
+    n_docs = sigs.count()
+    n_parts = max(2, min(32, n_docs // 200_000 + 1))
+    cand = _lsh_candidate_pairs(banded, n_parts)
     left = cand.join(
         sigs, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",)
     )
@@ -284,7 +300,12 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = both.map_batches(estimate, batch_format="pyarrow", batch_size=4096).to_pandas()
+    try:
+        pairs = both.map_batches(estimate, batch_format="pyarrow", batch_size=4096).to_pandas()
+    except ValueError:
+        # zero colliding buckets: grouped/join stages see an empty
+        # schema-less stream
+        return empty
     if pairs.empty:
         return empty
     return (
@@ -298,36 +319,43 @@ def minhash_lsh_pairs(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def _simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    toks = text.lower().split()
-    if not toks:
-        return 0
-    for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+def _simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized 64-bit SimHash per document.
+
+    Per doc: hash every token with the (deterministic, C-vectorized)
+    pandas string hasher, unpack the 64 bit-planes of the whole token
+    array at once, column-sum, emit bit i when ones outnumber zeros —
+    no per-token Python work, ~100x the per-token blake2b loop."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        th = pd.util.hash_array(np.asarray(toks, dtype=object))  # uint64
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )  # (n_toks, 64)
+        ones = bits.sum(axis=0, dtype=np.int64)
+        majority = (ones * 2 > len(toks)).astype(np.uint8)
+        out[i] = np.packbits(majority, bitorder="little").view(np.uint64)[0]
     return out
 
 
 def simhash_signatures(ds: "ray.data.Dataset"):
-    """(doc_id, simhash, chunk0..chunk3) — 16-bit chunks are the LSH
-    bucket keys (two near-dup docs with hamming distance ≤ 3 share at
-    least one chunk by pigeonhole)."""
+    """(doc_id, simhash: int64, chunk0..chunk3) — 16-bit chunks are the
+    LSH bucket keys (two near-dup docs with hamming distance ≤ 3 share
+    at least one chunk by pigeonhole)."""
 
     def add(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        hs = [_simhash64(t or "") for t in batch["text"].to_pylist()]
+        hs = _simhash64_batch(batch["text"].to_pylist())
         cols = {
-            "doc_id": pa.array(ids),
-            "simhash": pa.array([f"{h:016x}" for h in hs]),
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(hs.view(np.int64)),
         }
         for c in range(4):
-            cols[f"chunk{c}"] = pa.array([(h >> (16 * c)) & 0xFFFF for h in hs], type=pa.int32())
+            cols[f"chunk{c}"] = pa.array(
+                ((hs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
+            )
         return pa.table(cols)
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=2048)
@@ -338,35 +366,56 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pd.DataFrame:
     sigs = simhash_signatures(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, sims, buckets = [], [], []
-        for r in batch.to_pylist():
-            for c in range(4):
-                ids.append(r["doc_id"])
-                sims.append(r["simhash"])
-                buckets.append(f"{c}:{r[f'chunk{c}']}")
-        return pa.table({"bucket": pa.array(buckets), "doc_id": pa.array(ids), "simhash": pa.array(sims)})
+        n = batch.num_rows
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 bucket key = (chunk index << 16) | chunk value
+        buckets = np.empty((n, 4), dtype=np.int64)
+        for c in range(4):
+            buckets[:, c] = (np.int64(c) << np.int64(16)) | batch[f"chunk{c}"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.reshape(-1)),
+                "doc_id": ids.take(idx),
+                "simhash": pa.array(np.repeat(hs, 4)),
+            }
+        )
 
     banded = sigs.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+    # the 8-byte simhash rides through the self-join (unlike the 0.5 KB
+    # minhash signature), so verification is local to the join output —
+    # no re-attach joins at all
+    cand = _lsh_candidate_pairs(banded, carry=("simhash",))
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        ids = group["doc_id"].tolist()
-        hs = [int(s, 16) for s in group["simhash"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    rows.append({"doc_a": a, "doc_b": b, "hamming": d})
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": batch["doc_a"],
+                    "doc_b": batch["doc_b"],
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        ha = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.bitwise_xor(ha, hb)
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        keep = pa.array(d <= max_hamming)
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(keep),
+                "doc_b": batch["doc_b"].filter(keep),
+                "hamming": pa.array(d[d <= max_hamming]),
+            }
+        )
 
     empty = pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    colliding = _collision_buckets_only(banded)
-    if colliding is None:
-        return empty
-    pairs = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = cand.map_batches(verify, batch_format="pyarrow", batch_size=8192).to_pandas()
     if pairs.empty:
         return empty
     return (
@@ -412,32 +461,31 @@ def ngram_jaccard_pairs(
     verification.  Returns (doc_a, doc_b, jaccard_x1000) with an
     integer-scaled score (hash-stable).
     """
-    sigs = ds.map_batches(
-        minhash_batch,
-        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
-        batch_format="pyarrow",
-        batch_size=1024,
-    ).materialize()
+    sigs = _checkpoint_parquet(
+        ds.map_batches(
+            minhash_batch,
+            fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+            batch_format="pyarrow",
+            batch_size=1024,
+        ),
+        "ngram_sigs",
+    )
     banded = sigs.map_batches(
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
     )
     empty = pd.DataFrame(columns=["doc_a", "doc_b", "jaccard_x1000"])
-    colliding = _collision_buckets_only(banded)
-    if colliding is None:
-        return empty
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        return pd.DataFrame(
-            [{"doc_a": ids[i], "doc_b": ids[j]} for i in range(len(ids)) for j in range(i + 1, len(ids))],
-            columns=["doc_a", "doc_b"],
-        )
-
-    cand = colliding.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    n_parts = max(2, min(32, sigs.count() // 200_000 + 1))
+    # dedup candidate pairs BEFORE the text joins: a pair colliding in k
+    # bands would otherwise shuffle its (large) texts k times
+    cand = (
+        _lsh_candidate_pairs(banded, n_parts)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nb"))
+        .drop_columns(["_nb"])
+    )
     texts = ds.map_batches(
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow", batch_size=4096
     )
-    n_parts = max(2, min(16, sigs.count() // 200_000 + 1))
     left = cand.join(texts, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",))
     both = left.join(
         texts.map_batches(lambda b: b.rename_columns(["doc_id", "text_b"]), batch_format="pyarrow"),
@@ -460,7 +508,10 @@ def ngram_jaccard_pairs(
             ),
         )
 
-    pairs = both.map_batches(verify, batch_format="pyarrow", batch_size=2048).to_pandas()
+    try:
+        pairs = both.map_batches(verify, batch_format="pyarrow", batch_size=2048).to_pandas()
+    except ValueError:
+        return empty  # zero colliding buckets
     if pairs.empty:
         return empty
     return (

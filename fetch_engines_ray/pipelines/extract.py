@@ -248,38 +248,48 @@ def escalate_low_quality(
     re-fetch with a heavier engine when the fast result is poor).
 
     Docs whose fast extraction scored below ``min_quality`` are re-run
-    through the warm path (forced route).  The low-quality doc-id set is
-    broadcast via ``ray.put`` and the corpus re-read is filtered at the
-    batch level — no shuffle; the second pass touches only the escalated
-    fraction.  Returns the re-extracted rows (union with the kept rows
-    is the caller's choice).
+    through the warm path (forced route).  The low-quality ids stay a
+    DATASET and the corpus re-read semi-joins against them with a
+    distributed hash join — no driver-side id set at any fraction.
+    Arrow hash joins reject list-typed payloads, so the ``spans``
+    column is packed to a binary blob for the join and unpacked after
+    (only matched rows pay the decode).  Returns the re-extracted rows
+    (union with the kept rows is the caller's choice).
     """
+    import pickle
+
+    from ..stages.extract import RAW_SPAN_TYPE
+
     cfg = cfg or PipelineConfig()
-    low_ids = set(
-        r["doc_id"]
-        for r in extracted.select_columns(["doc_id", "quality_score", "route"])
-        .filter(expr=f"quality_score < {int(min_quality)}")
-        .take_all()
-    )
-    if not low_ids:
+    low = extracted.select_columns(["doc_id", "quality_score"]).filter(
+        expr=f"quality_score < {int(min_quality)}"
+    ).select_columns(["doc_id"])
+    if low.count() == 0:
         return None  # type: ignore[return-value]
-    ids_ref = ray.put(low_ids)
 
-    def keep_low(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        mask = pa.array([d in ids for d in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask)
+    def pack(batch: pa.Table) -> pa.Table:
+        blobs = [pickle.dumps(s) for s in batch.column("spans").to_pylist()]
+        cols = {n: batch.column(n) for n in batch.column_names if n != "spans"}
+        cols["spans_pkl"] = pa.array(blobs, type=pa.binary())
+        return pa.table(cols)
 
-    corpus = read_corpus(input_path, cfg).map_batches(
-        keep_low, batch_format="pyarrow", batch_size=1024
+    packed = read_corpus(input_path, cfg).map_batches(
+        pack, batch_format="pyarrow", batch_size=1024
     )
+    matched = packed.join(low, join_type="inner", num_partitions=2, on=("doc_id",))
 
-    def force_warm(batch: pa.Table) -> pa.Table:
-        return batch.append_column("force_route", pa.array(["warm"] * batch.num_rows))
+    def unpack_force_warm(batch: pa.Table) -> pa.Table:
+        spans = pa.array(
+            [pickle.loads(b) for b in batch.column("spans_pkl").to_pylist()],
+            type=pa.list_(RAW_SPAN_TYPE),
+        )
+        cols = {n: batch.column(n) for n in batch.column_names if n != "spans_pkl"}
+        cols["spans"] = spans
+        cols["force_route"] = pa.array(["warm"] * batch.num_rows)
+        return pa.table(cols)
 
-    return build_pipeline(
-        corpus.map_batches(force_warm, batch_format="pyarrow", batch_size=1024), cfg
-    )
+    corpus = matched.map_batches(unpack_force_warm, batch_format="pyarrow", batch_size=1024)
+    return build_pipeline(corpus, cfg)
 
 
 def extract_with_escalation(
