@@ -310,6 +310,39 @@ def _q_clean_corpus(sf_dir: str) -> Any:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_structured_extract(sf_dir: str) -> Any:
+    """A9 analog: schema-driven typed field extraction (reference
+    StructuredContentEngine contract — declared schema with described
+    fields, deterministic per-field extractors, typed result)."""
+    import pyarrow as pa
+
+    from fetch_engines_ray.stages.structured import FieldSpec, structured_extract
+
+    fields = [
+        FieldSpec(
+            name="first_word",
+            description="First word token of the document",
+            pattern=r"^\W*(?P<v>\w+)",
+            default="",
+        ),
+        FieldSpec(
+            name="after_the",
+            description="Word following the first literal 'the'",
+            pattern=r"\bthe\s+(?P<v>\w+)",
+            default="",
+        ),
+        FieldSpec(
+            name="first_number",
+            description="First integer appearing in the document (-1 if none)",
+            pattern=r"(?P<v>\d+)",
+            dtype=pa.int64(),
+            default=-1,
+        ),
+    ]
+    out = structured_extract(_read_documents(sf_dir), fields)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_hll_users_per_event_type(sf_dir: str) -> Any:
     import ray.data
 
@@ -353,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "text_features": _q_text_features,
         "doc_winnowing_fingerprints": _q_doc_winnowing_fingerprints,
+        "structured_extract": _q_structured_extract,
         # dedup family
         "exact_dedup_groups": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -553,6 +587,14 @@ def oracle_sql() -> dict[str, str]:
             "   AND ((n_hash + n_ell) * 1000 // greatest(n_words, 1)) <= 100"
             "   AND stopword_hits >= 2) AS gopher_pass"
             " FROM f ORDER BY doc_id"
+        ),
+        "structured_extract": (
+            "SELECT doc_id,"
+            " coalesce(regexp_extract(text, '^\\W*(\\w+)', 1), '') AS first_word,"
+            " coalesce(regexp_extract(text, '\\bthe\\s+(\\w+)', 1), '') AS after_the,"
+            " CASE WHEN regexp_matches(text, '\\d')"
+            "   THEN CAST(regexp_extract(text, '(\\d+)', 1) AS BIGINT) ELSE -1 END AS first_number"
+            " FROM documents ORDER BY doc_id"
         ),
         "doc_quality_counts": (
             "SELECT doc_id,"

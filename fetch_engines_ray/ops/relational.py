@@ -108,19 +108,57 @@ def events_value_by_type(sf_dir: str) -> pd.DataFrame:
 # Broadcast joins
 # ---------------------------------------------------------------------------
 
+# Above this many build-side rows a broadcast map stops being "small"
+# (every task holds the whole table) and a distributed hash join wins.
+BROADCAST_JOIN_MAX_ROWS = 5_000_000
+
+
+def _broadcast_attach(lookup_df: pd.DataFrame, key_col: str, val_col: str):
+    """Vectorized broadcast-join attach: the small side is put in the
+    object store ONCE as a (keys, values) Arrow pair; every batch does
+    ``pc.index_in`` + ``take`` — no per-row dict lookups."""
+    keys = pa.array(lookup_df[key_col])
+    vals = pa.array(lookup_df[val_col])
+    ref = ray.put((keys, vals))
+
+    def attach(batch: pa.Table, batch_key: str, out_name: str, default=None) -> pa.Table:
+        k, v = ray.get(ref)
+        idx = pc.index_in(batch[batch_key], value_set=k)
+        got = pc.take(v, idx)
+        if default is not None:
+            got = pc.fill_null(got, default)
+        return batch.append_column(out_name, got)
+
+    return attach
+
+
 def customer_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
-    """orders ⋈ customer (broadcast small side) → revenue by market segment."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    """orders ⋈ customer → revenue by market segment.
 
-    def attach_segment(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = np.array([lookup.get(k, "") for k in keys], dtype=object)
-        return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
-
+    Joins by broadcast (``index_in`` + ``take`` per batch) while the
+    customer table is broadcast-small; above
+    ``BROADCAST_JOIN_MAX_ROWS`` it switches to a distributed hash join
+    — at 100x scale the customer map itself is GBs and must shuffle,
+    not ship with every task."""
+    cust_ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(attach_segment, batch_format="pyarrow", batch_size=65536)
+    n_cust = cust_ds.count()  # metadata-only on a parquet read
+    if n_cust > BROADCAST_JOIN_MAX_ROWS:
+        n_parts = max(2, min(64, n_cust // 1_000_000))
+        joined = orders.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    else:
+        attach = _broadcast_attach(cust_ds.to_pandas(), "c_custkey", "c_mktsegment")
+
+        def attach_segment(batch: pa.Table) -> pa.Table:
+            return attach(batch, "o_custkey", "c_mktsegment", default="")
+
+        joined = orders.map_batches(attach_segment, batch_format="pyarrow", batch_size=65536)
     out = (
         joined.groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
@@ -132,13 +170,10 @@ def customer_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
 def customers_per_nation(sf_dir: str) -> pd.DataFrame:
     """customer ⋈ nation (broadcast) → customer count per nation name."""
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    attach = _broadcast_attach(nation, "n_nationkey", "n_name")
 
     def attach_nation(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = np.array([lookup.get(k, "") for k in keys], dtype=object)
-        return batch.append_column("n_name", pa.array(names, type=pa.string()))
+        return attach(batch, "c_nationkey", "n_name", default="")
 
     cust = _read(sf_dir, "customer", columns=["c_nationkey"])
     out = (
@@ -184,17 +219,15 @@ def distinct_part_brands(sf_dir: str) -> pd.DataFrame:
 
 def supplier_count_by_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast join supplier↔nation (nation is tiny: ray.put once,
-    numpy lookup per batch), then grouped count + balance sum."""
+    ``index_in`` + ``take`` per batch), then grouped count + balance sum."""
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    attach = _broadcast_attach(nation, "n_nationkey", "n_name")
 
-    def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k) for k in batch.column("s_nationkey").to_pylist()]
-        return batch.append_column("n_name", pa.array(names, type=pa.string()))
+    def attach_name(batch: pa.Table) -> pa.Table:
+        return attach(batch, "s_nationkey", "n_name")
 
     ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]).map_batches(
-        attach, batch_format="pyarrow", batch_size=8192
+        attach_name, batch_format="pyarrow", batch_size=8192
     )
     out = (
         ds.groupby("n_name")

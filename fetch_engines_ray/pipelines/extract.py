@@ -74,9 +74,10 @@ class PipelineConfig:
     # `concurrency` accordingly.
     use_actor_warm_stage: bool = False
     # C10 route overrides (reference playwrightOnlyPatterns,
-    # /root/reference/src/HybridEngine.ts:160-170): URL substrings that
-    # force the warm path.  Per-row overrides ride in an optional
-    # `force_route` input column.
+    # /root/reference/src/HybridEngine.ts:160-170): entries are plain
+    # URL substrings OR compiled re.Pattern objects (the reference's
+    # `(string | RegExp)[]` contract) that force the warm path.  Per-row
+    # overrides ride in an optional `force_route` input column.
     warm_url_patterns: tuple = ()
     max_content_length: Optional[int] = None
     read_columns: tuple = ("doc_id", "spans", "archetype", "base_url")
@@ -313,9 +314,25 @@ def extract_with_escalation(
 
     import pyarrow.compute as pc
 
+    from ..functions import errors as errs
+
     kept = first.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("quality_score"), min_quality)),
         batch_format="pyarrow",
         batch_size=1024,
     )
-    return kept.union(second)
+
+    def tag_exhausted(batch: pa.Table) -> pa.Table:
+        # rows STILL below the bar after the warm re-run: the ladder is
+        # exhausted (reference ERR_MAX_RETRIES_REACHED,
+        # /root/reference/src/FetchEngine.ts retry loop)
+        low = pc.less(batch.column("quality_score"), min_quality)
+        code = pc.if_else(
+            low, pa.scalar(errs.ERR_MAX_RETRIES_REACHED), batch.column("error_code")
+        )
+        idx = batch.schema.get_field_index("error_code")
+        return batch.set_column(idx, "error_code", code)
+
+    return kept.union(
+        second.map_batches(tag_exhausted, batch_format="pyarrow", batch_size=1024)
+    )

@@ -6,6 +6,7 @@ from .io import (  # noqa: F401
     read_corpus_parquet,
     read_html_dir,
     read_jsonl_docs,
+    write_corpus_lance,
     write_corpus_parquet,
     write_eval_report,
     write_markdown_tree,

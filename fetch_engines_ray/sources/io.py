@@ -193,6 +193,20 @@ def write_corpus_parquet(ds: "ray.data.Dataset", out_dir: str) -> None:
     ds.write_parquet(out_dir)
 
 
+def write_corpus_lance(ds: "ray.data.Dataset", out_path: str) -> None:
+    """Lance corpus writer (north-rule storage format) — symmetric with
+    :func:`read_corpus_lance`, same import guard for environments
+    without the ``lance`` wheel (this sandbox)."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "the 'lance' package is not installed in this environment; "
+            "use write_corpus_parquet (identical schema and downstream pipeline)"
+        ) from exc
+    ds.write_lance(out_path)
+
+
 def write_eval_report(ds: "ray.data.Dataset", path: str, min_text_length: int = 40) -> dict:
     """S7 analog: per-archetype pass-rate report.
 

@@ -26,6 +26,7 @@ from typing import Any, Optional
 import pyarrow as pa
 
 from ..functions import converter as conv
+from ..functions import errors as errs
 from ..functions import render_detection as rd
 
 # Output spans: kind = "text" for markdown blocks, original kind for media.
@@ -50,6 +51,7 @@ OUTPUT_SCHEMA = pa.schema(
         ("is_forum", pa.bool_()),
         ("render_needed", pa.bool_()),
         ("error", pa.string()),
+        ("error_code", pa.string()),
         ("n_out_chars", pa.int64()),
         ("archetype", pa.string()),
     ]
@@ -111,12 +113,23 @@ def parse_pdf_layout(layout_text: str) -> str:
     PDF layout engine (north_rule: "PDF/layout parse"); the Ray-side
     plumbing (actor state, batching, schema) is identical to what a real
     parser would need.
+
+    Raises :class:`errs.ExtractionError` (``ERR_PDF_PARSE``) on a
+    malformed stream (empty, or a non-empty line with no kind separator)
+    — the caller turns it into a dead-letter row, never a task failure.
     """
+    if not layout_text.strip():
+        raise errs.ExtractionError("empty PDF layout stream", errs.ERR_PDF_PARSE)
     blocks: list[str] = []
     for line in layout_text.split("\n"):
         if not line.strip():
             continue
-        kind, _, text = line.partition("\t")
+        kind, sep, text = line.partition("\t")
+        if not sep:
+            raise errs.ExtractionError(
+                f"malformed PDF layout line (no kind separator): {line[:60]!r}",
+                errs.ERR_PDF_PARSE,
+            )
         kind = kind.strip().lower()
         text = text.strip()
         if kind in ("h1", "h2", "h3", "h4", "h5", "h6"):
@@ -135,6 +148,15 @@ def parse_pdf_layout(layout_text: str) -> str:
     return "\n\n".join(blocks)
 
 
+def _pattern_matches(pattern, url: str) -> bool:
+    """One C10 override entry against a URL: ``re.Pattern`` → search,
+    anything else → substring (reference ``(string | RegExp)[]``,
+    /root/reference/src/HybridEngine.ts:160-170)."""
+    if isinstance(pattern, re.Pattern):
+        return pattern.search(url) is not None
+    return pattern in url
+
+
 def route_document(
     spans: list[dict],
     force_route: Optional[str] = None,
@@ -148,10 +170,13 @@ def route_document(
 
     Overrides (C10, /root/reference/src/HybridEngine.ts:160-170 and the
     per-request ``fastMode`` knob, src/types.ts:221-230):
-    ``warm_url_patterns`` substrings matched against ``url`` force the
-    warm path; ``force_route`` ("fast"/"warm") is a per-row override —
-    forcing "fast" still yields warm when the doc physically needs the
-    warm engine (js_shell/pdf spans can't be extracted without it).
+    ``warm_url_patterns`` entries matched against ``url`` force the
+    warm path — each entry is either a plain substring or a compiled
+    ``re.Pattern`` (``pattern.search(url)``), matching the reference's
+    ``(string | RegExp)[]`` contract (src/types.ts:199-205);
+    ``force_route`` ("fast"/"warm") is a per-row override — forcing
+    "fast" still yields warm when the doc physically needs the warm
+    engine (js_shell/pdf spans can't be extracted without it).
     """
     spans = sorted(spans, key=lambda s: s["offset"])
     full_html = "\n".join(s["text"] or "" for s in spans if s["kind"] == "html")
@@ -162,7 +187,7 @@ def route_document(
     render_needed = assessment.render_likely_needed if assessment else False
     shell_score = assessment.render_likely_needed_score if assessment else 0
     route = "warm" if (soft_block or render_needed or has_js_shell or has_pdf) else "fast"
-    if force_route == "warm" or (url and any(p in url for p in warm_url_patterns)):
+    if force_route == "warm" or (url and any(_pattern_matches(p, url) for p in warm_url_patterns)):
         route = "warm"
     elif force_route == "fast" and not (has_js_shell or has_pdf):
         route = "fast"
@@ -216,6 +241,7 @@ class DocumentExtractor:
         title = ""
         is_forum = False
         error = ""
+        error_code = ""
         order = 0
         first_text_emitted = False
 
@@ -283,7 +309,10 @@ class DocumentExtractor:
                     order += 1
                     continue
             except Exception as exc:  # R3: conversion failure → raw passthrough
-                error = f"ERR_CONVERSION: {exc}"
+                code = exc.code if isinstance(exc, errs.ExtractionError) else errs.ERR_CONVERSION
+                error = f"{code}: {exc}"
+                if not error_code:
+                    error_code = code
                 md = s["text"] or ""
             if not first_text_emitted and base_url and md:
                 md = conv.inject_source_url(md, base_url)
@@ -293,6 +322,14 @@ class DocumentExtractor:
 
         out_text = "\n\n".join(sp["text"] for sp in out_spans if sp["kind"] == "text")
         quality = rd.assess_serialized_content(out_text, "markdown").quality_score if out_text else 0
+        # challenge pages outrank span-level codes — but only when the
+        # doc is STILL blocked after the warm pass (the reference clears
+        # the challenge error after a successful Playwright fallback,
+        # /root/reference/src/HybridEngine.ts:126-223)
+        if soft_block and (not out_text or rd.is_soft_block_page(out_text)):
+            error_code = errs.ERR_CHALLENGE_PAGE
+            if not error:
+                error = f"{errs.ERR_CHALLENGE_PAGE}: soft-block/challenge page not recovered"
 
         return {
             "doc_id": doc_id,
@@ -305,6 +342,7 @@ class DocumentExtractor:
             "is_forum": is_forum,
             "render_needed": render_needed,
             "error": error,
+            "error_code": error_code,
             "n_out_chars": len(out_text),
             "archetype": archetype,
         }
@@ -368,6 +406,7 @@ def _placeholder_warm_row(
         "is_forum": False,
         "render_needed": rt["render_needed"],
         "error": "",
+        "error_code": "",
         "n_out_chars": 0,
         "archetype": archetype,
         "raw_spans": spans,
