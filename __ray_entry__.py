@@ -138,7 +138,12 @@ def _q_text_features(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.textstats import text_features_pipeline
 
     ds = text_features_pipeline(_read_documents(sf_dir))
-    return ds.select_columns(["doc_id", "token_count", "lang_pred", "fingerprint"])
+    return (
+        ds.select_columns(["doc_id", "token_count", "lang_pred", "fingerprint"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_exact_dedup(sf_dir: str) -> Any:
@@ -201,10 +206,32 @@ def _q_ivf_knn(sf_dir: str) -> Any:
 
 
 def _q_embedding_near_dups(sf_dir: str) -> Any:
+    """Embedding near-dup pairs over the sf embeddings PLUS ten planted
+    exact-duplicate vectors (vec_id + 100000) — the synthetic tables
+    contain no natural near-dups (max off-diagonal cosine ~0.51), so the
+    planted clones deterministically exercise the threshold path at
+    every sf and make the query oracle-checkable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from fetch_engines_ray.ops.similarity import embedding_near_dup_pairs
 
-    out = embedding_near_dup_pairs(_read_embeddings(sf_dir), threshold=0.95)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True) if len(out) else out
+    emb = _read_embeddings(sf_dir)
+
+    def clone_first10(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch["vec_id"], 10))
+        return pa.table(
+            {
+                "vec_id": pc.add(keep["vec_id"], pa.scalar(100000)),
+                "embedding": keep["embedding"],
+                "label": keep["label"],
+            }
+        )
+
+    planted = emb.map_batches(clone_first10, batch_format="pyarrow", batch_size=4096)
+    out = embedding_near_dup_pairs(emb.union(planted), threshold=0.98)
+    out = out[["doc_a", "doc_b"]].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
@@ -587,6 +614,40 @@ def oracle_sql() -> dict[str, str]:
             "   AND ((n_hash + n_ell) * 1000 // greatest(n_words, 1)) <= 100"
             "   AND stopword_hits >= 2) AS gopher_pass"
             " FROM f ORDER BY doc_id"
+        ),
+        "embedding_near_dup_pairs": (
+            "WITH all_e AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10)"
+            " SELECT a.vec_id AS doc_a, b.vec_id AS doc_b"
+            " FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98"
+            " ORDER BY doc_a, doc_b"
+        ),
+        "text_features": (
+            "SELECT doc_id,"
+            " CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,"
+            " CASE"
+            "  WHEN en >= de AND en >= fr AND en >= es AND en >= it AND en > 0 THEN 'en'"
+            "  WHEN de >= fr AND de >= es AND de >= it AND de > 0 THEN 'de'"
+            "  WHEN fr >= es AND fr >= it AND fr > 0 THEN 'fr'"
+            "  WHEN es >= it AND es > 0 THEN 'es'"
+            "  WHEN it > 0 THEN 'it'"
+            "  ELSE 'und' END AS lang_pred,"
+            " md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint"
+            " FROM ("
+            "  SELECT doc_id, text,"
+            "  array_length(regexp_extract_all(lower(text),"
+            "   '\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')) AS en,"
+            "  array_length(regexp_extract_all(lower(text),"
+            "   '\\b(?:der|die|das|und|ist|nicht|ein|mit|für|auf)\\b')) AS de,"
+            "  array_length(regexp_extract_all(lower(text),"
+            "   '\\b(?:le|la|les|et|est|pas|une|pour|dans|que)\\b')) AS fr,"
+            "  array_length(regexp_extract_all(lower(text),"
+            "   '\\b(?:el|la|los|de|que|y|es|una|para|con)\\b')) AS es,"
+            "  array_length(regexp_extract_all(lower(text),"
+            "   '\\b(?:il|la|che|di|e|per|una|sono|con|non)\\b')) AS it"
+            "  FROM documents) ORDER BY doc_id"
         ),
         "structured_extract": (
             "SELECT doc_id,"

@@ -86,13 +86,15 @@ def add_lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit document fingerprint: blake2b of whitespace-normalized,
-    lowercased text.  Stable across runs and processes."""
+    """128-bit document fingerprint: md5 of whitespace-normalized,
+    lowercased text.  Stable across runs and processes, and
+    SQL-oracle-equivalent to
+    ``md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))``."""
     texts = batch[text_col].to_pylist()
     fps = []
     for t in texts:
         norm = " ".join((t or "").lower().split())
-        fps.append(hashlib.blake2b(norm.encode(), digest_size=8).hexdigest())
+        fps.append(hashlib.md5(norm.encode()).hexdigest())
     return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
 
 

@@ -132,7 +132,7 @@ def test_text_features(ray_session):
     out = text_features_pipeline(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert out["token_count"].tolist() == [17, 13, 1]
     assert out["lang_pred"].tolist()[:2] == ["en", "de"]
-    assert out["fingerprint"].str.len().eq(16).all()
+    assert out["fingerprint"].str.len().eq(32).all()
     assert (out["quality"] >= 0).all()
 
 
