@@ -81,6 +81,12 @@ class PipelineConfig:
     warm_url_patterns: tuple = ()
     max_content_length: Optional[int] = None
     read_columns: tuple = ("doc_id", "spans", "archetype", "base_url")
+    # A3 pool-health analog: extra ray remote args for the warm actor
+    # pool (e.g. {"max_restarts": -1, "max_task_retries": -1} lets Ray
+    # replace a crashed actor and re-run its in-flight batches — the
+    # reference's pool health-check/recycle loop re-expressed as Ray
+    # actor supervision).  Only used with use_actor_warm_stage=True.
+    actor_ray_remote_args: Optional[dict] = None
 
 
 def safe_pool_size(num_cpus: Optional[int] = None, headroom: int = 2) -> tuple:
@@ -125,6 +131,7 @@ def build_pipeline(ds: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None)
             batch_size=cfg.warm_batch_size,
             concurrency=cfg.concurrency,
             num_cpus=cfg.num_cpus_per_actor,
+            **(cfg.actor_ray_remote_args or {}),
         )
     return fast.map_batches(
         warm_extract_batch,
