@@ -135,27 +135,27 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
             if el.tag in tagset:
                 yield el
     else:
-        # tag-bucketed matching: elements only test compounds that could
-        # match their tag (most test zero)
+        # bucketed matching: elements only test compounds that could
+        # match their tag/class/id (most test zero)
         g = compile_group((selector,))
-        by_tag, tagless = g.by_tag, g.tagless
         for el in root.iter_elements():
-            matched = False
-            for _, c in by_tag.get(el.tag, ()):
-                if c.matches(el):
-                    matched = True
-                    break
-            if not matched:
-                for _, c in tagless:
-                    if c.matches(el):
-                        matched = True
-                        break
-            if matched:
+            if g.matches(el):
                 yield el
 
 
 def select_all(root: Element, selector: str) -> list[Element]:
-    return list(iter_select(root, selector))
+    """List variant of :func:`iter_select` on the non-generator path:
+    one plain loop over ``collect_elements`` (generators cost a resume
+    per element; this is the converter's hottest entry point)."""
+    sels = compile_selector(selector)
+    tagset = _pure_tagset(selector, sels)
+    from .nodes import collect_elements
+
+    els = collect_elements(root)
+    if tagset is not None:
+        return [el for el in els if el.tag in tagset]
+    g = compile_group((selector,))
+    return [el for el in els if g.matches(el)]
 
 
 def select_one(root: Element, selector: str) -> Optional[Element]:
@@ -186,30 +186,56 @@ class CompiledGroup:
     The converter's removal/count passes apply 10-20 selectors each;
     evaluating them per-selector costs one full DOM traversal per
     selector (~130 walks/document measured).  A group bucket-indexes
-    compounds by required tag so each element only tests the few
-    compounds that could match it — one walk total.
+    compounds by required tag — and tag-less compounds by a required
+    class / id — so each element only tests the few compounds that
+    could possibly match it (most test zero) — one walk total.
     """
 
-    __slots__ = ("by_tag", "tagless", "n_selectors")
+    __slots__ = ("by_tag", "by_class", "by_id", "rest", "n_selectors")
 
     def __init__(self, selectors: tuple) -> None:
         self.by_tag: dict[str, list[tuple[int, Compound]]] = {}
-        self.tagless: list[tuple[int, Compound]] = []
+        self.by_class: dict[str, list[tuple[int, Compound]]] = {}
+        self.by_id: dict[str, list[tuple[int, Compound]]] = {}
+        self.rest: list[tuple[int, Compound]] = []
         self.n_selectors = len(selectors)
         for i, s in enumerate(selectors):
             for c in compile_selector(s):
                 if c.tag is not None:
                     self.by_tag.setdefault(c.tag, []).append((i, c))
+                elif c.classes:
+                    # any required class works as the bucket key: an
+                    # element lacking it can never match the compound
+                    self.by_class.setdefault(c.classes[0], []).append((i, c))
+                elif c.id is not None:
+                    self.by_id.setdefault(c.id, []).append((i, c))
                 else:
-                    self.tagless.append((i, c))
+                    self.rest.append((i, c))
+
+    def _candidates(self, el: Element):
+        """Compound lists that could match ``el`` (bucket lookups only)."""
+        cand = []
+        b = self.by_tag.get(el.tag)
+        if b is not None:
+            cand.append(b)
+        if self.by_class:
+            for cls in el.classes:
+                b = self.by_class.get(cls)
+                if b is not None:
+                    cand.append(b)
+        if self.by_id:
+            b = self.by_id.get(el.attrs.get("id", ""))
+            if b is not None:
+                cand.append(b)
+        if self.rest:
+            cand.append(self.rest)
+        return cand
 
     def matches(self, el: Element) -> bool:
-        for _, c in self.by_tag.get(el.tag, ()):
-            if c.matches(el):
-                return True
-        for _, c in self.tagless:
-            if c.matches(el):
-                return True
+        for bucket in self._candidates(el):
+            for _, c in bucket:
+                if c.matches(el):
+                    return True
         return False
 
     def select(self, root: Element) -> list:
@@ -226,12 +252,10 @@ class CompiledGroup:
 
         out: list = [[] for _ in range(self.n_selectors)]
         for el in collect_elements(root):
-            for i, c in self.by_tag.get(el.tag, ()):
-                if c.matches(el):
-                    out[i].append(el)
-            for i, c in self.tagless:
-                if c.matches(el):
-                    out[i].append(el)
+            for bucket in self._candidates(el):
+                for i, c in bucket:
+                    if c.matches(el):
+                        out[i].append(el)
         return out
 
     def count_matches(self, root: Element) -> int:
@@ -241,12 +265,10 @@ class CompiledGroup:
 
         n = 0
         for el in collect_elements(root):
-            for _, c in self.by_tag.get(el.tag, ()):
-                if c.matches(el):
-                    n += 1
-            for _, c in self.tagless:
-                if c.matches(el):
-                    n += 1
+            for bucket in self._candidates(el):
+                for _, c in bucket:
+                    if c.matches(el):
+                        n += 1
         return n
 
 

@@ -114,7 +114,6 @@ _RE_TEMPLATE_VAR = re.compile(r"\{\{\s*[^}\s]+\s*}}")
 _RE_CONTROL = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
 _RE_NONHTTP_SCHEME = re.compile(r"^(?:mailto:|tel:|sms:|javascript:|data:|blob:|about:|file:)", re.I)
 _RE_ABS_SCHEME = re.compile(r"^[a-z][a-z0-9+.-]*:", re.I)
-_RE_WS = re.compile(r"\s+")
 _RE_FRAMEWORK_ATTR = re.compile(r"^data-(?:reactid|reactroot|react-|testid|v-|js-|qa-|cy-)")
 _RE_NG_ATTR = re.compile(r"^(?:ng-|_ngcontent-)")
 
@@ -296,7 +295,7 @@ def _link_text_length(el: Element, collapse: bool = False) -> int:
     for link in select_all(el, "a"):
         t = link.text_content
         if collapse:
-            t = _RE_WS.sub(" ", t).strip()
+            t = " ".join(t.split())  # C-level whitespace collapse + strip
         total += len(t)
     return total
 
@@ -371,7 +370,7 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
     for cand in candidates:
         if cand is content or not _is_attached(cand, content):
             continue
-        text = _RE_WS.sub(" ", cand.text_content).strip()
+        text = " ".join(cand.text_content.split())
         if len(text) < MIN_LINK_DENSITY_TEXT_LENGTH:
             continue
         links = select_all(cand, "a")
@@ -381,7 +380,7 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
         paragraphs = select_all(cand, "p")
         has_paragraph = len(paragraphs) > 0
         has_long_paragraph = any(
-            len(_RE_WS.sub(" ", p.text_content).strip()) >= 140 for p in paragraphs
+            len(" ".join(p.text_content.split())) >= 140 for p in paragraphs
         )
         link_len = _link_text_length(cand, collapse=True)
         density = link_len / max(1, len(text))
@@ -564,7 +563,7 @@ def extract_forum_content_element(root: Element) -> Element:
 
 def ensure_primary_heading(content: Element, provided_title: Optional[str]) -> None:
     def norm(s: Optional[str]) -> str:
-        return _RE_WS.sub(" ", (s or "").strip())
+        return " ".join((s or "").split())
 
     title_norm = norm(provided_title)
     first_h1 = select_one(content, "h1")
@@ -749,5 +748,5 @@ def convert(
     markdown = serialize(content)
     markdown = postprocess_markdown(markdown, max_content_length)
     return ConvertResult(
-        markdown=markdown, title=_RE_WS.sub(" ", title).strip(), is_forum=is_forum
+        markdown=markdown, title=" ".join(title.split()), is_forum=is_forum
     )
