@@ -227,3 +227,112 @@ def is_rendered_content_meaningfully_better(
     if candidate.title_length > 0 and baseline.title_length == 0 and candidate.text_length >= baseline.text_length:
         return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# C11 — rendered-DOM snapshot scorer (the live-DOM weight set)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RenderedDomSnapshot:
+    """Mirror of the reference's ``RenderedDomSnapshot``
+    (/root/reference/src/PlaywrightEngine.ts:324-375): the richer
+    live-DOM signal set captured from a (here: deterministically
+    hydrated) rendered document."""
+
+    title_length: int
+    text_length: int
+    main_like_text_length: int
+    heading_text_length: int
+    html_length: int
+    has_root_container: bool
+    root_child_count: int
+    app_child_count: int
+    quality_score: int
+    shell_score: int
+
+
+def capture_rendered_dom_snapshot(html: str) -> RenderedDomSnapshot:
+    """C11 analog of ``captureRenderedDomSnapshot``
+    (/root/reference/src/PlaywrightEngine.ts:324-375) with the exact
+    quality/shell weight sets; runs over serialized HTML (our
+    ``page.content()`` stand-in) using the engine's own DOM."""
+    from ..dom.parser import parse_html
+    from ..dom.selectors import select_all, select_one
+    from ..dom.nodes import Element
+
+    text_length = len(strip_html_to_visible_text(html))
+    m = _TITLE.search(html)
+    title_length = len(_collapse(_entity_decode(m.group(1)))) if m else 0
+    html_length = len(html)
+
+    root = parse_html(html)
+    main_like = _collapse(" ".join(el.text_content for el in select_all(root, "main, article")))
+    heading = _collapse(" ".join(el.text_content for el in select_all(root, "h1, h2, h3")))
+    root_el = select_one(root, "#root")
+    app_el = select_one(root, "#app")
+    root_children = (
+        sum(1 for c in root_el.children if isinstance(c, Element)) if root_el is not None else 0
+    )
+    app_children = (
+        sum(1 for c in app_el.children if isinstance(c, Element)) if app_el is not None else 0
+    )
+    has_root_container = root_el is not None or app_el is not None
+
+    quality = min(6, text_length // 120) + min(2, title_length // 12)
+    if len(main_like) >= 120:
+        quality += 2
+    if len(heading) >= 12:
+        quality += 1
+
+    shell = 0
+    if title_length == 0:
+        shell += 2
+    if text_length < 80:
+        shell += 3
+    if html_length < 2000:
+        shell += 1
+    if has_root_container and root_children + app_children <= 1 and text_length < 120:
+        shell += 2
+    if len(main_like) < 60 and len(heading) < 12 and text_length < 140:
+        shell += 1
+
+    return RenderedDomSnapshot(
+        title_length=title_length,
+        text_length=text_length,
+        main_like_text_length=len(main_like),
+        heading_text_length=len(heading),
+        html_length=html_length,
+        has_root_container=has_root_container,
+        root_child_count=root_children,
+        app_child_count=app_children,
+        quality_score=quality,
+        shell_score=shell,
+    )
+
+
+def should_auto_wait_for_rendered_dom(snapshot: RenderedDomSnapshot, is_spa_mode: bool) -> bool:
+    """``shouldAutoWaitForRenderedDom``
+    (/root/reference/src/PlaywrightEngine.ts:377-385): spa mode always
+    waits; otherwise wait when the DOM still scores shell-like."""
+    if is_spa_mode:
+        return True
+    if snapshot.shell_score >= 4:
+        return True
+    return snapshot.title_length == 0 and snapshot.text_length < 200
+
+
+def rendered_snapshot_has_meaningful_content(
+    snapshot: RenderedDomSnapshot, initial: RenderedDomSnapshot
+) -> bool:
+    """The quiet-window wait loop's exit predicate
+    (/root/reference/src/PlaywrightEngine.ts:460-466): the rendered DOM
+    counts as converged when quality improved past the initial shell or
+    any absolute content floor is met."""
+    return (
+        snapshot.quality_score >= max(3, initial.quality_score + 1)
+        or snapshot.text_length >= 200
+        or snapshot.main_like_text_length >= 120
+        or snapshot.heading_text_length >= 16
+    )

@@ -148,6 +148,10 @@ def parse_pdf_layout(layout_text: str) -> str:
     return "\n\n".join(blocks)
 
 
+class _RenderNotConverged(Exception):
+    """Internal: hydrated DOM still shell-like — keep the fast result."""
+
+
 def _pattern_matches(pattern, url: str) -> bool:
     """One C10 override entry against a URL: ``re.Pattern`` → search,
     anything else → substring (reference ``(string | RegExp)[]``,
@@ -281,6 +285,22 @@ class DocumentExtractor:
                                 # /root/reference/src/HybridEngine.ts:183-204)
                                 try:
                                     hydrated = hydrate_shell(html, payload)
+                                    # C11/A7 convergence gate: the quiet-
+                                    # window loop's exit predicate over the
+                                    # rendered-DOM snapshot (PlaywrightEngine
+                                    # .ts:387-479).  Cheap short-circuit:
+                                    # text>=200 alone satisfies it; the full
+                                    # snapshot runs only for under-hydrated
+                                    # docs.  A DOM that never converges past
+                                    # the shell keeps the fast result (the
+                                    # reference's best-snapshot fallback).
+                                    if len(rd.strip_html_to_visible_text(hydrated)) < 200:
+                                        snap = rd.capture_rendered_dom_snapshot(hydrated)
+                                        initial = rd.capture_rendered_dom_snapshot(html)
+                                        if not rd.rendered_snapshot_has_meaningful_content(
+                                            snap, initial
+                                        ):
+                                            raise _RenderNotConverged()
                                     warm_res = self._convert_html(hydrated, base_url)
                                     baseline = rd.assess_serialized_content(md, "markdown")
                                     candidate = rd.assess_serialized_content(

@@ -138,3 +138,64 @@ def test_escalation_tags_exhausted_rows(ray_session, tmp_path):
     assert out["rich"]["error_code"] == ""
     assert out["thin"]["quality_score"] < 3
     assert out["thin"]["error_code"] == errs.ERR_MAX_RETRIES_REACHED
+
+
+def test_rendered_dom_snapshot_weight_set():
+    """C11 weight set pinned to PlaywrightEngine.ts:324-375."""
+    from fetch_engines_ray.functions.render_detection import (
+        capture_rendered_dom_snapshot,
+        rendered_snapshot_has_meaningful_content,
+        should_auto_wait_for_rendered_dom,
+    )
+
+    shell = "<html><head></head><body><div id='root'></div></body></html>"
+    s = capture_rendered_dom_snapshot(shell)
+    # title=0 (+2), text<80 (+3), html<2000 (+1), empty root & text<120
+    # (+2), no main/heading & text<140 (+1) = 9
+    assert s.shell_score == 9 and s.quality_score == 0
+    assert should_auto_wait_for_rendered_dom(s, is_spa_mode=False)
+    assert should_auto_wait_for_rendered_dom(s, is_spa_mode=True)
+
+    body = "x" * 130
+    rich = (
+        "<html><head><title>A Long Enough Title</title></head><body>"
+        f"<main><h1>Heading Words Here</h1><p>{body}</p><p>{body}</p><p>{body}</p>"
+        "</main></body></html>"
+    )
+    r = capture_rendered_dom_snapshot(rich)
+    # text 390+ -> min(6, //120)=3; title 19 -> +1; main-like>=120 -> +2;
+    # heading>=12 -> +1
+    assert r.quality_score == 3 + 1 + 2 + 1
+    assert r.shell_score == 1  # only html<2000
+    assert not should_auto_wait_for_rendered_dom(r, is_spa_mode=False)
+    assert rendered_snapshot_has_meaningful_content(r, s)
+    assert not rendered_snapshot_has_meaningful_content(s, s)
+
+
+def test_unconverged_hydration_keeps_fast_result(ray_session, tmp_path):
+    """A js_shell payload that leaves the DOM shell-like must NOT win
+    over the fast result (the reference's best-snapshot fallback)."""
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    shell = (
+        "<html><head><title>Shell</title></head><body>"
+        "<div id=\"root\"></div><noscript>enable javascript</noscript></body></html>"
+    )
+    rows = [
+        {
+            "doc_id": "never-hydrates",
+            "spans": [
+                {"kind": "html", "text": shell, "media_ref": "", "offset": 0},
+                {"kind": "js_shell", "text": "<span> </span>", "media_ref": "", "offset": 1},
+            ],
+            "base_url": "",
+            "archetype": "test",
+            "expected_route": "",
+        }
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=INPUT_SCHEMA), f"{tmp_path}/p.parquet")
+    (row,) = extract_corpus(str(tmp_path), PipelineConfig(batch_size=4)).take_all()
+    assert row["route"] == "warm"
+    # fast result of the bare shell: tiny, but not replaced by the
+    # equally-shell-like "hydrated" DOM
+    assert row["n_out_chars"] < 200
