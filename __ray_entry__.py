@@ -122,6 +122,20 @@ def _q_doc_token_counts(sf_dir: str) -> Any:
     return ds.select_columns(["doc_id", "token_count"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_bpe_token_counts(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_bpe_token_count
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_bpe_token_count, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(["doc_id", "bpe_token_count"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_stats_by_lang(sf_dir: str) -> Any:
     from ray.data.aggregate import Count, Sum
 
@@ -407,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_samples": _q_video_frame_samples,
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
+        "doc_bpe_token_counts": _q_doc_bpe_token_counts,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_quality_counts": _q_doc_quality_counts,
         "doc_gopher_quality": _q_doc_gopher_quality,
@@ -453,6 +468,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": (
             "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
             " AS token_count FROM documents ORDER BY doc_id"
+        ),
+        "doc_bpe_token_counts": (
+            "SELECT doc_id, CAST(array_length(regexp_extract_all(text,"
+            " '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'"
+            ")) AS BIGINT) AS bpe_token_count FROM documents ORDER BY doc_id"
         ),
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"

@@ -38,6 +38,21 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("token_count", pc.cast(pc.list_value_length(tokens), pa.int64()))
 
 
+# RE2-safe GPT-2-style pre-tokenizer pattern (contractions, letter runs,
+# digit runs, punctuation runs, whitespace) — the published BPE split
+# regex minus its lookahead (RE2 has none); identical semantics in
+# pyarrow and DuckDB (both RE2).
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def add_bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """bpe_token_count = number of BPE-style pre-tokenizer pieces (the
+    "token counting: whitespace + a BPE-ish regex" pipeline staple) —
+    one vectorized regex count per batch."""
+    n = pc.cast(pc.count_substring_regex(batch[text_col], BPE_SPLIT_PATTERN), pa.int64())
+    return batch.append_column("bpe_token_count", n)
+
+
 def add_quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality signals."""
     text = batch[text_col]
