@@ -191,24 +191,41 @@ class CompiledGroup:
     could possibly match it (most test zero) — one walk total.
     """
 
-    __slots__ = ("by_tag", "by_class", "by_id", "rest", "n_selectors")
+    __slots__ = ("by_tag", "by_class", "by_id", "by_attr", "rest", "n_selectors")
+
+    # Tags too common to be a useful bucket key when the compound also
+    # carries an attribute test (a `div[id^=...]` should gate on "has an
+    # id attribute", which few elements do, not on "is a div").
+    _GENERIC_TAGS = frozenset(("div", "span", "p", "a", "ul", "ol", "li", "section"))
 
     def __init__(self, selectors: tuple) -> None:
         self.by_tag: dict[str, list[tuple[int, Compound]]] = {}
         self.by_class: dict[str, list[tuple[int, Compound]]] = {}
         self.by_id: dict[str, list[tuple[int, Compound]]] = {}
+        # attribute-NAME buckets for compounds whose only cheap gate is
+        # "element has attribute X" ([role=...], [class*=...], [id*=...])
+        self.by_attr: dict[str, list[tuple[int, Compound]]] = {}
         self.rest: list[tuple[int, Compound]] = []
         self.n_selectors = len(selectors)
         for i, s in enumerate(selectors):
             for c in compile_selector(s):
-                if c.tag is not None:
-                    self.by_tag.setdefault(c.tag, []).append((i, c))
+                # most-selective-first bucket choice; any bucket is
+                # CORRECT as long as every element the compound could
+                # match reaches it (matches() re-checks everything)
+                if c.id is not None:
+                    self.by_id.setdefault(c.id, []).append((i, c))
                 elif c.classes:
                     # any required class works as the bucket key: an
                     # element lacking it can never match the compound
                     self.by_class.setdefault(c.classes[0], []).append((i, c))
-                elif c.id is not None:
-                    self.by_id.setdefault(c.id, []).append((i, c))
+                elif c.tag is not None and not (
+                    c.attr_tests and c.tag in self._GENERIC_TAGS
+                ):
+                    self.by_tag.setdefault(c.tag, []).append((i, c))
+                elif c.attr_tests:
+                    self.by_attr.setdefault(c.attr_tests[0][0], []).append((i, c))
+                elif c.tag is not None:
+                    self.by_tag.setdefault(c.tag, []).append((i, c))
                 else:
                     self.rest.append((i, c))
 
@@ -223,10 +240,15 @@ class CompiledGroup:
                 b = self.by_class.get(cls)
                 if b is not None:
                     cand.append(b)
+        attrs = el.attrs
         if self.by_id:
-            b = self.by_id.get(el.attrs.get("id", ""))
+            b = self.by_id.get(attrs.get("id", ""))
             if b is not None:
                 cand.append(b)
+        if self.by_attr and attrs:
+            for name, b in self.by_attr.items():
+                if name in attrs:
+                    cand.append(b)
         if self.rest:
             cand.append(self.rest)
         return cand
@@ -256,6 +278,19 @@ class CompiledGroup:
                 for i, c in bucket:
                     if c.matches(el):
                         out[i].append(el)
+        return out
+
+    def count_by_label(self, root: Element) -> list:
+        """Per-selector (element, selector) match counts in ONE walk —
+        the grouped equivalent of calling count_matches per sub-group."""
+        from .nodes import collect_elements
+
+        out = [0] * self.n_selectors
+        for el in collect_elements(root):
+            for bucket in self._candidates(el):
+                for i, c in bucket:
+                    if c.matches(el):
+                        out[i] += 1
         return out
 
     def count_matches(self, root: Element) -> int:

@@ -410,14 +410,17 @@ def remove_high_link_density_in_selected_content(content: Element) -> None:
 # M10 — forum detection (markdown-converter.ts:637-692)
 # ---------------------------------------------------------------------------
 
-def detect_forum_page(root: Element) -> bool:
-    def count(selectors) -> int:
-        # one walk; an element matching two selectors still counts twice
-        return compile_group(selectors).count_matches(root)
+_FORUM_ALL_SELECTORS = FORUM_COMMENT_SELECTORS + FORUM_THREAD_SELECTORS + FORUM_VOTE_SELECTORS
 
-    comment_count = count(FORUM_COMMENT_SELECTORS)
-    thread_count = count(FORUM_THREAD_SELECTORS)
-    vote_count = count(FORUM_VOTE_SELECTORS)
+
+def detect_forum_page(root: Element) -> bool:
+    # all three indicator families counted in ONE walk; an element
+    # matching two selectors still counts twice
+    per_sel = compile_group(_FORUM_ALL_SELECTORS).count_by_label(root)
+    nc, nt = len(FORUM_COMMENT_SELECTORS), len(FORUM_THREAD_SELECTORS)
+    comment_count = sum(per_sel[:nc])
+    thread_count = sum(per_sel[nc : nc + nt])
+    vote_count = sum(per_sel[nc + nt :])
 
     is_known_forum_host = False
     canonical = None
@@ -459,9 +462,16 @@ def find_semantic_main_content(root: Element) -> Optional[Element]:
     best_score = -1.0
     for el in select_all(root, "main, article, [role='main'], [role='article']"):
         text_len = len(el.text_content.strip())
-        heading_count = len(select_all(el, "h1, h2, h3"))
-        image_count = len(select_all(el, "img, figure, video"))
-        paragraph_count = len(select_all(el, "p"))
+        # one walk counting all three tag families (was three select_all walks)
+        heading_count = image_count = paragraph_count = 0
+        for d in el.iter_elements():
+            t = d.tag
+            if t in ("h1", "h2", "h3"):
+                heading_count += 1
+            elif t in ("img", "figure", "video"):
+                image_count += 1
+            elif t == "p":
+                paragraph_count += 1
         if text_len < 120 and heading_count == 0 and image_count == 0:
             continue
         score = float(text_len)
@@ -693,23 +703,33 @@ def postprocess_markdown(markdown: str, max_content_length: Optional[int] = None
     p = _RE_PP_HEADING.sub(r"\n\n\2\n\n", p)
     # 2. blank line before list items
     p = _RE_PP_LIST.sub(lambda m: "\n\n" + m.group(2), p)
-    # 3. empty links / images
-    p = _RE_PP_EMPTY_LINK.sub("", p)
-    p = _RE_PP_EMPTY_IMG.sub("", p)
+    # 3. empty links / images (substring prechecks: the patterns require
+    # these literals, and one C-level `in` scan beats a regex pass)
+    if "[](" in p:
+        p = _RE_PP_EMPTY_LINK.sub("", p)
+        p = _RE_PP_EMPTY_IMG.sub("", p)
     # 4. protocol-relative URLs + adjacent-link separation
-    p = _RE_PP_PROTO_REL.sub(r"\1https://", p)
-    p = _RE_PP_ADJ_LINKS.sub(r"\1 ", p)
+    if "](//" in p:
+        p = _RE_PP_PROTO_REL.sub(r"\1https://", p)
+    if ")[" in p:
+        p = _RE_PP_ADJ_LINKS.sub(r"\1 ", p)
     p = split_dense_adjacent_link_runs(p)
     # 5. collapse newlines
-    p = _RE_PP_NEWLINES.sub("\n" * POSTPROCESSING_MAX_CONSECUTIVE_NEWLINES, p)
-    # 6. trim line edges
-    p = _RE_PP_LINE_TRIM.sub("", p)
+    if "\n" * (POSTPROCESSING_MAX_CONSECUTIVE_NEWLINES + 1) in p:
+        p = _RE_PP_NEWLINES.sub("\n" * POSTPROCESSING_MAX_CONSECUTIVE_NEWLINES, p)
+    # 6. trim line edges — C-level equivalent of
+    # _RE_PP_LINE_TRIM.sub("", p): strip [ \t] runs at each \n-delimited
+    # line's edges (a CR before the \n blocks the regex's $ just as it
+    # blocks strip(" \t"), so the two agree on \r\n text too)
+    p = "\n".join(seg.strip(" \t") for seg in p.split("\n"))
     # 7. code fence spacing
-    p = _RE_PP_CODE_FENCE.sub(r"\n\n\2\n\n", p)
+    if "```" in p:
+        p = _RE_PP_CODE_FENCE.sub(r"\n\n\2\n\n", p)
     # 8. dedupe immediately-repeated long lines
     p = _RE_PP_DUP_LINES.sub(r"\1", p)
     # 9. separator spacing
-    p = _RE_PP_SEPARATOR.sub(r"\1\n\2", p)
+    if "\n---\n" in p:
+        p = _RE_PP_SEPARATOR.sub(r"\1\n\2", p)
     # 10. truncation at sentence boundary
     if max_content_length and len(p) > max_content_length:
         truncated_point = p.rfind(".", 0, max(0, max_content_length - 15) + 1)

@@ -35,9 +35,23 @@ def serialize(el: Element) -> str:
 # Inline rendering
 # ---------------------------------------------------------------------------
 
+def _collapse_keep_edges(d: str) -> str:
+    """C-level equivalent of _WS.sub(" ", d): each maximal whitespace
+    run becomes one space, including leading/trailing runs."""
+    parts = d.split()
+    if not parts:
+        return " " if d else ""
+    out = " ".join(parts)
+    if d[0].isspace():
+        out = " " + out
+    if d[-1].isspace():
+        out += " "
+    return out
+
+
 def _render_inline(node: Node) -> str:
     if isinstance(node, Text):
-        return _WS.sub(" ", node.data)
+        return _collapse_keep_edges(node.data)
     assert isinstance(node, Element)
     tag = node.tag
     if tag == "br":
@@ -73,9 +87,12 @@ def _inline_children(el: Element) -> str:
     return "".join(_render_inline(c) for c in el.children)
 
 
+_SPACE_RUN = re.compile(r" {2,}")
+
+
 def _finalize_paragraph(text: str) -> str:
     # collapse runs of spaces introduced by adjacent whitespace, keep \n (from <br>)
-    lines = [re.sub(r" {2,}", " ", ln).strip() for ln in text.split("\n")]
+    lines = [_SPACE_RUN.sub(" ", ln).strip() for ln in text.split("\n")]
     return "\n".join(ln for ln in lines if ln != "").strip()
 
 

@@ -56,10 +56,16 @@ _MD_FIRST_H1 = re.compile(r"(?m)^#\s+(.+)$")
 
 
 def _collapse(value: str) -> str:
-    return _WS.sub(" ", value).strip()
+    # C-level equivalent of _WS.sub(" ", value).strip(): str.split()'s
+    # whitespace set is exactly re \s (verified over the full codepoint
+    # range), and join-of-split both collapses runs and trims ends.
+    return " ".join(value.split())
 
 
-def _entity_decode(value: str) -> str:
+# Sequential per-entity passes (NOT one alternation): the reference
+# decodes "&amp;lt;" → "<" because earlier passes feed later ones.
+_ENTITY_PASSES = tuple(
+    (re.compile(re.escape(pat), re.I), repl)
     for pat, repl in (
         ("&nbsp;", " "),
         ("&amp;", "&"),
@@ -67,8 +73,15 @@ def _entity_decode(value: str) -> str:
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
-    ):
-        value = re.sub(re.escape(pat), repl, value, flags=re.I)
+    )
+)
+
+
+def _entity_decode(value: str) -> str:
+    if "&" not in value:
+        return value
+    for pat, repl in _ENTITY_PASSES:
+        value = pat.sub(repl, value)
     return value
 
 
