@@ -74,6 +74,12 @@ class _TreeBuilder(HTMLParser):
         self.stack.pop()
         self._open_tags.pop()
 
+    def updatepos(self, i: int, j: int) -> int:
+        # line/column tracking is only for getpos()/error messages,
+        # which this builder never uses — skip the newline counting
+        # (hundreds of thousands of calls per large page)
+        return j
+
 
 def parse_html(html: str) -> Element:
     """Parse an HTML string into a DOM tree rooted at a synthetic ``#root``."""

@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+from ray.data.aggregate import AggregateFnV2
 
 _HASH_KEY = "0123456789123456"  # pandas siphash key: fixed → cross-process stable
 
@@ -69,51 +70,61 @@ def _estimate(regs: np.ndarray, p: int) -> float:
     return float(est)
 
 
+class HllDistinct(AggregateFnV2):
+    """``approx COUNT(DISTINCT on)`` as a first-class Ray Data
+    aggregation: ``ds.aggregate(HllDistinct(on="user_id"))`` or
+    ``ds.groupby(k).aggregate(HllDistinct(on="user_id"))``.
+
+    The accumulator is the fixed 2^p-byte HLL register blob; blocks
+    reduce to one blob each (``aggregate_block``), blobs merge by
+    elementwise max (``combine``) — nothing that scales with raw
+    cardinality ever moves, which is the whole point at 10^12 rows.
+    Nulls are skipped (matching SQL COUNT(DISTINCT)).
+    """
+
+    def __init__(self, on: str, p: int = 12, alias_name: str | None = None):
+        self._p = p
+        m = 1 << p
+        super().__init__(
+            alias_name or f"hll_distinct({on})",
+            zero_factory=lambda: bytes(m),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        return _registers_for(col.drop_null().to_pylist(), self._p).tobytes()
+
+    def combine(self, current_accumulator: bytes, new: bytes) -> bytes:
+        return np.maximum(
+            np.frombuffer(current_accumulator, dtype=np.uint8),
+            np.frombuffer(new, dtype=np.uint8),
+        ).tobytes()
+
+    def finalize(self, accumulator: bytes) -> float:
+        return _estimate(np.frombuffer(accumulator, dtype=np.uint8), self._p)
+
+
 def hll_distinct(ds: "ray.data.Dataset", column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column).  ~1.04/sqrt(2^p) std error
     (p=12 → ~1.6%)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        regs = _registers_for(batch.column(column).to_pylist(), p)
-        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).take_all()
-    merged = np.zeros(1 << p, dtype=np.uint8)
-    for r in parts:
-        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
-    return _estimate(merged, p)
+    return float(ds.aggregate(HllDistinct(on=column, p=p, alias_name="approx_distinct"))["approx_distinct"])
 
 
 def hll_distinct_by_key(
     ds: "ray.data.Dataset", key: str, column: str, p: int = 12
 ) -> pd.DataFrame:
-    """Approximate distinct(column) per key value.  Per-block partial
-    sketches shuffle as (key, 2^p-byte blob) rows — one tiny groupby
-    regardless of raw cardinality."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        # explicit schema (key type from the input batch, regs binary):
-        # a zero-row batch must emit the SAME schema as full batches or
-        # Ray Data's schema unification fails at runtime
-        schema = pa.schema([(key, batch.schema.field(key).type), ("regs", pa.binary())])
-        df = pd.DataFrame({key: batch.column(key).to_pylist(), column: batch.column(column).to_pylist()})
-        rows = []
-        for k, grp in df.groupby(key, sort=False):
-            rows.append({key: k, "regs": _registers_for(grp[column].tolist(), p).tobytes()})
-        return pa.Table.from_pylist(rows, schema=schema)
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        merged = np.zeros(1 << p, dtype=np.uint8)
-        for blob in group["regs"]:
-            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
-        return pd.DataFrame(
-            {key: [group[key].iloc[0]], "approx_distinct": [int(round(_estimate(merged, p)))]}
-        )
-
+    """Approximate distinct(column) per key value, via the
+    :class:`HllDistinct` aggregation (per-block partial sketches merge
+    by max inside Ray's aggregate — one tiny shuffle of fixed-size
+    blobs regardless of raw cardinality)."""
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(key)
-        .map_groups(merge, batch_format="pandas")
+        ds.groupby(key)
+        .aggregate(HllDistinct(on=column, p=p, alias_name="approx_distinct"))
         .to_pandas()
     )
+    out["approx_distinct"] = out["approx_distinct"].round().astype("int64")
     return out.sort_values(key).reset_index(drop=True)

@@ -103,6 +103,29 @@ def test_size_aware_repartition_counts(ray_session, small_corpus_dir):
     assert mat.num_blocks() >= 2  # 40 docs of ~6KB >> 64KB target → split
 
 
+def test_range_partition_by_doc_id(ray_session, small_corpus_dir):
+    import ray.data
+
+    from fetch_engines_ray.ops.partitioning import range_partition_by_doc_id
+
+    ds = ray.data.read_parquet(small_corpus_dir)
+    out = range_partition_by_doc_id(ds, 4).materialize()
+    assert out.count() == 40
+    assert out.num_blocks() == 4
+    # contiguous, globally sorted doc_id ranges: per-block [min, max]
+    # intervals must not overlap and concatenated ids must be sorted
+    ids_per_block = [
+        [r["doc_id"] for r in ref.to_pylist()]
+        for ref in [ray.get(b) for b in out.get_internal_block_refs()]
+        if len(ref)
+    ]
+    flat = [i for blk in ids_per_block for i in blk]
+    assert flat == sorted(flat)
+    bounds = [(blk[0], blk[-1]) for blk in ids_per_block]
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo
+
+
 def test_route_override_patterns(ray_session, small_corpus_dir):
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
