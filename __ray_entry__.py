@@ -455,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_per_event_type": _q_hll_users_per_event_type,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
+        "events_hopping_window": rel.events_hopping_window,
+        "top_docs_per_lang": rel.top_docs_per_lang,
         "events_props_k_by_type": rel.events_props_k_by_type,
         "parts_in_supplier_band": _q_parts_in_supplier_band,
         "user_sessions": rel.user_sessions,
@@ -593,6 +595,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,"
             " count(*) AS n_events, round(sum(value), 3) AS total_value"
             " FROM events GROUP BY window_start ORDER BY window_start"
+        ),
+        "events_hopping_window": (
+            # 60-min windows hopping every 30 min: each event lands in
+            # the two windows starting at (hop_bucket - i) * 1800, i in {0,1}
+            "SELECT CAST((floor(epoch(ts) / 1800) - i) * 1800 AS BIGINT) AS window_start,"
+            " count(*) AS n_events, round(sum(value), 3) AS total_value"
+            " FROM events, range(0, 2) t(i)"
+            " GROUP BY window_start ORDER BY window_start"
+        ),
+        "top_docs_per_lang": (
+            "SELECT doc_id, lang, n_chars, rank FROM ("
+            "  SELECT doc_id, lang, n_chars, CAST(row_number() OVER ("
+            "    PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank"
+            "  FROM documents)"
+            " WHERE rank <= 3 ORDER BY lang, rank"
         ),
         "revenue_by_orderpriority": (
             "SELECT o_orderpriority, count(*) AS n_items,"

@@ -352,6 +352,72 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFram
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def events_hopping_window(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 30
+) -> pd.DataFrame:
+    """Hopping (sliding) window aggregate: count + value sum per
+    [window_start, window_start + w) for windows starting every hop h
+    (w must be a multiple of h).  Each event is replicated into the
+    m = w/h windows covering it with one vectorized numpy repeat inside
+    ``map_batches`` — the replication factor is the constant m, not data
+    size — so the only wide op stays the final grouped rollup."""
+    assert window_minutes % hop_minutes == 0
+    m = window_minutes // hop_minutes
+    h_us = hop_minutes * 60 * 1_000_000
+    hop_s = hop_minutes * 60
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy()
+        vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        b = epoch_us // h_us  # hop-bucket index of each event
+        # an event in hop bucket b lies inside windows starting at
+        # (b - i) * hop for i in 0..m-1
+        starts = (np.repeat(b, m) - np.tile(np.arange(m, dtype=np.int64), len(b))) * hop_s
+        return pa.table(
+            {
+                "window_start": pa.array(starts, type=pa.int64()),
+                "value": pa.array(np.repeat(vals, m)),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out = _round_cols(out, ["total_value"])
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k rows per group (longest docs per language) with a
+    per-block combiner: each block reduces to at most k rows per group
+    BEFORE the shuffle, so the grouped finalize sees ~k × num_blocks
+    rows per group instead of the whole corpus — the scale shape for
+    rank-within-group over 10^12 rows.  Ties break on doc_id asc."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("lang", sort=False).head(k), preserve_index=False)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization (session windows): per-user event runs split on
     inactivity gaps > ``gap_minutes``.

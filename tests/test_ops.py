@@ -310,3 +310,31 @@ def test_interval_join_counts_boundaries(ray_session):
         lo_col="lo", hi_col="hi", interval_id="iid", cell_width=7.0,
     ).set_index("interval_id")["n_points"].to_dict()
     assert out == {1: 11, 2: 5, 3: 100, 5: 1}
+
+
+def test_top_docs_per_lang_combiner_across_blocks(ray_session, tmp_path):
+    """The per-block top-k combiner must agree with a global ranking
+    even when ties and winners are spread across many input files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fetch_engines_ray.ops.relational import top_docs_per_lang
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    # lang 'aa': all-tied n_chars across 4 files -> rank by doc_id asc
+    # lang 'bb': strictly decreasing, winners in the LAST file
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "lang": "aa", "n_chars": 100})
+        rows.append({"doc_id": 1000 + i, "lang": "bb", "n_chars": i})
+    for part in range(4):
+        pq.write_table(
+            pa.Table.from_pylist(rows[part::4]), str(d / f"part{part}.parquet")
+        )
+    out = top_docs_per_lang(str(tmp_path), k=3)
+    aa = out[out["lang"] == "aa"]
+    bb = out[out["lang"] == "bb"]
+    assert aa["doc_id"].tolist() == [0, 1, 2] and aa["rank"].tolist() == [1, 2, 3]
+    assert bb["doc_id"].tolist() == [1039, 1038, 1037]
+    assert bb["n_chars"].tolist() == [39, 38, 37]
