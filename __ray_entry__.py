@@ -136,6 +136,44 @@ def _q_doc_bpe_token_counts(sf_dir: str) -> Any:
     )
 
 
+def _q_doc_normalized_text(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_normalized_text
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_normalized_text, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(["doc_id", "norm_text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_doc_train_val_split(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_split_assignment
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_split_assignment, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(["doc_id", "split"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_doc_sequence_packing(sf_dir: str) -> Any:
+    """Shard-local greedy packing (no SQL oracle: capacity-reset greedy
+    state is not window-function expressible; invariants are pytest-
+    covered in tests/test_ops.py::test_pack_sequences_invariants)."""
+    from fetch_engines_ray.ops.packing import pack_sequences
+
+    out = pack_sequences(_read_documents(sf_dir), max_tokens=512).to_pandas()
+    return out.sort_values("seq_id").reset_index(drop=True)
+
+
 def _q_doc_stats_by_lang(sf_dir: str) -> Any:
     from ray.data.aggregate import Count, Sum
 
@@ -422,6 +460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,
+        "doc_normalized_text": _q_doc_normalized_text,
+        "doc_train_val_split": _q_doc_train_val_split,
+        "doc_sequence_packing": _q_doc_sequence_packing,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_quality_counts": _q_doc_quality_counts,
         "doc_gopher_quality": _q_doc_gopher_quality,
@@ -470,6 +511,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": (
             "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
             " AS token_count FROM documents ORDER BY doc_id"
+        ),
+        "doc_normalized_text": (
+            "SELECT doc_id, trim(regexp_replace(nfc_normalize(lower(text)),"
+            " '\\s+', ' ', 'g'), ' ') AS norm_text FROM documents ORDER BY doc_id"
+        ),
+        "doc_train_val_split": (
+            "SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            " AS BIGINT) % 100 < 10 THEN 'val' ELSE 'train' END AS split"
+            " FROM documents ORDER BY doc_id"
         ),
         "doc_bpe_token_counts": (
             "SELECT doc_id, CAST(array_length(regexp_extract_all(text,"

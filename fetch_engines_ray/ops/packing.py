@@ -1,0 +1,108 @@
+"""Sequence packing (concat-and-chunk): greedily pack documents into
+training sequences of at most ``max_tokens`` tokens.
+
+The pretraining-prep staple the reference never needed but a 100-TB
+training-data pipeline does: documents become fixed-budget sequences so
+the trainer sees dense batches.  Packing state is SHARD-LOCAL by
+design — each input block packs independently inside ``map_batches``
+(exactly how production pipelines pack per shard), so there is no
+cross-partition sequential state, no driver loop, and results are
+deterministic given the partitioning.  Sequences are identified by
+their first document's id, which is unique corpus-wide regardless of
+how blocks split.
+
+A document longer than ``max_tokens`` on its own becomes a singleton
+sequence flagged ``oversize`` (callers chunk or drop downstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("seq_id", pa.int64()),          # first doc_id in the sequence
+        ("doc_ids", pa.list_(pa.int64())),
+        ("n_docs", pa.int64()),
+        ("total_tokens", pa.int64()),
+        ("oversize", pa.bool_()),
+    ]
+)
+
+
+def _pack_batch(batch: pa.Table, max_tokens: int, id_col: str, text_col: str) -> pa.Table:
+    """Greedy first-fit-in-order packing of one batch."""
+    ids = batch[id_col].to_pylist()
+    # whitespace token counts, vectorized (same token definition as
+    # textstats.add_token_count)
+    toks = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(batch[text_col]), r"\s+")
+    ).to_pylist()
+    seq_ids: list[int] = []
+    doc_lists: list[list[int]] = []
+    totals: list[int] = []
+    oversize: list[bool] = []
+    cur: list[int] = []
+    cur_tok = 0
+    for doc, n in zip(ids, toks):
+        n = n or 0
+        if n > max_tokens and not cur:
+            seq_ids.append(doc)
+            doc_lists.append([doc])
+            totals.append(n)
+            oversize.append(True)
+            continue
+        if cur and cur_tok + n > max_tokens:
+            seq_ids.append(cur[0])
+            doc_lists.append(cur)
+            totals.append(cur_tok)
+            oversize.append(False)
+            cur, cur_tok = [], 0
+        if n > max_tokens:  # oversize doc arriving with an open sequence
+            seq_ids.append(doc)
+            doc_lists.append([doc])
+            totals.append(n)
+            oversize.append(True)
+            continue
+        cur.append(doc)
+        cur_tok += n
+    if cur:
+        seq_ids.append(cur[0])
+        doc_lists.append(cur)
+        totals.append(cur_tok)
+        oversize.append(False)
+    return pa.table(
+        {
+            "seq_id": pa.array(seq_ids, type=pa.int64()),
+            "doc_ids": pa.array(doc_lists, type=pa.list_(pa.int64())),
+            "n_docs": pa.array([len(d) for d in doc_lists], type=pa.int64()),
+            "total_tokens": pa.array(totals, type=pa.int64()),
+            "oversize": pa.array(oversize, type=pa.bool_()),
+        },
+        schema=_OUT_SCHEMA,
+    )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    max_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Pack ``ds`` rows into sequences of ≤ ``max_tokens`` tokens.
+
+    Returns a Dataset with schema
+    ``(seq_id, doc_ids: list<int64>, n_docs, total_tokens, oversize)``.
+    Every input document appears in exactly one output sequence.
+    """
+    return ds.map_batches(
+        _pack_batch,
+        fn_kwargs={"max_tokens": max_tokens, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

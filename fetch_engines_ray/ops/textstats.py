@@ -53,6 +53,37 @@ def add_bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("bpe_token_count", n)
 
 
+def add_normalized_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization (the dedup / tokenizer pre-pass):
+    lowercase → Unicode NFC → collapse whitespace runs → trim spaces.
+    All pyarrow kernels (utf8proc + RE2), which keeps the semantics
+    bit-identical to DuckDB's lower/nfc_normalize/regexp_replace —
+    both stacks share those libraries."""
+    x = pc.utf8_lower(batch[text_col])
+    x = pc.utf8_normalize(x, form="NFC")
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    x = pc.utf8_trim(x, " ")
+    return batch.append_column("norm_text", x)
+
+
+def add_split_assignment(
+    batch: pa.Table, id_col: str = "doc_id", val_pct: int = 10
+) -> pa.Table:
+    """Deterministic train/val assignment: md5 of the row id picks a
+    stable bucket in [0, 100) — reproducible across runs, machines and
+    engines (oracle: DuckDB md5 over the same string id)."""
+    import hashlib
+
+    ids = batch[id_col].to_pylist()
+    buckets = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids
+    ]
+    split = pa.array(
+        ["val" if b < val_pct else "train" for b in buckets], type=pa.string()
+    )
+    return batch.append_column("split", split)
+
+
 def add_quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality signals."""
     text = batch[text_col]

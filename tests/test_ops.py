@@ -338,3 +338,32 @@ def test_top_docs_per_lang_combiner_across_blocks(ray_session, tmp_path):
     assert aa["doc_id"].tolist() == [0, 1, 2] and aa["rank"].tolist() == [1, 2, 3]
     assert bb["doc_id"].tolist() == [1039, 1038, 1037]
     assert bb["n_chars"].tolist() == [39, 38, 37]
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.packing import pack_sequences
+
+    docs = [{"doc_id": i, "text": " ".join(["w"] * n)} for i, n in enumerate(
+        [100, 200, 250, 600, 10, 480, 30, 5, 512, 1]
+    )]
+    out = pack_sequences(
+        ray.data.from_items(docs), max_tokens=512, batch_size=len(docs)
+    ).to_pandas().sort_values("seq_id").reset_index(drop=True)
+    # exactly-once coverage
+    flat = [d for row in out["doc_ids"] for d in row]
+    assert sorted(flat) == list(range(10))
+    # budget respected except for flagged oversize singletons
+    for _, row in out.iterrows():
+        if row["oversize"]:
+            assert row["n_docs"] == 1 and row["total_tokens"] > 512
+        else:
+            assert row["total_tokens"] <= 512
+    # greedy in order: [100,200,250]? 100+200=300, +250=550>512 -> seq(0,1),
+    # then 250 opens; 600 oversize singleton; 250+10=260, +480>512 ->
+    # seq(2,4); 480+30+5=515>512 -> 480+30? 510+5=515>512... check exact:
+    seqs = [list(r) for r in out["doc_ids"]]
+    assert [0, 1] in seqs and [3] in seqs and [8] in seqs
+    # total token conservation
+    assert int(out["total_tokens"].sum()) == 100+200+250+600+10+480+30+5+512+1
