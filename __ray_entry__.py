@@ -107,6 +107,18 @@ def _q_video_frame_samples(sf_dir: str) -> Any:
     return sample_frames(decode_media(media_spans_dataset(ds), concurrency=2))
 
 
+def _q_audio_features(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.multimodal import (
+        decode_media,
+        extract_audio_features,
+        media_spans_dataset,
+    )
+    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+
+    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
+    return extract_audio_features(decode_media(media_spans_dataset(ds), concurrency=2))
+
+
 def _read_documents(sf_dir: str):
     import ray.data
 
@@ -457,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "video_frame_samples": _q_video_frame_samples,
+        "audio_features": _q_audio_features,
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,

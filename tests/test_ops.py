@@ -367,3 +367,27 @@ def test_pack_sequences_invariants(ray_session):
     assert [0, 1] in seqs and [3] in seqs and [8] in seqs
     # total token conservation
     assert int(out["total_tokens"].sum()) == 100+200+250+600+10+480+30+5+512+1
+
+
+def test_audio_feature_framing_math(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.multimodal import extract_audio_features
+
+    rows = [
+        {"media_ref": "m/a.wav", "kind": "audio", "width": 0, "height": 0, "duration_ms": 1000},
+        {"media_ref": "m/b.wav", "kind": "audio", "width": 0, "height": 0, "duration_ms": 24},
+        {"media_ref": "m/v.mp4", "kind": "video", "width": 0, "height": 0, "duration_ms": 5000},
+    ]
+    out = extract_audio_features(
+        ray.data.from_items(rows), frame_length_ms=25, hop_ms=10, concurrency=1
+    ).take_all()
+    by_ref = {r["media_ref"]: r for r in out}
+    assert set(by_ref) == {"m/a.wav", "m/b.wav"}  # video rows are skipped
+    # 1 + (1000 - 25) // 10 = 98 frames of 13 coeffs
+    a = by_ref["m/a.wav"]
+    assert a["n_frames"] == 98
+    assert len(a["features"]) == 98 and len(a["features"][0]) == 13
+    assert a["feature_status"] == "stubbed"
+    # shorter than one frame -> zero frames
+    assert by_ref["m/b.wav"]["n_frames"] == 0
