@@ -562,8 +562,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus,"
             " round(sum(l_quantity), 3) AS sum_qty,"
-            " round(sum(l_extendedprice), 3) AS sum_base_price,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,"
+            " round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 3) AS sum_base_price,"
+            " round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10.0)"
+            " / 1000.0 AS sum_disc_price,"
             " round(avg(l_quantity), 3) AS avg_qty,"
             " count(*) AS count_order"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
@@ -571,17 +572,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orders_by_status": (
             "SELECT o_orderstatus, count(*) AS n_orders,"
-            " round(sum(o_totalprice), 3) AS total_price,"
+            " round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 3) AS total_price,"
             " round(min(o_totalprice), 3) AS min_price,"
             " round(max(o_totalprice), 3) AS max_price"
             " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ),
         "events_value_by_type": (
-            "SELECT event_type, count(*) AS n_events, round(sum(value), 3) AS total_value"
+            "SELECT event_type, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
             " FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "customer_revenue_by_segment": (
-            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 3) AS revenue"
+            "SELECT c_mktsegment, count(*) AS n_orders, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 3) AS revenue"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
@@ -603,18 +604,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT p_brand FROM part ORDER BY p_brand"
         ),
         "supplier_count_by_nation": (
-            "SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 3) AS total_acctbal"
+            "SELECT n_name, count(*) AS n_suppliers, round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 3) AS total_acctbal"
             " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
             " GROUP BY n_name ORDER BY n_name"
         ),
         "orders_per_month": (
             "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,"
-            " round(sum(o_totalprice), 3) AS revenue"
+            " round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 3) AS revenue"
             " FROM orders GROUP BY month ORDER BY month"
         ),
         "large_parts_by_brand": (
             "SELECT p_brand, count(*) AS n_parts,"
-            " CAST(round(sum(p_retailprice) * 100) AS BIGINT) AS total_cents"
+            " sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS total_cents"
             " FROM part WHERE p_size >= 25 GROUP BY p_brand ORDER BY p_brand"
         ),
         "distinct_users_by_event_type": (
@@ -640,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
             "     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM d)"
             " SELECT user_id, session_idx, count(*) AS n_events,"
             "   CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS start_epoch,"
-            "   round(sum(value), 3) AS total_value"
+            "   round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
             " FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
         ),
         "parts_in_supplier_band": (
@@ -656,14 +657,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_tumbling_window": (
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,"
-            " count(*) AS n_events, round(sum(value), 3) AS total_value"
+            " count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
             " FROM events GROUP BY window_start ORDER BY window_start"
         ),
         "events_hopping_window": (
             # 60-min windows hopping every 30 min: each event lands in
             # the two windows starting at (hop_bucket - i) * 1800, i in {0,1}
             "SELECT CAST((floor(epoch(ts) / 1800) - i) * 1800 AS BIGINT) AS window_start,"
-            " count(*) AS n_events, round(sum(value), 3) AS total_value"
+            " count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
             " FROM events, range(0, 2) t(i)"
             " GROUP BY window_start ORDER BY window_start"
         ),
@@ -676,7 +677,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "revenue_by_orderpriority": (
             "SELECT o_orderpriority, count(*) AS n_items,"
-            " round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue"
+            " round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10.0) / 1000.0 AS revenue"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
             " GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),

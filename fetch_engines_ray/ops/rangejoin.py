@@ -78,7 +78,14 @@ def interval_join_counts(
         pts = group[group["kind"] == 0]
         ivs = group[group["kind"] == 1]
         if pts.empty or ivs.empty:
-            return pd.DataFrame(columns=["interval_id", "n_points"])
+            # typed empty frame: object-dtype columns break Ray Data's
+            # schema unification when every group in a block is empty
+            return pd.DataFrame(
+                {
+                    "interval_id": pd.Series(dtype="int64"),
+                    "n_points": pd.Series(dtype="int64"),
+                }
+            )
         pv = np.sort(pts["lo"].to_numpy())
         lo = ivs["lo"].to_numpy()
         hi = ivs["hi"].to_numpy()
@@ -92,6 +99,14 @@ def interval_join_counts(
 
     per_cell = tagged.groupby("cell").map_groups(join_cell, batch_format="pandas")
     out = per_cell.groupby("interval_id").sum(on="n_points").to_pandas()
+    if out.empty or "interval_id" not in out.columns:
+        # zero matches anywhere (small inputs): stable empty schema
+        return pd.DataFrame(
+            {
+                "interval_id": pd.Series(dtype="int64"),
+                "n_points": pd.Series(dtype="int64"),
+            }
+        )
     col = "sum(n_points)" if "sum(n_points)" in out.columns else "n_points"
     out = out.rename(columns={col: "n_points"})
     out["n_points"] = out["n_points"].astype("int64")

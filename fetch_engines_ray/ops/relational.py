@@ -31,6 +31,21 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _add_int_scaled(ds, col: str, out_col: str, scale: float = 100.0):
+    """Append ``out_col`` = round(col * scale) as int64.  Money/value
+    columns in the test tables are exact 2-decimal values; summing them
+    as scaled integers makes every aggregate EXACT and block-order
+    independent — float sums land on either side of a round(3) half
+    boundary depending on summation order, which flakes the DuckDB
+    oracle hash (seen on lineitem_pricing_summary at sf0.001)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(batch[col], pa.scalar(scale))), pa.int64())
+        return batch.append_column(out_col, v)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
 def _round_cols(df: pd.DataFrame, cols: list[str], nd: int = 3) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].round(nd)
@@ -56,39 +71,63 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
     )
 
     def add_disc_price(batch: pa.Table) -> pa.Table:
+        # prices are 2-decimal, discounts 2-decimal → disc_price is an
+        # exact multiple of 1e-4.  Sum in integer 1e-4 units (int64) so
+        # the aggregate is EXACT and order-independent: float sums land
+        # on either side of a round(3) boundary depending on block
+        # order, which flaked the oracle hash at sf0.001.
         disc = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return batch.append_column("disc_price", disc)
+        disc_i = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        base_i = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64()
+        )
+        batch = batch.append_column("disc_price_i", disc_i)
+        return batch.append_column("base_price_i", base_i)
 
     ds = ds.map_batches(add_disc_price, batch_format="pyarrow", batch_size=65536)
     out = (
         ds.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("base_price_i", alias_name="base_price_i"),
+            Sum("disc_price_i", alias_name="disc_price_i"),
             Mean("l_quantity", alias_name="avg_qty"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    out = _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+    out["sum_base_price"] = out["base_price_i"] / 100.0
+    # round to 3dp in INTEGER space, half away from zero (matching SQL
+    # round()): a 1e-4-exact sum can land exactly on the 3dp half
+    # boundary, where pandas' half-even disagrees with DuckDB
+    out["sum_disc_price"] = ((out["disc_price_i"] + 5) // 10) / 1000.0
+    out = out.drop(columns=["base_price_i", "disc_price_i"])
+    out = out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "avg_qty", "count_order"]
+    ]
+    out = _round_cols(out, ["sum_qty", "sum_base_price", "avg_qty"])
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 def orders_by_status(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    ds = _add_int_scaled(ds, "o_totalprice", "cents")
     out = (
         ds.groupby("o_orderstatus")
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="total_price"),
+            Sum("cents", alias_name="cents"),
             Min("o_totalprice", alias_name="min_price"),
             Max("o_totalprice", alias_name="max_price"),
         )
         .to_pandas()
     )
+    out["total_price"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
+    out = out[["o_orderstatus", "n_orders", "total_price", "min_price", "max_price"]]
     return _round_cols(out, ["total_price", "min_price", "max_price"]).sort_values(
         "o_orderstatus"
     ).reset_index(drop=True)
@@ -96,11 +135,14 @@ def orders_by_status(sf_dir: str) -> pd.DataFrame:
 
 def events_value_by_type(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = _add_int_scaled(ds, "value", "cents")
     out = (
         ds.groupby("event_type")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
         .to_pandas()
     )
+    out["total_value"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
     return _round_cols(out, ["total_value"]).sort_values("event_type").reset_index(drop=True)
 
 
@@ -159,11 +201,14 @@ def customer_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
             return attach(batch, "o_custkey", "c_mktsegment", default="")
 
         joined = orders.map_batches(attach_segment, batch_format="pyarrow", batch_size=65536)
+    joined = _add_int_scaled(joined, "o_totalprice", "cents")
     out = (
         joined.groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .to_pandas()
     )
+    out["revenue"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
     return _round_cols(out, ["revenue"]).sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -229,11 +274,14 @@ def supplier_count_by_nation(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]).map_batches(
         attach_name, batch_format="pyarrow", batch_size=8192
     )
+    ds = _add_int_scaled(ds, "s_acctbal", "cents")
     out = (
         ds.groupby("n_name")
-        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+        .aggregate(Count(alias_name="n_suppliers"), Sum("cents", alias_name="cents"))
         .to_pandas()
     )
+    out["total_acctbal"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
     out = _round_cols(out, ["total_acctbal"])
     return out.sort_values("n_name").reset_index(drop=True)
 
@@ -243,16 +291,21 @@ def orders_per_month(sf_dir: str) -> pd.DataFrame:
 
     def month(batch: pa.Table) -> pa.Table:
         m = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
-        return pa.table({"month": m, "o_totalprice": batch.column("o_totalprice")})
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"month": m, "cents": cents})
 
     ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]).map_batches(
         month, batch_format="pyarrow", batch_size=8192
     )
     out = (
         ds.groupby("month")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .to_pandas()
     )
+    out["revenue"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
     out = _round_cols(out, ["revenue"])
     return out.sort_values("month").reset_index(drop=True)
 
@@ -265,12 +318,13 @@ def large_parts_by_brand(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"]).filter(
         expr="p_size >= 25"
     )
+    ds = _add_int_scaled(ds, "p_retailprice", "total_cents")
     out = (
         ds.groupby("p_brand")
-        .aggregate(Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="total_cents"))
+        .aggregate(Count(alias_name="n_parts"), Sum("total_cents", alias_name="total_cents"))
         .to_pandas()
     )
-    out["total_cents"] = (out["total_cents"] * 100).round().astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
@@ -300,7 +354,9 @@ def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+        # exact 1e-4-unit integers (2dp price x 2dp discount factor)
+        rev_i = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_i": rev_i})
 
     lineitem = lineitem.map_batches(revenue, batch_format="pyarrow", batch_size=8192)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
@@ -315,10 +371,12 @@ def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
     )
     out = (
         joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_items"), Sum("rev_i", alias_name="rev_i"))
         .to_pandas()
     )
-    out = _round_cols(out, ["revenue"])
+    # 3dp half-away-from-zero in integer space (matches SQL round())
+    out["revenue"] = ((out["rev_i"] + 5) // 10) / 1000.0
+    out = out.drop(columns=["rev_i"])
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -338,16 +396,19 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFram
         win = pc.multiply(
             pc.divide(epoch_us, pa.scalar(w_us)), pa.scalar(window_minutes * 60)
         )
-        return pa.table(
-            {"window_start": pc.cast(win, pa.int64()), "value": batch.column("value")}
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))), pa.int64()
         )
+        return pa.table({"window_start": pc.cast(win, pa.int64()), "cents": cents})
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("window_start")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
         .to_pandas()
     )
+    out["total_value"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
     out = _round_cols(out, ["total_value"])
     return out.sort_values("window_start").reset_index(drop=True)
 
@@ -370,6 +431,7 @@ def events_hopping_window(
     def explode(batch: pa.Table) -> pa.Table:
         epoch_us = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy()
         vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.rint(vals * 100.0).astype(np.int64)
         b = epoch_us // h_us  # hop-bucket index of each event
         # an event in hop bucket b lies inside windows starting at
         # (b - i) * hop for i in 0..m-1
@@ -377,16 +439,18 @@ def events_hopping_window(
         return pa.table(
             {
                 "window_start": pa.array(starts, type=pa.int64()),
-                "value": pa.array(np.repeat(vals, m)),
+                "cents": pa.array(np.repeat(cents, m)),
             }
         )
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
         .groupby("window_start")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="cents"))
         .to_pandas()
     )
+    out["total_value"] = out["cents"] / 100.0
+    out = out.drop(columns=["cents"])
     out = _round_cols(out, ["total_value"])
     return out.sort_values("window_start").reset_index(drop=True)
 
