@@ -94,6 +94,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "customer_revenue_by_segment",
         "revenue_by_orderpriority",
         "events_tumbling_window",
+        "events_hopping_window",
+        "top_docs_per_lang",
+        "doc_normalized_text",
+        "doc_sequence_packing",
     ]
     times = {}
     for name in names:
