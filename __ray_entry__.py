@@ -176,6 +176,38 @@ def _q_doc_train_val_split(sf_dir: str) -> Any:
     )
 
 
+# Planted on BOTH engine and oracle side: the synthetic documents
+# contain no natural PII, so without these the redaction path would be
+# unexercised by the correctness gate (the round-1 near-dup lesson).
+_PII_PLANTS = [
+    (1000000, "Contact alice.smith+spam@example-mail.co.uk or bob@sub.example.org today."),
+    (1000001, "Server at 192.168.1.254 and 8.8.8.8; bogus 999.999.999.999 too."),
+    (1000002, "Call +1-555-123-4567 or (020) 7946-0958 before 5pm."),
+    (1000003, "No pii here, just text with numbers 42 and a dot."),
+    (1000004, "mixed: eve@corp.io from 10.0.0.1 dialed 555-867-5309."),
+]
+
+
+def _q_doc_pii_redaction(sf_dir: str) -> Any:
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import add_pii_redacted
+
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    planted = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in _PII_PLANTS]
+    )
+    ds = docs.union(planted).map_batches(
+        add_pii_redacted, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(["doc_id", "redacted_text", "pii_count"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_sequence_packing(sf_dir: str) -> Any:
     """Shard-local greedy packing (no SQL oracle: capacity-reset greedy
     state is not window-function expressible; invariants are pytest-
@@ -476,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized_text": _q_doc_normalized_text,
         "doc_train_val_split": _q_doc_train_val_split,
         "doc_sequence_packing": _q_doc_sequence_packing,
+        "doc_pii_redaction": _q_doc_pii_redaction,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_quality_counts": _q_doc_quality_counts,
         "doc_gopher_quality": _q_doc_gopher_quality,
@@ -519,8 +552,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _pii_oracle_sql() -> str:
+    """Composed from the engine's own PII_PATTERNS so the regexes can
+    never drift between the Ray kernels and the oracle (both RE2)."""
+    from fetch_engines_ray.ops.textstats import PII_PATTERNS
+
+    (e_repl, e_pat), (i_repl, i_pat), (p_repl, p_pat) = PII_PATTERNS
+    # counts are taken on the SAME intermediate the engine counts on
+    # (each pattern counts after the previous replacement)
+    t0 = "text"
+    t1 = f"regexp_replace({t0}, '{e_pat}', '{e_repl}', 'g')"
+    t2 = f"regexp_replace({t1}, '{i_pat}', '{i_repl}', 'g')"
+    t3 = f"regexp_replace({t2}, '{p_pat}', '{p_repl}', 'g')"
+    cnt = (
+        f"len(regexp_extract_all({t0}, '{e_pat}'))"
+        f" + len(regexp_extract_all({t1}, '{i_pat}'))"
+        f" + len(regexp_extract_all({t2}, '{p_pat}'))"
+    )
+    plants = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _PII_PLANTS
+    )
+    return (
+        f"SELECT doc_id, {t3} AS redacted_text, CAST({cnt} AS BIGINT) AS pii_count"
+        " FROM (SELECT doc_id, text FROM documents"
+        f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text))"
+        " ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_pii_redaction": _pii_oracle_sql(),
         "doc_token_counts": (
             "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
             " AS token_count FROM documents ORDER BY doc_id"

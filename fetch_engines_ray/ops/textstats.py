@@ -84,6 +84,30 @@ def add_split_assignment(
     return batch.append_column("split", split)
 
 
+# RE2-safe PII patterns (no lookbehind/lookahead) — identical semantics
+# in pyarrow and DuckDB, both RE2-based.  Applied in a fixed order so
+# overlapping matches resolve the same way everywhere.
+PII_PATTERNS = (
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[IP]", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("[PHONE]", r"\b\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}\b"),
+)
+
+
+def add_pii_redacted(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrubbing (emails → [EMAIL], IPv4 → [IP], phone-ish numbers
+    → [PHONE]) — the corpus-prep staple, one vectorized RE2 replace per
+    pattern per batch.  Also appends ``pii_count`` (matches redacted)."""
+    x = batch[text_col]
+    total = pa.array([0] * len(batch), type=pa.int64())
+    for repl, pat in PII_PATTERNS:
+        n = pc.cast(pc.count_substring_regex(x, pat), pa.int64())
+        total = pc.add(total, n)
+        x = pc.replace_substring_regex(x, pat, repl)
+    batch = batch.append_column("redacted_text", x)
+    return batch.append_column("pii_count", total)
+
+
 def add_quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality signals."""
     text = batch[text_col]

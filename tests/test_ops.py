@@ -391,3 +391,19 @@ def test_audio_feature_framing_math(ray_session):
     assert a["feature_status"] == "stubbed"
     # shorter than one frame -> zero frames
     assert by_ref["m/b.wav"]["n_frames"] == 0
+
+
+def test_pii_redaction_planted(ray_session):
+    import pyarrow as pa
+
+    from fetch_engines_ray.ops.textstats import add_pii_redacted
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": [
+        "mail bob@example.org now", "host 10.0.0.1 up", "clean text only",
+    ]})
+    out = add_pii_redacted(t)
+    red = out["redacted_text"].to_pylist()
+    assert red[0] == "mail [EMAIL] now"
+    assert red[1] == "host [IP] up"
+    assert red[2] == "clean text only"
+    assert out["pii_count"].to_pylist() == [1, 1, 0]
