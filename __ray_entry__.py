@@ -208,6 +208,20 @@ def _q_doc_pii_redaction(sf_dir: str) -> Any:
     )
 
 
+def _q_doc_repetition_stats(sf_dir: str) -> Any:
+    from fetch_engines_ray.ops.textstats import add_repetition_stats
+
+    ds = _read_documents(sf_dir).map_batches(
+        add_repetition_stats, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(["doc_id", "n_lines", "n_distinct_lines"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_sequence_packing(sf_dir: str) -> Any:
     """Shard-local greedy packing (no SQL oracle: capacity-reset greedy
     state is not window-function expressible; invariants are pytest-
@@ -509,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_train_val_split": _q_doc_train_val_split,
         "doc_sequence_packing": _q_doc_sequence_packing,
         "doc_pii_redaction": _q_doc_pii_redaction,
+        "doc_repetition_stats": _q_doc_repetition_stats,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_quality_counts": _q_doc_quality_counts,
         "doc_gopher_quality": _q_doc_gopher_quality,
@@ -583,6 +598,12 @@ def _pii_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_pii_redaction": _pii_oracle_sql(),
+        "doc_repetition_stats": (
+            "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,"
+            " CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_lines"
+            " FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)"
+            " ORDER BY doc_id"
+        ),
         "doc_token_counts": (
             "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
             " AS token_count FROM documents ORDER BY doc_id"

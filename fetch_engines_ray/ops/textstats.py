@@ -108,6 +108,22 @@ def add_pii_redacted(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("pii_count", total)
 
 
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Line-repetition signals (the Gopher repetition-filter family):
+    ``n_lines`` and ``n_distinct_lines`` per document as exact integers
+    (a high duplicate-line fraction flags boilerplate/spam).  Lines are
+    raw ``\\n`` splits, identical to SQL string_split(text, chr(10))."""
+    texts = batch[text_col].to_pylist()
+    n_lines = []
+    n_distinct = []
+    for t in texts:
+        lines = (t or "").split("\n")
+        n_lines.append(len(lines))
+        n_distinct.append(len(set(lines)))
+    batch = batch.append_column("n_lines", pa.array(n_lines, type=pa.int64()))
+    return batch.append_column("n_distinct_lines", pa.array(n_distinct, type=pa.int64()))
+
+
 def add_quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality signals."""
     text = batch[text_col]
