@@ -69,20 +69,6 @@ def _q_extract_pipeline(sf_dir: str) -> Any:
     )
 
 
-def _q_extract_route_counts(sf_dir: str) -> Any:
-    from ray.data.aggregate import Count, Sum
-
-    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
-
-    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
-    out = (
-        ds.groupby("route")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_out_chars", alias_name="total_chars"))
-        .to_pandas()
-    )
-    return out.sort_values("route").reset_index(drop=True)
-
-
 def _q_media_decode(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
@@ -91,12 +77,37 @@ def _q_media_decode(sf_dir: str) -> Any:
     return decode_media(media_spans_dataset(ds), concurrency=2)
 
 
-def _q_media_resize(sf_dir: str) -> Any:
-    from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset, resize_images
-    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+def _q_png_decode(sf_dir: str) -> Any:
+    """REAL image decode, SQL-oracled: every documents row gets a planted
+    PNG payload (genuine bytes — IHDR/IDAT/IEND, CRC'd, zlib-compressed,
+    cycling all five PNG row filters) whose dimensions and pixel pattern
+    follow a closed form of doc_id; the engine recovers width/height/
+    pixel_sum ONLY by decoding the bytes (ops/png.py), then plans the
+    224x224 letterbox resize.  The oracle mirrors the closed form in
+    SQL — a header-peek or pass-through cannot fake pixel_sum."""
+    import pyarrow as pa
 
-    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
-    return resize_images(decode_media(media_spans_dataset(ds), concurrency=2))
+    from fetch_engines_ray.ops.multimodal import PngDecoder
+    from fetch_engines_ray.ops.png import planted_png
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "payload": pa.array([planted_png(int(i)) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = (
+        _read_documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(attach_payload, batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            PngDecoder, batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=1
+        )
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_video_frame_samples(sf_dir: str) -> Any:
@@ -505,15 +516,21 @@ def _q_doc_quality_counts(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """One callable per implemented pipeline/operator.
+
+    HARD CAP: the driver's correctness gate records at most 50 queries
+    in dict order (round 2 registered 51 and the 51st silently vanished
+    from CORRECTNESS_r02.json) — ``tests/test_pipeline.py`` asserts
+    ``len(queries()) <= 50`` so a new entry must retire an old one.
+    """
     from fetch_engines_ray.ops import relational as rel
 
     return {
         # flagship extraction (synthetic interleaved corpus; rows-only check)
         "extract_pipeline": _q_extract_pipeline,
-        "extract_route_counts": _q_extract_route_counts,
         "extract_quality_by_archetype": _q_extract_quality_by_archetype,
         "media_decode": _q_media_decode,
-        "media_resize": _q_media_resize,
+        "png_decode": _q_png_decode,
         "video_frame_samples": _q_video_frame_samples,
         "audio_features": _q_audio_features,
         # text analysis over documents (SQL oracles)
@@ -548,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_by_segment": rel.customer_revenue_by_segment,
         "customers_per_nation": rel.customers_per_nation,
         "top10_orders_by_price": rel.top10_orders_by_price,
+        "top20_longest_docs": _q_top20_longest_docs,
         "high_value_open_orders": rel.high_value_open_orders,
         "distinct_part_brands": rel.distinct_part_brands,
         "supplier_count_by_nation": rel.supplier_count_by_nation,
@@ -563,7 +581,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_supplier_band": _q_parts_in_supplier_band,
         "user_sessions": rel.user_sessions,
         "events_last_order_asof": rel.events_last_order_asof,
-        "top20_longest_docs": _q_top20_longest_docs,
     }
 
 
@@ -633,6 +650,29 @@ def oracle_sql() -> dict[str, str]:
         "top20_longest_docs": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
+        "png_decode": (
+            # mirrors the planted-PNG closed form (ops/png.py
+            # planted_pixels) + the letterbox formula (ops/multimodal.py
+            # letterbox) — the ENGINE side recovers these numbers only by
+            # decoding genuine PNG bytes
+            "WITH dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h"
+            "  FROM documents),"
+            # range() cannot be laterally correlated in this DuckDB —
+            # cross-join the fixed 16x9 grid (max w/h) and filter
+            " px AS (SELECT dims.doc_id,"
+            "   sum((7 * x.i + 13 * y.i + dims.doc_id) % 256) AS ps"
+            "  FROM dims, range(0, 16) x(i), range(0, 9) y(i)"
+            "  WHERE x.i < dims.w AND y.i < dims.h"
+            "  GROUP BY dims.doc_id)"
+            " SELECT dims.doc_id, CAST(dims.w AS BIGINT) AS width,"
+            " CAST(dims.h AS BIGINT) AS height, CAST(8 AS BIGINT) AS bit_depth,"
+            " CAST(px.ps AS BIGINT) AS pixel_sum,"
+            " CAST(greatest(1, floor(dims.w * least(224.0 / dims.w, 224.0 / dims.h))) AS BIGINT)"
+            "  AS resized_width,"
+            " CAST(greatest(1, floor(dims.h * least(224.0 / dims.w, 224.0 / dims.h))) AS BIGINT)"
+            "  AS resized_height"
+            " FROM dims JOIN px USING (doc_id) ORDER BY doc_id"
+        ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),"
             " s AS (SELECT q.qid, e.vec_id AS nid,"
@@ -697,8 +737,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders GROUP BY month ORDER BY month"
         ),
         "large_parts_by_brand": (
+            # outer CAST: DuckDB sum(BIGINT) returns HUGEINT -> pandas
+            # float64, which hash-mismatches the engine's int64 (the
+            # round-2 red cell); BIGINT keeps both sides int64-exact
             "SELECT p_brand, count(*) AS n_parts,"
-            " sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS total_cents"
+            " CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_cents"
             " FROM part WHERE p_size >= 25 GROUP BY p_brand ORDER BY p_brand"
         ),
         "distinct_users_by_event_type": (

@@ -2,20 +2,31 @@
 
 Media payloads are opaque ``binary``/``media_ref`` columns with typed
 metadata.  Decode / feature-extract / resize / frame-sample run as
-actor-pool ``map_batches`` stages.  The actual codec work is STUBBED —
-the image/audio libraries are not present in this environment — but the
-Ray-side plumbing (actor signature, schema, batch sizing, output
-layout) is real and tested.  Each stub is deterministic so pipelines
-remain reproducible end-to-end.
+actor-pool ``map_batches`` stages.
+
+Codec status by kind:
+
+* **image — REAL decode.**  Image refs resolve to genuine PNG payloads
+  (planted in the synthetic corpus; ``ops.png.planted_png_for_ref`` is
+  the deterministic stand-in for the reference's network fetch of
+  binary content, FetchEngine.ts:211-225) and ``ops.png.decode_png``
+  does the actual work: CRC-verified chunk walk, zlib inflate, all five
+  PNG row filters.  Rows carry ``decode_status="real"``.
+* **video/audio — stubbed.**  No ffmpeg/DSP libs in this container; the
+  framing/sampling math and schemas are real, the per-sample values are
+  a deterministic stand-in marked ``decode_status="stubbed"``.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
-try:  # real decoders, if the environment ever provides them
+from .png import PngFormatError, decode_png, planted_png_for_ref
+
+try:  # richer decoders, if the environment ever provides them
     from PIL import Image  # noqa: F401
 
     _HAS_PIL = True
@@ -54,31 +65,71 @@ def _fake_decode(media_ref: str, kind: str) -> dict:
     }
 
 
+def _pixel_feature(pixels: np.ndarray, n: int = 8) -> list[float]:
+    """8-dim content descriptor from REAL decoded pixels: per-slice mean
+    intensity of ``n`` contiguous slices, scaled to [-1, 1]."""
+    flat = pixels.reshape(-1).astype(np.float64)
+    slices = np.array_split(flat, n)
+    return [float(s.mean() / 127.5 - 1.0) if len(s) else 0.0 for s in slices]
+
+
 class MediaDecoder:
-    """Actor-pool stage: (media_ref, kind) batch → decoded metadata batch.
+    """Actor-pool stage: (media_ref, kind[, payload]) batch → decoded
+    metadata batch.
 
     Use ``map_batches(MediaDecoder, concurrency=N, batch_size=64,
     batch_format="pyarrow")`` — small batches because real media payloads
-    are large.  In ``__init__`` a real implementation would load codec
-    state (once per actor); the stub compiles nothing but keeps the
-    signature identical.
+    are large.  Image rows take the REAL path: the payload (the
+    ``payload`` column when present, else the planted-PNG resolver for
+    ``media://`` refs) is decoded with :func:`ops.png.decode_png` —
+    width/height/feature come from actual pixel data and the row is
+    marked ``decode_status="real"`` (``"decode_error"`` on malformed
+    bytes).  Video/audio rows remain deterministic stubs.
     """
 
     def __init__(self, target_size: tuple[int, int] = (224, 224)) -> None:
         self.target_size = target_size
 
-    def real_decode(self, payload: bytes):  # pragma: no cover
-        """The real codec path — not available in this environment."""
-        raise NotImplementedError(
-            "Image/audio decode libraries are not present in this container; "
-            "wire PIL/ffmpeg here and replace _fake_decode."
-        )
+    def real_decode(self, media_ref: str, payload: bytes) -> dict:
+        """Decode genuine PNG bytes to typed metadata + pixel feature."""
+        try:
+            dec = decode_png(payload)
+        except PngFormatError:
+            return {
+                "media_ref": media_ref,
+                "kind": "image",
+                "width": 0,
+                "height": 0,
+                "duration_ms": 0,
+                "feature": [0.0] * 8,
+                "decode_status": "decode_error",
+            }
+        return {
+            "media_ref": media_ref,
+            "kind": "image",
+            "width": dec["width"],
+            "height": dec["height"],
+            "duration_ms": 0,
+            "feature": _pixel_feature(dec["pixels"]),
+            "decode_status": "real",
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = [
-            _fake_decode(r or "", k or "")
-            for r, k in zip(batch["media_ref"].to_pylist(), batch["kind"].to_pylist())
-        ]
+        payloads = (
+            batch["payload"].to_pylist() if "payload" in batch.column_names else None
+        )
+        rows = []
+        for i, (r, k) in enumerate(
+            zip(batch["media_ref"].to_pylist(), batch["kind"].to_pylist())
+        ):
+            r, k = r or "", k or ""
+            if k == "image":
+                payload = payloads[i] if payloads is not None else None
+                if payload is None:
+                    payload = planted_png_for_ref(r)
+                rows.append(self.real_decode(r, payload))
+            else:
+                rows.append(_fake_decode(r, k))
         return pa.Table.from_pylist(rows, schema=MEDIA_META_SCHEMA)
 
 
@@ -118,6 +169,58 @@ def decode_media(media_ds, concurrency: int = 2):
     )
 
 
+def letterbox(w: int, h: int, tw: int, th: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) inside (tw, th) — the one
+    letterbox formula, shared by :class:`ImageResizer` and the oracled
+    ``png_decode`` query (its SQL mirrors exactly this arithmetic)."""
+    scale = min(tw / w, th / h)
+    return max(1, int(w * scale)), max(1, int(h * scale))
+
+
+PNG_DECODE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("bit_depth", pa.int64()),
+        ("pixel_sum", pa.int64()),
+        ("resized_width", pa.int64()),
+        ("resized_height", pa.int64()),
+    ]
+)
+
+
+class PngDecoder:
+    """Actor-pool stage for the oracled real-decode query: (doc_id,
+    payload) batches in, fully-decoded metadata out.  ``pixel_sum`` is
+    the sum over every decoded pixel value — recoverable only by
+    actually inflating and de-filtering the IDAT stream — and the
+    letterbox plan reuses :func:`letterbox` on the decoded dimensions."""
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224)) -> None:
+        self.tw, self.th = target_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            dec = decode_png(payload)
+            rw, rh = letterbox(dec["width"], dec["height"], self.tw, self.th)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": dec["width"],
+                    "height": dec["height"],
+                    "bit_depth": dec["bit_depth"],
+                    "pixel_sum": int(dec["pixels"].astype(np.int64).sum()),
+                    "resized_width": rw,
+                    "resized_height": rh,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PNG_DECODE_SCHEMA)
+
+
 RESIZED_SCHEMA = pa.schema(
     [
         ("media_ref", pa.string()),
@@ -154,15 +257,15 @@ class ImageResizer:
                     }
                 )
                 continue
-            scale = min(self.tw / w, self.th / h)
+            rw, rh = letterbox(w, h, self.tw, self.th)
             rows.append(
                 {
                     "media_ref": r["media_ref"],
                     "width": w,
                     "height": h,
-                    "resized_width": max(1, int(w * scale)),
-                    "resized_height": max(1, int(h * scale)),
-                    "resize_status": "stubbed",
+                    "resized_width": rw,
+                    "resized_height": rh,
+                    "resize_status": "planned",
                 }
             )
         return pa.Table.from_pylist(rows, schema=RESIZED_SCHEMA)

@@ -37,6 +37,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_mismatches(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """int-vs-float dtype drift between engine and oracle columns.
+
+    The external gate hashes raw value representations, so an engine
+    int64 against an oracle float64 hash-fails even when the numbers are
+    equal (DuckDB HUGEINT->float64 did exactly this three times across
+    rounds 1-2: doc_stats_by_lang, user_sessions, large_parts_by_brand).
+    ``norm()`` casts both sides to float64 and hides the class — this
+    check runs BEFORE normalization so the sweep fails loudly instead.
+    """
+    bad = []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} <= {"i", "u", "f"} and (gk in "iu") != (wk in "iu"):
+            bad.append(f"{c}: engine {got[c].dtype} vs oracle {want[c].dtype}")
+    return bad
+
+
 def main() -> None:
     import ray
 
@@ -75,6 +93,11 @@ def main() -> None:
             print(f"rows   {name}: {len(got)} rows in {dt:.1f}s (no oracle)")
             continue
         want = con.execute(oracles[name]).fetchdf()
+        dt_bad = dtype_mismatches(got, want)
+        if dt_bad:
+            print(f"FAIL   {name}: int/float dtype drift — {'; '.join(dt_bad)}")
+            failures.append(name)
+            continue
         g, w = norm(got.copy()), norm(want.copy())
         if list(g.columns) != list(w.columns):
             print(f"FAIL   {name}: columns {list(g.columns)} != {list(w.columns)}")

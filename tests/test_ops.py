@@ -154,7 +154,16 @@ def test_media_decode_schema(ray_session):
     assert set(rows[0].keys()) == set(MEDIA_META_SCHEMA.names)
     img = next(r for r in rows if r["kind"] == "image")
     assert img["width"] > 0 and img["height"] > 0 and img["duration_ms"] == 0
-    assert all(r["decode_status"] == "stubbed" for r in rows)
+    # image refs resolve to planted PNG bytes and take the REAL codec
+    # path; video/audio stay deterministic stubs (no ffmpeg/DSP libs)
+    assert img["decode_status"] == "real"
+    from fetch_engines_ray.ops.png import decode_png, planted_png_for_ref
+
+    dec = decode_png(planted_png_for_ref("media://d1/0"))
+    assert (img["width"], img["height"]) == (dec["width"], dec["height"])
+    assert all(
+        r["decode_status"] == "stubbed" for r in rows if r["kind"] != "image"
+    )
     # determinism
     rows2 = decode_media(ds, concurrency=1).take_all()
     key = lambda r: r["media_ref"]  # noqa: E731

@@ -258,3 +258,24 @@ def test_extract_with_escalation_merges(ray_session, tmp_path):
     # every previously-low doc is now the warm re-run
     low = set(base.loc[base["quality_score"] < 3, "doc_id"])
     assert (merged.set_index("doc_id").loc[sorted(low), "route"] == "warm").all()
+
+
+def test_driver_registry_contract():
+    """The external correctness gate records at most 50 queries in dict
+    order (round 2 registered 51 and the 51st silently vanished), so the
+    registry must stay at <= 50 entries and every oracle key must have a
+    matching query."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_for_test",
+        os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) <= 50, f"driver gate caps at 50 recorded queries, got {len(qs)}"
+    missing = sorted(set(oracles) - set(qs))
+    assert not missing, f"oracle entries without a query: {missing}"
