@@ -285,9 +285,38 @@ def _q_top20_longest_docs(sf_dir: str) -> Any:
 
 
 def _q_minhash_pairs(sf_dir: str) -> Any:
+    """MinHash-LSH near-dup pairs over documents PLUS five planted
+    exact clones (doc_id + 2000000 copies of docs 0-4).  LSH output is
+    not SQL-expressible, but planted EXACT clones have a provable lower
+    bound — every (i, i+2000000) pair MUST surface with est_jaccard
+    exactly 1.0 — verified here on every sweep (raises on miss, which
+    the correctness gate records as a query error)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read_documents(sf_dir))
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def clone_first5(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch["doc_id"], 5))
+        return pa.table(
+            {
+                "doc_id": pc.add(keep["doc_id"], pa.scalar(2000000)),
+                "text": keep["text"],
+            }
+        )
+
+    planted = docs.map_batches(clone_first5, batch_format="pyarrow", batch_size=4096)
+    pairs = minhash_lsh_pairs(docs.union(planted))
+    found = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["est_jaccard"])
+    }
+    for i in range(5):
+        est = found.get((i, 2000000 + i))
+        assert est == 1.0, f"planted clone pair ({i}, {2000000 + i}) missing/est={est}"
+    return pairs
 
 
 def _q_minhash_dedup_decisions(sf_dir: str) -> Any:
@@ -350,7 +379,9 @@ def _q_embedding_near_dups(sf_dir: str) -> Any:
         )
 
     planted = emb.map_batches(clone_first10, batch_format="pyarrow", batch_size=4096)
-    out = embedding_near_dup_pairs(emb.union(planted), threshold=0.98)
+    # pairs come back as a streaming Dataset; only this tiny result set
+    # is collected for the gate comparison
+    out = embedding_near_dup_pairs(emb.union(planted), threshold=0.98).to_pandas()
     out = out[["doc_a", "doc_b"]].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 

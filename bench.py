@@ -159,8 +159,9 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
     efficiency ratio: this single box has ±30 % multi-minute noise
     phases (host contention), and a ratio of two back-to-back runs
     cancels a uniform slowdown where best-of-per-level (runs minutes
-    apart) does not.  Reported value = best round's ratio — the
-    closest observable to the engine's actual scaling."""
+    apart) does not.  Reported headline = MEDIAN round ratio (the
+    honest estimator); best-of stays in ``best_efficiency`` and the
+    full per-round list in ``round_efficiencies``."""
 
     def one(n: int) -> dict:
         proc = subprocess.run(
@@ -177,10 +178,14 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
         r_low, r_high = one(low), one(high)
         eff = r_low["value"] / ((high / low) * r_high["value"])
         round_results.append((eff, r_low, r_high))
+    import statistics
+
+    median_eff = statistics.median(e for e, _, _ in round_results)
     best_eff, r_low, r_high = max(round_results, key=lambda t: t[0])
     return {
         "metric": "scaling_efficiency",
-        "value": round(best_eff, 3),
+        "value": round(median_eff, 3),
+        "best_efficiency": round(best_eff, 3),
         "unit": "ratio",
         "queries": {
             f"extraction_cpus_{low}": r_low["value"],

@@ -31,10 +31,6 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _stable_hash32(s: str) -> int:
-    return zlib.crc32(s.encode())
-
-
 def _md5_hex(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
@@ -80,8 +76,15 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, shingle_size: int = 3, seed: int = 7) -> None:
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        # affine maps h -> a*h + b (mod 2^64) with ODD a are bijections
+        # of the 64-bit space (standard multiply-add minhash family) —
+        # no `% p` in the hot loop: int64 division was ~4x the cost of
+        # the whole remaining kernel
+        hi = rng.randint(0, 1 << 32, size=2 * num_perm, dtype=np.uint64)
+        lo = rng.randint(0, 1 << 32, size=2 * num_perm, dtype=np.uint64)
+        ab = (hi << np.uint64(32)) | lo
+        self.a = ab[:num_perm] | np.uint64(1)
+        self.b = ab[num_perm:]
         self.num_perm = num_perm
         self.shingle_size = shingle_size
         # one DISTINCT odd multiplier per shingle position — cycling a
@@ -98,26 +101,77 @@ class MinHasher:
     _POS_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
 
     def signature(self, text: str) -> np.ndarray:
-        toks = text.lower().split()
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list) -> np.ndarray:
+        """Vectorized batch signatures, shape ``(n_docs, num_perm)``.
+
+        One ``pd.util.hash_array`` call hashes EVERY token of the batch
+        (the same C-vectorized hasher ``_simhash64_batch`` uses — the
+        round-2 per-token ``zlib.crc32`` loop dominated
+        ``minhash_dedup_pairs`` wall time); shingle folding is a
+        ``shingle_size``-step vectorized combine per doc, and the
+        min-over-shingles runs as chunked ``np.minimum.reduceat`` over
+        the concatenated shingle-hash array (bounded matrix size).
+        """
         k = self.shingle_size
-        if len(toks) < k:
-            hv = np.array([_stable_hash32(" ".join(toks))], dtype=np.int64)
-        else:
-            # shingle hash = position-weighted combine of per-TOKEN crc32s,
-            # fully vectorized — no per-shingle string join/encode/hash
-            th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-            n_sh = len(toks) - k + 1
-            acc = np.zeros(n_sh, dtype=np.uint64)
-            for j in range(k):
-                acc ^= th[j : j + n_sh] * np.uint64(self.pos_mult[j])
-            hv = np.unique(acc).astype(np.int64) & np.int64((1 << 62) - 1)
-        # sig[j] = min over shingles of (a_j * h + b_j) mod p   (vectorized)
-        vals = (np.outer(self.a, hv) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        mask62 = np.uint64((1 << 62) - 1)
+        # flat string list: tokens for normal docs, ONE joined pseudo-
+        # token for docs shorter than the shingle size
+        items: list = []
+        counts: list[int] = []
+        short: list[bool] = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < k:
+                items.append(" ".join(toks))
+                counts.append(1)
+                short.append(True)
+            else:
+                items.extend(toks)
+                counts.append(len(toks))
+                short.append(False)
+        th_all = pd.util.hash_array(np.asarray(items, dtype=object))  # uint64
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        # per-doc shingle hashes (uint64), concatenated
+        segs: list[np.ndarray] = []
+        seg_lens: list[int] = []
+        for d in range(len(texts)):
+            seg = th_all[offsets[d] : offsets[d + 1]]
+            if short[d]:
+                hv = seg & mask62
+            else:
+                n_sh = counts[d] - k + 1
+                acc = np.zeros(n_sh, dtype=np.uint64)
+                for j in range(k):
+                    acc ^= seg[j : j + n_sh] * np.uint64(self.pos_mult[j])
+                hv = acc & mask62
+            segs.append(hv)
+            seg_lens.append(len(hv))
+        hv_all = np.concatenate(segs) if segs else np.zeros(0, dtype=np.uint64)
+        starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]]).astype(np.int64)
+        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        # chunk docs so the (num_perm x n_shingles) matrix stays small
+        max_sh = max(1, (1 << 22) // self.num_perm)  # ~32 MB of uint64
+        d0 = 0
+        while d0 < len(texts):
+            d1 = d0
+            tot = 0
+            while d1 < len(texts) and (d1 == d0 or tot + seg_lens[d1] <= max_sh):
+                tot += seg_lens[d1]
+                d1 += 1
+            lo, hi = starts[d0], starts[d1 - 1] + seg_lens[d1 - 1]
+            hv = hv_all[lo:hi]
+            vals = self.a[:, None] * hv[None, :] + self.b[:, None]  # uint64 wrap
+            out[d0:d1] = np.minimum.reduceat(vals, starts[d0:d1] - lo, axis=1).T
+            d0 = d1
+        # int64 bit-pattern view: downstream stores/compares signatures
+        # (blob encode, equality for est_jaccard) — order is irrelevant
+        return out.view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        sigs = self.signatures(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -144,9 +198,8 @@ def minhash_batch(
     if h is None:
         h = _MINHASHERS[key] = MinHasher(num_perm, shingle_size, seed)
     ids = batch["doc_id"].to_pylist()
-    blobs = [
-        h.signature(t or "").astype("<i8").tobytes() for t in batch["text"].to_pylist()
-    ]
+    sigs = h.signatures(batch["text"].to_pylist()).astype("<i8")
+    blobs = [sigs[i].tobytes() for i in range(len(ids))]
     return pa.table({"doc_id": pa.array(ids), "minhash_sig": pa.array(blobs, type=pa.binary())})
 
 
@@ -218,19 +271,39 @@ def _lsh_candidate_pairs(
     return raw.map_batches(ordered, batch_format="pyarrow", batch_size=8192)
 
 
-def _checkpoint_parquet(ds: "ray.data.Dataset", tag: str = "ckpt") -> "ray.data.Dataset":
-    """Spill a dataset to a parquet checkpoint and read it back.
+def _checkpoint_parquet(
+    ds: "ray.data.Dataset", tag: str = "ckpt"
+) -> tuple["ray.data.Dataset", str]:
+    """Spill a dataset to a parquet checkpoint and read it back; returns
+    ``(dataset, path)`` so the caller can clean up after consumption.
 
     Used where a mid-pipeline table is consumed by several downstream
     branches: unlike ``materialize()`` this does NOT pin the whole table
-    in the object store — each consumer streams it back from disk, and
-    at cluster scale the checkpoint lands on shared storage and doubles
-    as a resume point."""
+    in the object store — each consumer streams it back from disk.
+
+    The directory root comes from ``FER_CHECKPOINT_DIR`` (point it at
+    shared storage on a multi-node cluster — a driver-local /tmp path is
+    invisible to other nodes' read tasks) and defaults to /tmp locally.
+    Callers remove the directory once the consuming pipeline finishes
+    unless ``FER_KEEP_CHECKPOINTS=1`` (keep it as a resume point)."""
+    import os
     import tempfile
 
-    path = tempfile.mkdtemp(prefix=f"fer_{tag}_", dir="/tmp")
+    root = os.environ.get("FER_CHECKPOINT_DIR", "/tmp")
+    os.makedirs(root, exist_ok=True)
+    path = tempfile.mkdtemp(prefix=f"fer_{tag}_", dir=root)
     ds.write_parquet(path)
-    return ray.data.read_parquet(path)
+    return ray.data.read_parquet(path), path
+
+
+def _cleanup_checkpoint(path: str) -> None:
+    """Remove a consumed checkpoint dir (kept when FER_KEEP_CHECKPOINTS=1)."""
+    import os
+    import shutil
+
+    if os.environ.get("FER_KEEP_CHECKPOINTS") == "1":
+        return
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def minhash_lsh_pairs(
@@ -254,8 +327,18 @@ def minhash_lsh_pairs(
     )
     # Signatures are consumed three times (banding + both join sides);
     # checkpoint to parquet once — nothing pins the object store, and at
-    # cluster scale the checkpoint is the resume point.
-    sigs = _checkpoint_parquet(sigs, "minhash_sigs")
+    # cluster scale (FER_CHECKPOINT_DIR on shared storage) the
+    # checkpoint is the resume point.
+    sigs, ckpt = _checkpoint_parquet(sigs, "minhash_sigs")
+    try:
+        return _minhash_pairs_from_sigs(sigs, num_bands, threshold)
+    finally:
+        _cleanup_checkpoint(ckpt)
+
+
+def _minhash_pairs_from_sigs(
+    sigs: "ray.data.Dataset", num_bands: int, threshold: float
+) -> pd.DataFrame:
     banded = sigs.map_batches(
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
     )
@@ -389,8 +472,13 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pd.DataFrame:
     banded = sigs.map_batches(explode, batch_format="pyarrow", batch_size=2048)
     # the 8-byte simhash rides through the self-join (unlike the 0.5 KB
     # minhash signature), so verification is local to the join output —
-    # no re-attach joins at all
-    cand = _lsh_candidate_pairs(banded, carry=("simhash",))
+    # no re-attach joins at all.  Shuffle partition count scales with
+    # the INPUT table (same formula as the minhash path; counting the
+    # input, not the signature stage, avoids executing it twice) —
+    # a fixed n_parts=2 would funnel the widest op through 2 aggregator
+    # actors at cluster scale.
+    n_parts = max(2, min(32, ds.count() // 200_000 + 1))
+    cand = _lsh_candidate_pairs(banded, n_parts, carry=("simhash",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -461,7 +549,7 @@ def ngram_jaccard_pairs(
     verification.  Returns (doc_a, doc_b, jaccard_x1000) with an
     integer-scaled score (hash-stable).
     """
-    sigs = _checkpoint_parquet(
+    sigs, ckpt = _checkpoint_parquet(
         ds.map_batches(
             minhash_batch,
             fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
@@ -470,6 +558,19 @@ def ngram_jaccard_pairs(
         ),
         "ngram_sigs",
     )
+    try:
+        return _ngram_pairs_from_sigs(ds, sigs, threshold, shingle_size, num_bands)
+    finally:
+        _cleanup_checkpoint(ckpt)
+
+
+def _ngram_pairs_from_sigs(
+    ds: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    threshold: float,
+    shingle_size: int,
+    num_bands: int,
+) -> pd.DataFrame:
     banded = sigs.map_batches(
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
     )

@@ -47,26 +47,28 @@ def interval_join_counts(
         )
 
     def interval_cells(batch: pa.Table) -> pa.Table:
+        # fully vectorized replication: per-interval cell counts drive
+        # ONE np.repeat, the within-interval cell offset falls out of a
+        # cumsum — no per-row Python (replication factor stays bounded
+        # by interval_width / cell_width + 1)
         lo = np.asarray(batch[lo_col].to_pylist(), dtype=np.float64)
         hi = np.asarray(batch[hi_col].to_pylist(), dtype=np.float64)
-        ids = batch[interval_id].to_pylist()
-        out_cell, out_id, out_lo, out_hi = [], [], [], []
-        for l, h, i in zip(lo, hi, ids):
-            if h < l:
-                continue
-            for c in range(int(np.floor(l / cell_width)), int(np.floor(h / cell_width)) + 1):
-                out_cell.append(c)
-                out_id.append(i)
-                out_lo.append(l)
-                out_hi.append(h)
-        n = len(out_cell)
+        ids = np.asarray(batch[interval_id].to_pylist(), dtype=np.int64)
+        valid = hi >= lo
+        lo, hi, ids = lo[valid], hi[valid], ids[valid]
+        c0 = np.floor(lo / cell_width).astype(np.int64)
+        c1 = np.floor(hi / cell_width).astype(np.int64)
+        counts = c1 - c0 + 1
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        offsets = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
         return pa.table(
             {
-                "cell": pa.array(out_cell, type=pa.int64()),
-                "kind": pa.array(np.ones(n, dtype=np.int8)),
-                "id": pa.array(out_id, type=pa.int64()),
-                "lo": pa.array(out_lo, type=pa.float64()),
-                "hi": pa.array(out_hi, type=pa.float64()),
+                "cell": pa.array(c0[idx] + offsets),
+                "kind": pa.array(np.ones(len(idx), dtype=np.int8)),
+                "id": pa.array(ids[idx]),
+                "lo": pa.array(lo[idx]),
+                "hi": pa.array(hi[idx]),
             }
         )
 

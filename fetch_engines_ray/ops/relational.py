@@ -37,10 +37,17 @@ def _add_int_scaled(ds, col: str, out_col: str, scale: float = 100.0):
     as scaled integers makes every aggregate EXACT and block-order
     independent — float sums land on either side of a round(3) half
     boundary depending on summation order, which flakes the DuckDB
-    oracle hash (seen on lineitem_pricing_summary at sf0.001)."""
+    oracle hash (seen on lineitem_pricing_summary at sf0.001).
+
+    The round mode is pinned to ``half_towards_infinity`` here and at
+    every inline ``pc.round`` site below: pyarrow's default is
+    half-to-even while DuckDB's ``round()`` is half-away-from-zero
+    (``pc.round(0.5)`` = 0 vs SQL ``round(0.5)`` = 1) — current inputs
+    are 2-decimal-exact and never land on a half, but a finer-precision
+    column would silently diverge under the default."""
 
     def f(batch: pa.Table) -> pa.Table:
-        v = pc.cast(pc.round(pc.multiply(batch[col], pa.scalar(scale))), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(batch[col], pa.scalar(scale)), round_mode="half_towards_infinity"), pa.int64())
         return batch.append_column(out_col, v)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
@@ -79,9 +86,9 @@ def lineitem_pricing_summary(sf_dir: str) -> pd.DataFrame:
         disc = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        disc_i = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        disc_i = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0)), round_mode="half_towards_infinity"), pa.int64())
         base_i = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64()
+            pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64()
         )
         batch = batch.append_column("disc_price_i", disc_i)
         return batch.append_column("base_price_i", base_i)
@@ -292,7 +299,7 @@ def orders_per_month(sf_dir: str) -> pd.DataFrame:
     def month(batch: pa.Table) -> pa.Table:
         m = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0))), pa.int64()
+            pc.round(pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64()
         )
         return pa.table({"month": m, "cents": cents})
 
@@ -355,7 +362,7 @@ def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
         # exact 1e-4-unit integers (2dp price x 2dp discount factor)
-        rev_i = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64())
+        rev_i = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0)), round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_i": rev_i})
 
     lineitem = lineitem.map_batches(revenue, batch_format="pyarrow", batch_size=8192)
@@ -397,7 +404,7 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFram
             pc.divide(epoch_us, pa.scalar(w_us)), pa.scalar(window_minutes * 60)
         )
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))), pa.int64()
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64()
         )
         return pa.table({"window_start": pc.cast(win, pa.int64()), "cents": cents})
 

@@ -197,16 +197,81 @@ def ivf_knn(
     return topk[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def _bounded_cluster_pairs(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    threshold: float,
+    max_group: int,
+    depth: int = 0,
+    stats: Optional[dict] = None,
+) -> list[pd.DataFrame]:
+    """All-pairs >= threshold within one cluster, with the matmul
+    BOUNDED: groups larger than ``max_group`` are recursively median-
+    split on a seeded random projection before the O(n^2) step, so one
+    hot cluster can never blow up a task's memory or wall time.
+
+    Identical vectors share a projection value and the split predicate
+    (``p <= median``), so planted exact clones always stay together;
+    near-identical vectors straddle a median with the same (documented)
+    small probability as the top-level cluster bucketing.  When a group
+    cannot be split (all projections equal — i.e. all duplicates of one
+    vector), the all-pairs output itself is the required answer and runs
+    regardless of size."""
+    if len(ids) > max_group and depth < 48:
+        rng = np.random.RandomState(7000 + depth)
+        d = rng.randn(mat.shape[1])
+        d /= np.linalg.norm(d) or 1.0
+        p = mat @ d
+        med = np.median(p)
+        left = p <= med
+        if left.any() and not left.all():
+            out = _bounded_cluster_pairs(
+                ids[left], mat[left], threshold, max_group, depth + 1, stats
+            )
+            out += _bounded_cluster_pairs(
+                ids[~left], mat[~left], threshold, max_group, depth + 1, stats
+            )
+            return out
+        # equal projections: retry with a fresh direction via depth bump
+        return _bounded_cluster_pairs(ids, mat, threshold, max_group, depth + 7, stats)
+    if stats is not None:
+        stats["max_leaf"] = max(stats.get("max_leaf", 0), len(ids))
+    sims = mat @ mat.T
+    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+    return [
+        pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ia], ids[ib]),
+                "doc_b": np.maximum(ids[ia], ids[ib]),
+                "cos_sim": sims[ia, ib],
+            }
+        )
+    ]
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: Optional[int] = None,
+    max_group_size: int = 8192,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs via cluster-bucketed
-    all-pairs (only within a cluster — the LSH-style scale path)."""
-    centroids = build_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
+    all-pairs (only within a cluster — the LSH-style scale path).
+
+    Scale shape: ``n_clusters`` defaults to ~sqrt(N) (floor 16) so the
+    expected cluster population scales as sqrt(N) rather than N/16;
+    inside each cluster the all-pairs matmul is bounded by
+    ``max_group_size`` via recursive projection splits
+    (:func:`_bounded_cluster_pairs`).  Returns a **Dataset** — the pair
+    table streams to its consumer and never lands on the driver."""
+    n_total = ds.count()
+    if n_clusters is None:
+        n_clusters = int(min(4096, max(16, round(n_total ** 0.5))))
+    centroids = build_centroids(
+        ds, n_clusters=n_clusters, sample_size=max(2048, 8 * n_clusters), vec_col=vec_col
+    )
     c_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -226,14 +291,17 @@ def embedding_near_dup_pairs(
     def pairs_in_cluster(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
         mat = _normalize(np.asarray(group[vec_col].tolist(), dtype=np.float64))
-        sims = mat @ mat.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "doc_a": np.minimum(ids[ia], ids[ib]),
-                "doc_b": np.maximum(ids[ia], ids[ib]),
-                "cos_sim": sims[ia, ib],
-            }
-        )
+        parts = _bounded_cluster_pairs(ids, mat, threshold, max_group_size)
+        out = pd.concat(parts, ignore_index=True)
+        if out.empty:
+            # typed empty frame keeps Ray Data schema unification stable
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=ids.dtype),
+                    "doc_b": pd.Series(dtype=ids.dtype),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return out
 
-    return assigned.groupby("cluster").map_groups(pairs_in_cluster, batch_format="pandas").to_pandas()
+    return assigned.groupby("cluster").map_groups(pairs_in_cluster, batch_format="pandas")

@@ -207,22 +207,61 @@ def write_corpus_lance(ds: "ray.data.Dataset", out_path: str) -> None:
     ds.write_lance(out_path)
 
 
+# Pass-rate gate thresholds mirrored from the reference's nightly eval
+# (/root/reference/src/evals/auto-render-cases.ts:23-25).
+MIN_GATED_PASS_RATE = 0.8
+MIN_GATED_STATIC_PASS_RATE = 1.0
+MIN_GATED_SPA_PASS_RATE = 0.5
+
+# Archetypes whose cases the reference buckets as category "spa"
+# (client-rendered; everything else is "static") —
+# auto-render-cases.ts:27-187.
+_SPA_ARCHETYPES = ("spa",)
+
+
 def write_eval_report(ds: "ray.data.Dataset", path: str, min_text_length: int = 40) -> dict:
-    """S7 analog: per-archetype pass-rate report.
+    """S7 analog: per-archetype pass-rate report WITH the reference's
+    gate verdicts.
 
     A "pass" mirrors the reference's per-case checks (markdown produced,
-    min text length — /root/reference/scripts/eval-auto-render.mjs:89-99).
+    min text length — /root/reference/scripts/eval-auto-render.mjs:89-99);
+    the gate summary mirrors ``summarize`` (eval-auto-render.mjs:27-62):
+    gated cases split into static/spa categories, per-category pass
+    rates compared against the exported thresholds, and an overall
+    ``gates_passed`` verdict.  A document is *ungated* (the reference's
+    ``gate: false`` known-hard cases) when it dead-lettered as a
+    challenge page — no engine can extract content that was never
+    served — or is a conformance fixture rather than a corpus doc.
     Aggregation is a distributed groupby; only the tiny summary reaches
     the driver / JSON file.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Mean, Sum
 
+    has_error = "error_code" in ds.schema().names
+
     def flag(batch: pa.Table) -> pa.Table:
         passed = pc.greater_equal(batch.column("n_out_chars"), min_text_length)
-        return batch.select(["archetype", "quality_score"]).append_column(
-            "passed", pc.cast(passed, pa.int64())
+        arch = batch.column("archetype")
+        if has_error:
+            hard = pc.equal(batch.column("error_code"), "ERR_CHALLENGE_PAGE")
+        else:
+            hard = pc.equal(arch, "__never__")
+        gated = pc.and_(pc.invert(hard), pc.not_equal(arch, "fixture"))
+        spa = pc.is_in(arch, value_set=pa.array(_SPA_ARCHETYPES))
+        t = batch.select(["archetype", "quality_score"])
+        t = t.append_column("passed", pc.cast(passed, pa.int64()))
+        t = t.append_column("gated", pc.cast(gated, pa.int64()))
+        t = t.append_column(
+            "gated_pass", pc.cast(pc.and_(gated, passed), pa.int64())
         )
+        t = t.append_column(
+            "gated_spa", pc.cast(pc.and_(gated, spa), pa.int64())
+        )
+        t = t.append_column(
+            "gated_spa_pass", pc.cast(pc.and_(pc.and_(gated, spa), passed), pa.int64())
+        )
+        return t
 
     agg = (
         ds.map_batches(flag, batch_format="pyarrow", batch_size=1024)
@@ -230,6 +269,10 @@ def write_eval_report(ds: "ray.data.Dataset", path: str, min_text_length: int = 
         .aggregate(
             Count(alias_name="n_docs"),
             Sum("passed", alias_name="n_passed"),
+            Sum("gated", alias_name="n_gated"),
+            Sum("gated_pass", alias_name="n_gated_pass"),
+            Sum("gated_spa", alias_name="n_gated_spa"),
+            Sum("gated_spa_pass", alias_name="n_gated_spa_pass"),
             Mean("quality_score", alias_name="mean_quality"),
         )
         .to_pandas()
@@ -243,14 +286,47 @@ def write_eval_report(ds: "ray.data.Dataset", path: str, min_text_length: int = 
         }
         for _, r in agg.iterrows()
     }
-    total_docs = sum(v["n_docs"] for v in per.values())
-    total_passed = sum(round(v["pass_rate"] * v["n_docs"]) for v in per.values())
+    total_docs = int(agg["n_docs"].sum())
+    n_gated = int(agg["n_gated"].sum())
+    n_gated_pass = int(agg["n_gated_pass"].sum())
+    n_spa = int(agg["n_gated_spa"].sum())
+    n_spa_pass = int(agg["n_gated_spa_pass"].sum())
+    n_static = n_gated - n_spa
+    n_static_pass = n_gated_pass - n_spa_pass
+    # empty-set conventions match the reference: no gated cases -> 0,
+    # no gated static/spa cases -> 1 (eval-auto-render.mjs:40-44)
+    gated_rate = n_gated_pass / n_gated if n_gated else 0.0
+    static_rate = n_static_pass / n_static if n_static else 1.0
+    spa_rate = n_spa_pass / n_spa if n_spa else 1.0
+    gates = {
+        "gated_cases": n_gated,
+        "gated_pass_rate": round(gated_rate, 4),
+        "gated_static_pass_rate": round(static_rate, 4),
+        "gated_spa_pass_rate": round(spa_rate, 4),
+        "thresholds": {
+            "gated_pass_rate": MIN_GATED_PASS_RATE,
+            "gated_static_pass_rate": MIN_GATED_STATIC_PASS_RATE,
+            "gated_spa_pass_rate": MIN_GATED_SPA_PASS_RATE,
+        },
+        "gate_pass": {
+            "gated": gated_rate >= MIN_GATED_PASS_RATE,
+            "static": static_rate >= MIN_GATED_STATIC_PASS_RATE,
+            "spa": spa_rate >= MIN_GATED_SPA_PASS_RATE,
+        },
+        "gates_passed": (
+            gated_rate >= MIN_GATED_PASS_RATE
+            and static_rate >= MIN_GATED_STATIC_PASS_RATE
+            and spa_rate >= MIN_GATED_SPA_PASS_RATE
+        ),
+    }
+    total_passed = int(agg["n_passed"].sum())
     report = {
         "archetypes": per,
         "overall": {
             "n_docs": total_docs,
             "pass_rate": round(total_passed / max(1, total_docs), 4),
         },
+        "gates": gates,
     }
     if path:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -108,8 +108,28 @@ def structured_extract(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_size: Optional[int] = 4096,
+    concurrency: Optional[int] = None,
+    extractor_cls: type = StructuredExtractor,
 ) -> "ray.data.Dataset":
     """Run schema-driven extraction over a document Dataset; returns a
-    Dataset of (id, <field>...) with the declared Arrow types."""
-    ex = StructuredExtractor(fields, text_col=text_col, id_col=id_col)
-    return ds.map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+    Dataset of (id, <field>...) with the declared Arrow types.
+
+    ``concurrency=None`` (default) runs the extractor as a task-pool
+    stage.  Passing ``concurrency=N`` switches to the ACTOR-POOL form —
+    ``extractor_cls`` is constructed once per actor (this is the slot an
+    LLM-backed extractor with an expensive client/model in ``__init__``
+    drops into, mirroring the reference's provider surface,
+    StructuredContentEngine.ts:366-384) and the output contract is
+    identical; ``tests/test_structured.py`` pins task-pool == actor-pool
+    equality."""
+    if concurrency is None:
+        ex = extractor_cls(fields, text_col=text_col, id_col=id_col)
+        return ds.map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(
+        extractor_cls,
+        fn_constructor_kwargs={"fields": fields, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -109,9 +109,47 @@ def test_ivf_recall_against_bruteforce(embeddings_ds):
 def test_embedding_near_dup_pairs(embeddings_ds):
     from fetch_engines_ray.ops.similarity import embedding_near_dup_pairs
 
-    pairs = embedding_near_dup_pairs(embeddings_ds, threshold=0.95, n_clusters=8)
+    pairs = embedding_near_dup_pairs(embeddings_ds, threshold=0.95, n_clusters=8).to_pandas()
     found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 200) in found
+
+
+def test_near_dup_skewed_cluster_is_bounded(ray_session):
+    """One deliberately hot cluster (500 vectors in a tight cone, plus
+    exact clones) must be recursively split so no all-pairs leaf exceeds
+    max_group_size, while clone pairs still surface."""
+    import ray.data
+
+    from fetch_engines_ray.ops.similarity import (
+        _bounded_cluster_pairs,
+        _normalize,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(16)
+    mat = base[None, :] + rng.randn(500, 16) * 0.05  # everything in one cone
+    mat[100] = mat[0]  # exact clone
+    mat[101] = mat[0]
+    ids = np.arange(500, dtype=np.int64)
+
+    stats: dict = {}
+    parts = _bounded_cluster_pairs(
+        ids, _normalize(mat.astype(np.float64)), 0.9999, max_group=50, stats=stats
+    )
+    assert 0 < stats["max_leaf"] <= 50
+    found = {(a, b) for p in parts for a, b in zip(p["doc_a"], p["doc_b"])}
+    assert (0, 100) in found and (0, 101) in found and (100, 101) in found
+
+    # end-to-end: the Dataset path finds the clones through the same bound
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(map(list, mat))})
+    )
+    pairs = embedding_near_dup_pairs(
+        ds, threshold=0.9999, n_clusters=4, max_group_size=50
+    ).to_pandas()
+    found2 = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert {(0, 100), (0, 101), (100, 101)} <= found2
 
 
 def test_text_features(ray_session):

@@ -76,6 +76,19 @@ def test_eval_report_sink(ray_session, small_corpus_dir, tmp_path):
     assert report["overall"]["n_docs"] == 40
     assert 0.0 <= report["overall"]["pass_rate"] <= 1.0
     assert set(report["archetypes"])  # at least one archetype bucket
+    # gate verdicts mirror the reference's nightly thresholds
+    # (auto-render-cases.ts:23-25, applied in eval-auto-render.mjs:42-61)
+    gates = report["gates"]
+    assert gates["thresholds"] == {
+        "gated_pass_rate": 0.8,
+        "gated_static_pass_rate": 1.0,
+        "gated_spa_pass_rate": 0.5,
+    }
+    assert 0 < gates["gated_cases"] <= 40
+    assert set(gates["gate_pass"]) == {"gated", "static", "spa"}
+    # the synthetic corpus is designed to clear every gate: challenge
+    # dead-letters are ungated known-hard cases, everything else extracts
+    assert gates["gates_passed"] is True, gates
 
 
 def test_add_doc_bytes_matches_python(ray_session, small_corpus_dir):
