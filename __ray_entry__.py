@@ -291,24 +291,10 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     bound — every (i, i+2000000) pair MUST surface with est_jaccard
     exactly 1.0 — verified here on every sweep (raises on miss, which
     the correctness gate records as a query error)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
 
     docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
-
-    def clone_first5(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.less(batch["doc_id"], 5))
-        return pa.table(
-            {
-                "doc_id": pc.add(keep["doc_id"], pa.scalar(2000000)),
-                "text": keep["text"],
-            }
-        )
-
-    planted = docs.map_batches(clone_first5, batch_format="pyarrow", batch_size=4096)
-    pairs = minhash_lsh_pairs(docs.union(planted))
+    pairs = minhash_lsh_pairs(docs.union(_planted_clone_docs(docs)))
     found = {
         (int(a), int(b)): float(j)
         for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["est_jaccard"])
@@ -325,16 +311,59 @@ def _q_minhash_dedup_decisions(sf_dir: str) -> Any:
     return minhash_dedup(_read_documents(sf_dir))
 
 
+def _planted_clone_docs(docs, n: int = 5, id_shift: int = 2000000):
+    """Exact clones of docs 0..n-1 under doc_id + id_shift — the
+    provable-lower-bound plant shared by the dedup-pair queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def clone(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch["doc_id"], n))
+        return pa.table(
+            {
+                "doc_id": pc.add(keep["doc_id"], pa.scalar(id_shift)),
+                "text": keep["text"],
+            }
+        )
+
+    return docs.map_batches(clone, batch_format="pyarrow", batch_size=4096)
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str) -> Any:
+    """Exact n-gram-Jaccard-verified near-dup pairs, with the planted
+    exact clones asserted at jaccard_x1000 == 1000 every sweep (clones
+    share every shingle, so LSH must candidate them and exact
+    verification must score 1.0)."""
     from fetch_engines_ray.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_read_documents(sf_dir))
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs.union(_planted_clone_docs(docs)))
+    found = {
+        (int(a), int(b)): int(j)
+        for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard_x1000"])
+    }
+    for i in range(5):
+        j = found.get((i, 2000000 + i))
+        assert j == 1000, f"planted clone pair ({i}, {2000000 + i}) missing/j={j}"
+    return pairs
 
 
 def _q_simhash_pairs(sf_dir: str) -> Any:
+    """SimHash near-dup pairs, with planted exact clones asserted at
+    hamming distance 0 every sweep (identical text -> identical 64-bit
+    simhash -> shared bucket in all four chunks)."""
     from fetch_engines_ray.ops.dedup import simhash_pairs
 
-    return simhash_pairs(_read_documents(sf_dir))
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    pairs = simhash_pairs(docs.union(_planted_clone_docs(docs)))
+    found = {
+        (int(a), int(b)): int(h)
+        for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])
+    }
+    for i in range(5):
+        h = found.get((i, 2000000 + i))
+        assert h == 0, f"planted clone pair ({i}, {2000000 + i}) missing/hamming={h}"
+    return pairs
 
 
 def _read_embeddings(sf_dir: str):

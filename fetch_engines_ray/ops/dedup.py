@@ -659,12 +659,96 @@ def dedup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "cluster_rep", "is_kept"])
 
 
+def dedup_clusters_distributed(
+    pairs: "ray.data.Dataset", max_iters: int = 50
+) -> "ray.data.Dataset":
+    """Distributed min-label propagation over a near-dup PAIR edge set —
+    the cluster-scale form of :func:`dedup_clusters` (same output
+    contract: ``(doc_id, cluster_rep, is_kept)``, min doc_id is the
+    representative, so both paths produce identical tables).
+
+    Each iteration is one hash join (symmetrized edges x labels) plus a
+    min-groupby; nothing corpus-sized ever reaches the driver — the only
+    driver-side value per iteration is the int64 label checksum used for
+    the convergence test.  Iteration count is bounded by the cluster
+    diameter (near-dup clusters are shallow; ``max_iters`` is a guard).
+
+    The label table (one row per doc appearing in a PAIR — tiny relative
+    to the corpus) is ``materialize()``d per iteration: without it the
+    lazy plan deepens by one join per iteration and re-executes the
+    whole history on every convergence check."""
+    import pyarrow.compute as pc
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": b["doc_a"], "dst": b["doc_b"]})
+        rev = pa.table({"src": b["doc_b"], "dst": b["doc_a"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = pairs.map_batches(
+        symmetrize, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    n_edges = edges.count()
+    n_parts = max(2, min(32, n_edges // 500_000 + 1))
+    # initial labels: every node labels itself
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"doc_id": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+        .groupby("doc_id")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor labels: edge (src, dst) joined with label(dst)
+        nbr = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("dst",),
+            right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["src"], "label": b["label"]}),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+        labels = (
+            labels.union(nbr)
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # fixed point: min-labels can only decrease
+            break
+        prev_sum = cur_sum
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "cluster_rep": b["label"],
+                "is_kept": pc.equal(b["doc_id"], b["label"]),
+            }
+        )
+
+    out = labels.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+    return out.sort("doc_id")
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     threshold: float = 0.7,
     **lsh_kwargs,
 ) -> pd.DataFrame:
     """End-to-end near-dedup: LSH pairs → clusters → per-doc keep/drop
-    decision (docs in no cluster are kept)."""
+    decision (docs in no cluster are kept).
+
+    Cluster resolution runs driver-side union-find over the (tiny) pair
+    list; :func:`dedup_clusters_distributed` is the drop-in for scales
+    where even the pair table must stay distributed (pytest pins both
+    paths to identical output)."""
     pairs = minhash_lsh_pairs(ds, threshold=threshold, **lsh_kwargs)
     return dedup_clusters(pairs)

@@ -454,3 +454,46 @@ def test_pii_redaction_planted(ray_session):
     assert red[1] == "host [IP] up"
     assert red[2] == "clean text only"
     assert out["pii_count"].to_pylist() == [1, 1, 0]
+
+
+def test_dedup_clusters_distributed_matches_union_find(ray_session, docs_with_dups):
+    """Label propagation over the distributed pair edges produces the
+    exact same (doc_id, cluster_rep, is_kept) table as the driver-side
+    union-find — min doc_id representatives are canonical."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import (
+        dedup_clusters,
+        dedup_clusters_distributed,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5)
+    assert len(pairs) > 0
+    want = dedup_clusters(pairs).reset_index(drop=True)
+    got = (
+        dedup_clusters_distributed(ray.data.from_pandas(pairs[["doc_a", "doc_b"]]))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    got["doc_id"] = got["doc_id"].astype(want["doc_id"].dtype)
+    got["cluster_rep"] = got["cluster_rep"].astype(want["cluster_rep"].dtype)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_clusters_distributed_chain(ray_session):
+    """A 6-node chain (worst-case diameter) converges to one cluster
+    rooted at the min id, plus a disjoint 2-cluster."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import dedup_clusters_distributed
+
+    edges = pd.DataFrame(
+        {"doc_a": [10, 11, 12, 13, 14, 50], "doc_b": [11, 12, 13, 14, 15, 51]}
+    )
+    out = dedup_clusters_distributed(ray.data.from_pandas(edges)).to_pandas()
+    chain = out[out["doc_id"] < 50]
+    assert (chain["cluster_rep"] == 10).all()
+    assert chain["is_kept"].tolist() == [True] + [False] * 5
+    pair = out[out["doc_id"] >= 50]
+    assert (pair["cluster_rep"] == 50).all()
