@@ -128,3 +128,164 @@ def hll_distinct_by_key(
     )
     out["approx_distinct"] = out["approx_distinct"].round().astype("int64")
     return out.sort_values(key).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles: two-pass fixed-width histogram
+# ---------------------------------------------------------------------------
+
+class HistogramSketch(AggregateFnV2):
+    """Fixed-width histogram over a known [lo, hi] domain as a Ray Data
+    aggregation — the quantile analog of :class:`HllDistinct`.
+
+    Accumulator = int64 count array of ``bins`` buckets (+1 overflow
+    bucket for values == hi); blocks reduce to one array each, arrays
+    merge by elementwise add — exactly mergeable, block-order
+    independent, and nothing that scales with row count ever moves.
+    Values outside [lo, hi] clamp to the edge buckets.
+    """
+
+    def __init__(
+        self,
+        on: str,
+        lo: float,
+        hi: float,
+        bins: int = 4096,
+        alias_name: str | None = None,
+    ):
+        if not hi > lo:
+            raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+        self._lo, self._hi, self._bins = float(lo), float(hi), int(bins)
+        super().__init__(
+            alias_name or f"histogram({on})",
+            zero_factory=lambda: bytes(8 * (bins + 1)),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        v = np.asarray(col.drop_null().to_pylist(), dtype=np.float64)
+        counts = np.zeros(self._bins + 1, dtype=np.int64)
+        if len(v):
+            scaled = (v - self._lo) / (self._hi - self._lo) * self._bins
+            idx = np.clip(np.floor(scaled).astype(np.int64), 0, self._bins)
+            np.add.at(counts, idx, 1)
+        return counts.tobytes()
+
+    def combine(self, current_accumulator: bytes, new: bytes) -> bytes:
+        return (
+            np.frombuffer(current_accumulator, dtype=np.int64)
+            + np.frombuffer(new, dtype=np.int64)
+        ).tobytes()
+
+    def finalize(self, accumulator: bytes) -> bytes:
+        return accumulator  # counts blob; quantile interpolation is driver-side
+
+
+def quantiles_from_histogram(
+    blob: bytes, lo: float, hi: float, qs: list[float]
+) -> list[float]:
+    """Interpolated quantiles from a histogram blob; error is bounded by
+    one bucket width = (hi - lo) / bins."""
+    counts = np.frombuffer(blob, dtype=np.int64).astype(np.float64)
+    bins = len(counts) - 1
+    total = counts.sum()
+    if total == 0:
+        return [float("nan")] * len(qs)
+    cum = np.cumsum(counts)
+    width = (hi - lo) / bins
+    out = []
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target, side="left"))
+        b = min(b, bins)
+        prev = cum[b - 1] if b > 0 else 0.0
+        inbin = counts[b]
+        frac = (target - prev) / inbin if inbin > 0 else 0.0
+        out.append(lo + (b + frac) * width)
+    return out
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset", column: str, qs: list[float], bins: int = 4096
+) -> list[float]:
+    """Two-pass distributed approximate quantiles: pass 1 is Ray's
+    built-in min/max aggregate (cheap, streaming), pass 2 the
+    fixed-width :class:`HistogramSketch`.  Error <= (max-min)/bins per
+    quantile; both passes move only O(bins) bytes per block."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(column, alias_name="lo"), Max(column, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi == lo:
+        return [lo] * len(qs)
+    blob = ds.aggregate(
+        HistogramSketch(on=column, lo=lo, hi=hi, bins=bins, alias_name="hist")
+    )["hist"]
+    return quantiles_from_histogram(blob, lo, hi, qs)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: mergeable Misra-Gries summary
+# ---------------------------------------------------------------------------
+
+def _mg_trim(counters: dict, k: int) -> dict:
+    """Keep <= k counters by subtracting the (k+1)-th largest count from
+    every counter and dropping non-positives (standard mergeable
+    Misra-Gries reduction, Agarwal et al., 'Mergeable Summaries')."""
+    if len(counters) <= k:
+        return counters
+    kth = sorted(counters.values(), reverse=True)[k]
+    return {key: c - kth for key, c in counters.items() if c > kth}
+
+
+class HeavyHitters(AggregateFnV2):
+    """Misra-Gries top-k sketch as a Ray Data aggregation.
+
+    Accumulator = dict of <= k (value, lower-bound count) pairs; blocks
+    reduce with exact per-block value_counts then a trim, partials merge
+    by counter addition + trim.  Guarantee: any value with true
+    frequency > N/(k+1) survives, and every kept count undercounts by at
+    most N/(k+1) — planted heavy hitters are test-verified.  The sketch
+    moves O(k) entries per block regardless of cardinality.
+    """
+
+    def __init__(self, on: str, k: int = 16, alias_name: str | None = None):
+        self._k = int(k)
+        super().__init__(
+            alias_name or f"heavy_hitters({on})",
+            zero_factory=dict,
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> dict:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        vals, counts = np.unique(
+            np.asarray(col.drop_null().to_pylist(), dtype=object), return_counts=True
+        )
+        return _mg_trim(
+            {v: int(c) for v, c in zip(vals.tolist(), counts.tolist())}, self._k
+        )
+
+    def combine(self, current_accumulator: dict, new: dict) -> dict:
+        merged = dict(current_accumulator)
+        for v, c in new.items():
+            merged[v] = merged.get(v, 0) + c
+        return _mg_trim(merged, self._k)
+
+    def finalize(self, accumulator: dict) -> dict:
+        return accumulator
+
+
+def heavy_hitters(ds: "ray.data.Dataset", column: str, k: int = 16) -> pd.DataFrame:
+    """(value, min_count) rows for the <= k Misra-Gries survivors,
+    sorted by descending lower-bound count."""
+    counters = ds.aggregate(HeavyHitters(on=column, k=k, alias_name="hh"))["hh"]
+    rows = sorted(counters.items(), key=lambda t: (-t[1], str(t[0])))
+    return pd.DataFrame(rows, columns=["value", "min_count"])

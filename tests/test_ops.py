@@ -497,3 +497,43 @@ def test_dedup_clusters_distributed_chain(ray_session):
     assert chain["is_kept"].tolist() == [True] + [False] * 5
     pair = out[out["doc_id"] >= 50]
     assert (pair["cluster_rep"] == 50).all()
+
+
+def test_approx_quantiles_vs_numpy(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import approx_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([rng.lognormal(3.0, 1.0, 20000), rng.uniform(0, 5, 5000)])
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", qs, bins=2048)
+    want = np.quantile(vals, qs)
+    tol = (vals.max() - vals.min()) / 2048 + 1e-9
+    for g, w in zip(got, want):
+        assert abs(g - w) <= tol + w * 0.01, (g, w, tol)
+    # degenerate: constant column
+    one = ray.data.from_pandas(pd.DataFrame({"v": np.full(100, 7.0)}))
+    assert approx_quantiles(one, "v", [0.5]) == [7.0]
+
+
+def test_heavy_hitters_finds_planted(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import heavy_hitters
+
+    rng = np.random.RandomState(12)
+    # long tail of 5000 rare values + two planted heavies
+    tail = [f"rare-{i}" for i in rng.randint(0, 5000, 20000)]
+    planted = ["HOT-A"] * 9000 + ["HOT-B"] * 6000
+    df = pd.DataFrame({"v": tail + planted})
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(8)
+    out = heavy_hitters(ds, "v", k=8)
+    # MG guarantee: freq > N/(k+1) must survive; counts undercount by <= N/(k+1)
+    n = len(df)
+    top = dict(zip(out["value"], out["min_count"]))
+    assert "HOT-A" in top and "HOT-B" in top
+    assert top["HOT-A"] >= 9000 - n // 9
+    assert top["HOT-B"] >= 6000 - n // 9
+    assert out.iloc[0]["value"] == "HOT-A"
