@@ -70,11 +70,21 @@ def _q_extract_pipeline(sf_dir: str) -> Any:
 
 
 def _q_media_decode(sf_dir: str) -> Any:
+    """Decode every media span of the extraction output.  Self-check on
+    every sweep: ALL image rows must come back ``decode_status="real"``
+    (the PNG codec actually parsed the planted payload — a silent
+    fallback to ``decode_error`` fails the query)."""
     from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
     ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
-    return decode_media(media_spans_dataset(ds), concurrency=2)
+    out = decode_media(media_spans_dataset(ds), concurrency=2).to_pandas()
+    img = out[out["kind"] == "image"]
+    assert len(img) > 0 and (img["decode_status"] == "real").all(), (
+        img["decode_status"].value_counts().to_dict()
+    )
+    assert (img["width"] > 0).all() and (img["height"] > 0).all()
+    return out
 
 
 def _q_png_decode(sf_dir: str) -> Any:
@@ -235,11 +245,19 @@ def _q_doc_repetition_stats(sf_dir: str) -> Any:
 
 def _q_doc_sequence_packing(sf_dir: str) -> Any:
     """Shard-local greedy packing (no SQL oracle: capacity-reset greedy
-    state is not window-function expressible; invariants are pytest-
-    covered in tests/test_ops.py::test_pack_sequences_invariants)."""
+    state is not window-function expressible).  The two packing
+    invariants are asserted on every sweep: no non-oversize pack exceeds
+    the budget, and every input doc lands in exactly one pack."""
     from fetch_engines_ray.ops.packing import pack_sequences
 
     out = pack_sequences(_read_documents(sf_dir), max_tokens=512).to_pandas()
+    ok = out[~out["oversize"]] if "oversize" in out.columns else out
+    assert (ok["total_tokens"] <= 512).all(), "pack over budget"
+    packed_docs = [d for ids in out["doc_ids"] for d in ids]
+    n_input = _read_documents(sf_dir).count()
+    assert len(packed_docs) == len(set(packed_docs)) == n_input, (
+        f"packing coverage broken: {len(packed_docs)} packed of {n_input}"
+    )
     return out.sort_values("seq_id").reset_index(drop=True)
 
 
@@ -430,17 +448,27 @@ def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
 
 
 def _q_doc_winnowing_fingerprints(sf_dir: str) -> Any:
+    """Winnowing fingerprints (no SQL oracle: DuckDB lacks crc32), with
+    a planted self-check every sweep: exact text clones MUST produce
+    byte-identical fingerprint lists (the defining property the dedup
+    consumer relies on)."""
     from fetch_engines_ray.ops.textstats import add_winnowing_fingerprint
 
-    ds = _read_documents(sf_dir).map_batches(
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    ds = docs.union(_planted_clone_docs(docs)).map_batches(
         add_winnowing_fingerprint, batch_format="pyarrow", batch_size=2048
     )
-    return (
+    out = (
         ds.select_columns(["doc_id", "fp_hashes"])
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    by_id = dict(zip(out["doc_id"], out["fp_hashes"]))
+    for i in range(5):
+        a, b = list(by_id[i]), list(by_id[2000000 + i])
+        assert a == b, f"clone {i} fingerprint drift: {a[:3]}... vs {b[:3]}..."
+    return out
 
 
 def _q_parts_in_supplier_band(sf_dir: str) -> Any:
