@@ -84,6 +84,9 @@ def _q_media_decode(sf_dir: str) -> Any:
         img["decode_status"].value_counts().to_dict()
     )
     assert (img["width"] > 0).all() and (img["height"] > 0).all()
+    aud = out[out["kind"] == "audio"]
+    assert len(aud) > 0 and (aud["decode_status"] == "real").all()
+    assert (aud["duration_ms"] > 0).all()
     return out
 
 
@@ -120,15 +123,42 @@ def _q_png_decode(sf_dir: str) -> Any:
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def _q_video_frame_samples(sf_dir: str) -> Any:
-    from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset, sample_frames
-    from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
+def _q_wav_decode(sf_dir: str) -> Any:
+    """REAL audio decode, SQL-oracled: every documents row gets a
+    planted RIFF/WAVE 16-bit PCM payload whose sample values follow a
+    closed integer form of doc_id; the engine recovers sample rate /
+    sample count / |PCM| sum / framing count ONLY by parsing the bytes
+    (ops/wav.py).  The oracle mirrors the closed form in SQL."""
+    import pyarrow as pa
 
-    ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
-    return sample_frames(decode_media(media_spans_dataset(ds), concurrency=2))
+    from fetch_engines_ray.ops.multimodal import WavDecoder
+    from fetch_engines_ray.ops.wav import planted_wav
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "payload": pa.array([planted_wav(int(i)) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = (
+        _read_documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(attach_payload, batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            WavDecoder, batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=1
+        )
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_audio_features(sf_dir: str) -> Any:
+    """Framed features over every audio span of the extraction output.
+    Self-check on every sweep: ALL rows must carry
+    ``feature_status="real"`` (real PCM decode + framing, not a stub)
+    with frame counts matching the decoded durations."""
     from fetch_engines_ray.ops.multimodal import (
         decode_media,
         extract_audio_features,
@@ -137,7 +167,14 @@ def _q_audio_features(sf_dir: str) -> Any:
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
     ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
-    return extract_audio_features(decode_media(media_spans_dataset(ds), concurrency=2))
+    out = extract_audio_features(
+        decode_media(media_spans_dataset(ds), concurrency=2)
+    ).to_pandas()
+    assert len(out) > 0 and (out["feature_status"] == "real").all(), (
+        out["feature_status"].value_counts().to_dict()
+    )
+    assert (out["n_frames"] > 0).all()
+    return out
 
 
 def _read_documents(sf_dir: str):
@@ -619,8 +656,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quality_by_archetype": _q_extract_quality_by_archetype,
         "media_decode": _q_media_decode,
         "png_decode": _q_png_decode,
-        "video_frame_samples": _q_video_frame_samples,
+        "wav_decode": _q_wav_decode,
         "audio_features": _q_audio_features,
+        # (video frame sampling stays pytest-covered —
+        # tests/test_ops.py::test_frame_sampling_plan — its stub query
+        # slot went to the oracled wav_decode)
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,
@@ -760,6 +800,24 @@ def oracle_sql() -> dict[str, str]:
             " CAST(greatest(1, floor(dims.h * least(224.0 / dims.w, 224.0 / dims.h))) AS BIGINT)"
             "  AS resized_height"
             " FROM dims JOIN px USING (doc_id) ORDER BY doc_id"
+        ),
+        "wav_decode": (
+            # mirrors the planted-WAV closed form (ops/wav.py
+            # planted_samples: n = 400 + (doc_id % 200) * 8 samples at
+            # 8 kHz, s(i) = ((7 i^2 + 13 i + doc_id) % 65536) - 32768)
+            # and the 25 ms / 10 ms framing math; the ENGINE recovers
+            # these numbers only by parsing genuine RIFF/WAVE bytes
+            "WITH dims AS (SELECT doc_id, 400 + (doc_id % 200) * 8 AS n FROM documents),"
+            " s AS (SELECT dims.doc_id,"
+            "   sum(abs(((7 * i.i * i.i + 13 * i.i + dims.doc_id) % 65536) - 32768)) AS ab"
+            "  FROM dims, range(0, 1992) i(i) WHERE i.i < dims.n"
+            "  GROUP BY dims.doc_id)"
+            " SELECT dims.doc_id, CAST(8000 AS BIGINT) AS sample_rate,"
+            " CAST(dims.n AS BIGINT) AS n_samples,"
+            " CAST(dims.n // 8 AS BIGINT) AS duration_ms,"
+            " CAST(s.ab AS BIGINT) AS pcm_abs_sum,"
+            " CAST(1 + (dims.n - 200) // 80 AS BIGINT) AS n_frames"
+            " FROM dims JOIN s USING (doc_id) ORDER BY doc_id"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),"

@@ -12,9 +12,13 @@ Codec status by kind:
   binary content, FetchEngine.ts:211-225) and ``ops.png.decode_png``
   does the actual work: CRC-verified chunk walk, zlib inflate, all five
   PNG row filters.  Rows carry ``decode_status="real"``.
-* **video/audio — stubbed.**  No ffmpeg/DSP libs in this container; the
-  framing/sampling math and schemas are real, the per-sample values are
-  a deterministic stand-in marked ``decode_status="stubbed"``.
+* **audio — REAL decode.**  Audio refs resolve to genuine RIFF/WAVE
+  16-bit PCM payloads; ``ops.wav.decode_wav`` parses the container and
+  ``frame_features`` computes real per-frame energy / zero-crossing /
+  sub-band features over the PCM.  Rows carry ``decode_status="real"``.
+* **video — stubbed.**  No video codec is feasible without ffmpeg; the
+  frame-sampling math and schemas are real, the metadata is a
+  deterministic stand-in marked ``decode_status="stubbed"``.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from .png import PngFormatError, decode_png, planted_png_for_ref
+from .wav import WavFormatError, decode_wav, frame_features, planted_wav_for_ref
 
 try:  # richer decoders, if the environment ever provides them
     from PIL import Image  # noqa: F401
@@ -114,6 +119,35 @@ class MediaDecoder:
             "decode_status": "real",
         }
 
+    def real_decode_audio(self, media_ref: str, payload: bytes) -> dict:
+        """Decode genuine WAV bytes to typed metadata + PCM feature."""
+        try:
+            dec = decode_wav(payload)
+        except WavFormatError:
+            return {
+                "media_ref": media_ref,
+                "kind": "audio",
+                "width": 0,
+                "height": 0,
+                "duration_ms": 0,
+                "feature": [0.0] * 8,
+                "decode_status": "decode_error",
+            }
+        s = np.asarray(dec["samples"], dtype=np.float64).reshape(-1) / 32768.0
+        slices = np.array_split(s, 8)
+        feat = [
+            float(np.sqrt((sl**2).mean()) * 2 - 1) if len(sl) else 0.0 for sl in slices
+        ]
+        return {
+            "media_ref": media_ref,
+            "kind": "audio",
+            "width": 0,
+            "height": 0,
+            "duration_ms": dec["duration_ms"],
+            "feature": feat,
+            "decode_status": "real",
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = (
             batch["payload"].to_pylist() if "payload" in batch.column_names else None
@@ -128,6 +162,11 @@ class MediaDecoder:
                 if payload is None:
                     payload = planted_png_for_ref(r)
                 rows.append(self.real_decode(r, payload))
+            elif k == "audio":
+                payload = payloads[i] if payloads is not None else None
+                if payload is None:
+                    payload = planted_wav_for_ref(r)
+                rows.append(self.real_decode_audio(r, payload))
             else:
                 rows.append(_fake_decode(r, k))
         return pa.Table.from_pylist(rows, schema=MEDIA_META_SCHEMA)
@@ -219,6 +258,53 @@ class PngDecoder:
                 }
             )
         return pa.Table.from_pylist(rows, schema=PNG_DECODE_SCHEMA)
+
+
+WAV_DECODE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("sample_rate", pa.int64()),
+        ("n_samples", pa.int64()),
+        ("duration_ms", pa.int64()),
+        ("pcm_abs_sum", pa.int64()),
+        ("n_frames", pa.int64()),
+    ]
+)
+
+
+class WavDecoder:
+    """Actor-pool stage for the oracled real-audio-decode query:
+    (doc_id, payload) batches in, fully-decoded metadata out.
+    ``pcm_abs_sum`` sums |sample| over every decoded PCM value —
+    recoverable only by actually parsing the RIFF data chunk — and
+    ``n_frames`` is the 25 ms / 10 ms framing count over the decoded
+    stream (same math :func:`ops.wav.frame_features` applies)."""
+
+    def __init__(self, frame_length_ms: int = 25, hop_ms: int = 10) -> None:
+        self.frame_length_ms = frame_length_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            dec = decode_wav(payload)
+            s = np.asarray(dec["samples"], dtype=np.int64).reshape(-1)
+            flen = dec["sample_rate"] * self.frame_length_ms // 1000
+            hop = dec["sample_rate"] * self.hop_ms // 1000
+            n_frames = 1 + (dec["n_samples"] - flen) // hop if dec["n_samples"] >= flen else 0
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "sample_rate": dec["sample_rate"],
+                    "n_samples": dec["n_samples"],
+                    "duration_ms": dec["duration_ms"],
+                    "pcm_abs_sum": int(np.abs(s).sum()),
+                    "n_frames": n_frames,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=WAV_DECODE_SCHEMA)
 
 
 RESIZED_SCHEMA = pa.schema(
@@ -339,13 +425,16 @@ AUDIO_FEATURES_SCHEMA = pa.schema(
 
 
 class AudioFeatureExtractor:
-    """Actor-pool stage: audio row → framed feature matrix (the
-    MFCC-shaped analysis plan).  The framing math is REAL — n_frames =
-    1 + floor((duration - frame_length) / hop) for durations >=
-    frame_length, else 0 — and drives block sizing exactly as a real
-    DSP stage would; the per-frame coefficients are a deterministic
-    stub (no audio DSP libs in this container), marked
-    ``feature_status="stubbed"``.
+    """Actor-pool stage: audio row → framed feature matrix.
+
+    The REAL DSP path: the row's payload (``payload`` column when
+    present, else the planted-WAV resolver for ``media://`` refs) is
+    parsed by :func:`ops.wav.decode_wav` and framed by
+    :func:`ops.wav.frame_features` — per-frame RMS energy,
+    zero-crossing rate and sub-band energies over the actual PCM,
+    marked ``feature_status="real"`` (``"decode_error"`` on malformed
+    bytes, with zero frames).  n_frames = 1 + (n_samples - flen) // hop
+    is recovered from the decoded stream, not metadata.
     """
 
     def __init__(
@@ -355,42 +444,49 @@ class AudioFeatureExtractor:
         self.hop_ms = hop_ms
         self.n_coeffs = n_coeffs
 
-    def real_features(self, payload: bytes):  # pragma: no cover
-        """The real DSP path — not available in this environment."""
-        raise NotImplementedError(
-            "Audio DSP libraries are not present in this container; "
-            "wire librosa/torchaudio here and replace the stub."
+    def real_features(self, payload: bytes) -> tuple[int, list]:
+        """(n_frames, capped feature rows) over genuine WAV bytes."""
+        dec = decode_wav(payload)
+        samples = np.asarray(dec["samples"]).reshape(dec["n_samples"], -1)[:, 0]
+        feats = frame_features(
+            samples,
+            dec["sample_rate"],
+            self.frame_length_ms,
+            self.hop_ms,
+            self.n_coeffs,
         )
-
-    def _frame_count(self, duration_ms: int) -> int:
-        if duration_ms < self.frame_length_ms:
-            return 0
-        return 1 + (duration_ms - self.frame_length_ms) // self.hop_ms
+        n_frames = len(feats)
+        # cap materialized frames so a mega-duration row cannot blow up
+        # a block (a real stage would chunk the waveform)
+        return n_frames, feats[:256].tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = (
+            batch["payload"].to_pylist() if "payload" in batch.column_names else None
+        )
+        names = batch.column_names
+        refs = batch["media_ref"].to_pylist()
+        kinds = batch["kind"].to_pylist() if "kind" in names else ["audio"] * len(refs)
         rows = []
-        for r in batch.select(["media_ref", "kind", "duration_ms"]).to_pylist():
-            if r["kind"] != "audio":
+        for i, (ref, kind) in enumerate(zip(refs, kinds)):
+            if kind != "audio":
                 continue
-            n_frames = self._frame_count(int(r["duration_ms"] or 0))
-            # deterministic fake coefficients from (ref, frame index);
-            # cap the materialized frames so a mega-duration row cannot
-            # blow up a block (a real stage would chunk the waveform)
-            capped = min(n_frames, 256)
-            h = hashlib.blake2b((r["media_ref"] or "").encode(), digest_size=8).digest()
-            base = [((b / 255.0) * 2 - 1) for b in h]
-            feats = [
-                [float(base[(i + j) % 8]) for j in range(self.n_coeffs)]
-                for i in range(capped)
-            ]
+            payload = payloads[i] if payloads is not None else None
+            if payload is None:
+                payload = planted_wav_for_ref(ref or "")
+            try:
+                n_frames, feats = self.real_features(payload)
+                status = "real"
+            except WavFormatError:
+                n_frames, feats, status = 0, [], "decode_error"
             rows.append(
                 {
-                    "media_ref": r["media_ref"],
+                    "media_ref": ref,
                     "n_frames": n_frames,
                     "frame_length_ms": self.frame_length_ms,
                     "hop_ms": self.hop_ms,
                     "features": feats,
-                    "feature_status": "stubbed",
+                    "feature_status": status,
                 }
             )
         return pa.Table.from_pylist(rows, schema=AUDIO_FEATURES_SCHEMA)

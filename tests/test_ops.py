@@ -192,16 +192,21 @@ def test_media_decode_schema(ray_session):
     assert set(rows[0].keys()) == set(MEDIA_META_SCHEMA.names)
     img = next(r for r in rows if r["kind"] == "image")
     assert img["width"] > 0 and img["height"] > 0 and img["duration_ms"] == 0
-    # image refs resolve to planted PNG bytes and take the REAL codec
-    # path; video/audio stay deterministic stubs (no ffmpeg/DSP libs)
+    # image refs resolve to planted PNG bytes, audio refs to planted
+    # WAV bytes — both take REAL codec paths; only video stays a
+    # deterministic stub (no video codec without ffmpeg)
     assert img["decode_status"] == "real"
     from fetch_engines_ray.ops.png import decode_png, planted_png_for_ref
 
     dec = decode_png(planted_png_for_ref("media://d1/0"))
     assert (img["width"], img["height"]) == (dec["width"], dec["height"])
-    assert all(
-        r["decode_status"] == "stubbed" for r in rows if r["kind"] != "image"
-    )
+    aud = next(r for r in rows if r["kind"] == "audio")
+    assert aud["decode_status"] == "real" and aud["duration_ms"] > 0
+    from fetch_engines_ray.ops.wav import decode_wav, planted_wav_for_ref
+
+    assert aud["duration_ms"] == decode_wav(planted_wav_for_ref("media://d2/0"))["duration_ms"]
+    vid = next(r for r in rows if r["kind"] == "video")
+    assert vid["decode_status"] == "stubbed"
     # determinism
     rows2 = decode_media(ds, concurrency=1).take_all()
     key = lambda r: r["media_ref"]  # noqa: E731
@@ -417,27 +422,42 @@ def test_pack_sequences_invariants(ray_session):
 
 
 def test_audio_feature_framing_math(ray_session):
+    """Real PCM path: frame counts come from the DECODED stream (1 s at
+    8 kHz -> 1 + (8000-200)//80 = 98 frames), video rows are skipped,
+    sub-frame-length audio yields zero frames."""
     import ray.data
 
     from fetch_engines_ray.ops.multimodal import extract_audio_features
+    from fetch_engines_ray.ops.wav import encode_wav
 
+    rng = np.random.RandomState(9)
+    wav_1s = encode_wav(rng.randint(-500, 500, 8000).astype(np.int16), 8000)
+    wav_24ms = encode_wav(rng.randint(-500, 500, 192).astype(np.int16), 8000)
     rows = [
-        {"media_ref": "m/a.wav", "kind": "audio", "width": 0, "height": 0, "duration_ms": 1000},
-        {"media_ref": "m/b.wav", "kind": "audio", "width": 0, "height": 0, "duration_ms": 24},
-        {"media_ref": "m/v.mp4", "kind": "video", "width": 0, "height": 0, "duration_ms": 5000},
+        {"media_ref": "m/a.wav", "kind": "audio", "payload": wav_1s},
+        {"media_ref": "m/b.wav", "kind": "audio", "payload": wav_24ms},
+        {"media_ref": "m/v.mp4", "kind": "video", "payload": b""},
     ]
     out = extract_audio_features(
         ray.data.from_items(rows), frame_length_ms=25, hop_ms=10, concurrency=1
     ).take_all()
     by_ref = {r["media_ref"]: r for r in out}
     assert set(by_ref) == {"m/a.wav", "m/b.wav"}  # video rows are skipped
-    # 1 + (1000 - 25) // 10 = 98 frames of 13 coeffs
     a = by_ref["m/a.wav"]
     assert a["n_frames"] == 98
     assert len(a["features"]) == 98 and len(a["features"][0]) == 13
-    assert a["feature_status"] == "stubbed"
+    assert a["feature_status"] == "real"
+    # real energy/ZCR values vary across frames of random PCM
+    col0 = [f[0] for f in a["features"]]
+    assert len(set(col0)) > 1
     # shorter than one frame -> zero frames
     assert by_ref["m/b.wav"]["n_frames"] == 0
+    # refs without payload resolve through the planted-WAV fetch stand-in
+    ref_only = extract_audio_features(
+        ray.data.from_items([{"media_ref": "media://x/1", "kind": "audio"}]),
+        concurrency=1,
+    ).take_all()
+    assert ref_only[0]["feature_status"] == "real" and ref_only[0]["n_frames"] > 0
 
 
 def test_pii_redaction_planted(ray_session):

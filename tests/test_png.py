@@ -102,3 +102,36 @@ def test_png_decoder_stage(ray_session):
         assert r["pixel_sum"] == int(px.astype(np.int64).sum())
         rw, rh = letterbox(px.shape[1], px.shape[0], 224, 224)
         assert (r["resized_width"], r["resized_height"]) == (rw, rh)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def test_roundtrip_fuzz(w, h, rgb, seed, filters):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        dec = decode_png(encode_png(px, row_filters=filters))
+        assert np.array_equal(dec["pixels"], px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=400))
+    def test_decode_garbage_never_crashes_unpredictably(data):
+        """Arbitrary bytes either raise PngFormatError or decode cleanly
+        — no other exception type escapes the codec."""
+        try:
+            decode_png(data)
+        except PngFormatError:
+            pass
+
+except ImportError:  # pragma: no cover - hypothesis is present in this env
+    pass
