@@ -60,6 +60,24 @@ def synth_corpus_parallel(sf_dir: str) -> tuple[str, int]:
     return out, n
 
 
+_UDF_RE = None
+
+
+def _udf_cpu_seconds(stats: str) -> float:
+    """Sum the per-operator 'UDF time ... total' lines from ds.stats().
+
+    This is the phase-independent cost metric on this host: wall clock
+    swings up to 2.5x with multi-minute noise phases, but total UDF CPU
+    per doc stays flat for unchanged code."""
+    import re
+
+    global _UDF_RE
+    if _UDF_RE is None:
+        _UDF_RE = re.compile(r"UDF time:.*?([\d.]+)(us|ms|s) total")
+    mult = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+    return sum(float(v) * mult[u] for v, u in _UDF_RE.findall(stats))
+
+
 def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
@@ -77,7 +95,13 @@ def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
     ds = extract_corpus(corpus, cfg)
     ds.write_parquet(out_dir)
     dt = time.perf_counter() - t0
-    return {"sec": dt, "docs": n_docs, "docs_per_sec": n_docs / dt}
+    udf_s = _udf_cpu_seconds(ds.stats())
+    return {
+        "sec": dt,
+        "docs": n_docs,
+        "docs_per_sec": n_docs / dt,
+        "udf_cpu_ms_per_doc": round(1000.0 * udf_s / n_docs, 3),
+    }
 
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
@@ -147,6 +171,9 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
         "num_cpus": num_cpus,
         "docs": ext["docs"],
         "throughput_docs_per_sec": round(ext["docs_per_sec"], 1),
+        # phase-independent cost metric (wall clock swings up to 2.5x
+        # with host noise; UDF CPU per doc stays flat for unchanged code)
+        "udf_cpu_ms_per_doc": ext["udf_cpu_ms_per_doc"],
     }
     ray.shutdown()
     return result
