@@ -361,9 +361,18 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
 
 
 def _q_minhash_dedup_decisions(sf_dir: str) -> Any:
+    """Near-dedup keep/drop decisions.  Self-check on every sweep: the
+    union-find invariants — min-id representatives, is_kept <=> self-
+    rooted, every representative present and kept."""
     from fetch_engines_ray.ops.dedup import minhash_dedup
 
-    return minhash_dedup(_read_documents(sf_dir))
+    out = minhash_dedup(_read_documents(sf_dir))
+    assert (out["cluster_rep"] <= out["doc_id"]).all()
+    assert (out["is_kept"] == (out["cluster_rep"] == out["doc_id"])).all()
+    reps = set(out["cluster_rep"])
+    kept = set(out.loc[out["is_kept"], "doc_id"])
+    assert reps <= kept, f"non-kept representatives: {sorted(reps - kept)[:5]}"
+    return out
 
 
 def _planted_clone_docs(docs, n: int = 5, id_shift: int = 2000000):
@@ -434,9 +443,24 @@ def _q_knn_bruteforce(sf_dir: str) -> Any:
 
 
 def _q_ivf_knn(sf_dir: str) -> Any:
-    from fetch_engines_ray.ops.similarity import ivf_knn
+    """IVF approximate kNN (no SQL oracle — probe-limited search is
+    approximate by design).  Self-check on every sweep: mean recall@10
+    against the exact brute-force result must clear 0.5 with
+    nprobe=4/16 clusters (the pytest bound, enforced at every sf)."""
+    from fetch_engines_ray.ops.similarity import ivf_knn, knn_bruteforce
 
-    return ivf_knn(_read_embeddings(sf_dir), query_ids=list(range(8)), k=10)
+    qids = list(range(8))
+    approx = ivf_knn(_read_embeddings(sf_dir), query_ids=qids, k=10)
+    exact = knn_bruteforce(_read_embeddings(sf_dir), query_ids=qids, k=10)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        if e:
+            recalls.append(len(e & a) / len(e))
+    mean_recall = sum(recalls) / max(1, len(recalls))
+    assert mean_recall >= 0.5, f"IVF recall degraded: {mean_recall:.3f}"
+    return approx
 
 
 def _q_embedding_near_dups(sf_dir: str) -> Any:
@@ -478,6 +502,9 @@ def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
 
     ds = extract_corpus(_synth_corpus(sf_dir), PipelineConfig(batch_size=16, concurrency=(1, 4)))
     report = write_eval_report(ds, path="")
+    # every sweep must clear the reference's pass-rate gates
+    # (auto-render-cases.ts:23-25): gated>=0.8, static>=1.0, spa>=0.5
+    assert report["gates"]["gates_passed"] is True, report["gates"]
     rows = [
         {"archetype": k, **v} for k, v in sorted(report["archetypes"].items())
     ]
@@ -617,12 +644,26 @@ def _q_structured_extract(sf_dir: str) -> Any:
 
 
 def _q_hll_users_per_event_type(sf_dir: str) -> Any:
+    """HLL approximate distinct (no SQL hash oracle — estimates are not
+    exact).  Self-check on every sweep: each per-key estimate must land
+    within 5% of the exact distinct count (p=12 → ~1.6% std error)."""
     import ray.data
 
     from fetch_engines_ray.ops.sketches import hll_distinct_by_key
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    return hll_distinct_by_key(ds, "event_type", "user_id")
+    out = hll_distinct_by_key(ds, "event_type", "user_id")
+    # exact distinct via a tiny two-level groupby (distinct pairs first)
+    pairs = ds.groupby(["event_type", "user_id"]).count()
+    exact_df = (
+        pairs.groupby("event_type").count().to_pandas().sort_values("event_type")
+    )
+    merged = out.merge(
+        exact_df.rename(columns={"count()": "exact"}), on="event_type"
+    )
+    rel_err = (merged["approx_distinct"] - merged["exact"]).abs() / merged["exact"]
+    assert (rel_err <= 0.05).all(), merged.to_dict("records")
+    return out
 
 
 def _q_doc_quality_counts(sf_dir: str) -> Any:
