@@ -37,11 +37,15 @@ def load_rows(n_docs):
 
 
 def run(rows):
+    """Returns (cpu_seconds, md5).  CPU time (time.process_time), not
+    wall: this host has multi-minute noise phases where identical work
+    takes up to 2.5x the wall clock, but CPU consumed per unit of work
+    stays flat — A/B comparisons need the latter."""
     from fetch_engines_ray.stages.extract import DocumentExtractor
 
     ex = DocumentExtractor()
     h = hashlib.md5()
-    t0 = time.perf_counter()
+    t0 = time.process_time()
     for r in rows:
         out = ex.extract_document(
             r["doc_id"], r["spans"], r.get("base_url") or None, r.get("archetype", "")
@@ -50,7 +54,7 @@ def run(rows):
             h.update(
                 f"{r['doc_id']}|{s['kind']}|{s['text']}|{s['media_ref']}|{s['order']}\n".encode()
             )
-    dt = time.perf_counter() - t0
+    dt = time.process_time() - t0
     return dt, h.hexdigest()
 
 
