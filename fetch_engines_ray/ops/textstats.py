@@ -304,3 +304,39 @@ def add_gopher_quality_flags(batch: pa.Table, text_col: str = "text") -> pa.Tabl
     batch = batch.append_column("symbol_ratio_x1000", symbol_ratio_1000)
     batch = batch.append_column("stopword_hits", n_stop)
     return batch.append_column("gopher_pass", passes)
+
+
+def sample_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: the ``n_per_group`` rows with the
+    smallest ``md5(id)`` rank within each group — engine-stable (same
+    rows on every run, machine, partitioning), the same mechanism
+    :func:`add_split_assignment` uses for the train/val split.
+
+    Scale shape: the md5 rank is computed vectorized per batch, then ONE
+    ``groupby(group_col).map_groups`` keeps each group's top-n — the
+    shuffle moves (group, id, rank) plus payload once; no driver-side
+    state.  For heavily skewed groups the group task holds only its own
+    rows (Ray Data splits oversized groups' blocks downstream)."""
+    import hashlib
+
+    import pandas as pd
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ranks = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16) for i in ids
+        ]
+        return batch.append_column("_sample_rank", pa.array(ranks, type=pa.uint64()))
+
+    def top_n(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(n_per_group, "_sample_rank").drop(
+            columns=["_sample_rank"]
+        )
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow", batch_size=8192)
+    return ranked.groupby(group_col).map_groups(top_n, batch_format="pandas")

@@ -557,3 +557,36 @@ def test_heavy_hitters_finds_planted(ray_session):
     assert top["HOT-A"] >= 9000 - n // 9
     assert top["HOT-B"] >= 6000 - n // 9
     assert out.iloc[0]["value"] == "HOT-A"
+
+
+def test_sample_per_group_deterministic(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import sample_per_group
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000),
+            "lang": rng.choice(["en", "de", "fr"], 1000, p=[0.8, 0.15, 0.05]),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out1 = sample_per_group(ds, "lang", 10).to_pandas().sort_values("doc_id")
+    out2 = sample_per_group(ds, "lang", 10).to_pandas().sort_values("doc_id")
+    assert out1["doc_id"].tolist() == out2["doc_id"].tolist()  # engine-stable
+    counts = out1.groupby("lang").size()
+    assert (counts == 10).all()
+    # matches the closed-form md5 ranking
+    import hashlib
+
+    for lang in ("en", "de", "fr"):
+        members = df[df["lang"] == lang]["doc_id"]
+        want = sorted(
+            members, key=lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+        )[:10]
+        got = out1[out1["lang"] == lang]["doc_id"].tolist()
+        assert sorted(got) == sorted(want)
+    # groups smaller than n come back whole
+    tiny = ray.data.from_pandas(df.head(5))
+    assert sample_per_group(tiny, "lang", 10).count() == 5
