@@ -394,10 +394,11 @@ def _planted_clone_docs(docs, n: int = 5, id_shift: int = 2000000):
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str) -> Any:
-    """Exact n-gram-Jaccard-verified near-dup pairs, with the planted
-    exact clones asserted at jaccard_x1000 == 1000 every sweep (clones
-    share every shingle, so LSH must candidate them and exact
-    verification must score 1.0)."""
+    """Exact n-gram-Jaccard-verified near-dup pairs — FULLY SQL-oracled:
+    the oracle computes the true all-pairs 3-gram Jaccard set, so a
+    green hash proves both the exact verifier AND perfect LSH recall on
+    this corpus.  Planted clones additionally asserted at 1000 here
+    (fails fast with a named pair instead of a hash diff)."""
     from fetch_engines_ray.ops.dedup import ngram_jaccard_pairs
 
     docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
@@ -841,6 +842,30 @@ def oracle_sql() -> dict[str, str]:
             " CAST(greatest(1, floor(dims.h * least(224.0 / dims.w, 224.0 / dims.h))) AS BIGINT)"
             "  AS resized_height"
             " FROM dims JOIN px USING (doc_id) ORDER BY doc_id"
+        ),
+        "ngram_jaccard_pairs": (
+            # FULL oracle: the exact all-pairs word-3-gram Jaccard set at
+            # threshold 0.7 (plus the planted clones).  The engine only
+            # scores LSH candidates, so a green hash additionally proves
+            # LSH recall = 1.0 on this corpus.  jaccard_x1000 uses floor
+            # division on both sides (no float-round parity risk).
+            # O(n^2) list ops — fine at gate scale (sf<=0.01), minutes
+            # at sf0.1.
+            "WITH docs AS (SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5),"
+            " toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t"
+            "  FROM docs),"
+            " grams AS (SELECT doc_id,"
+            "  CASE WHEN len(t) < 3 THEN list_distinct([array_to_string(t, ' ')])"
+            "       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),"
+            "              i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
+            "  END AS g FROM toks),"
+            " p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "   len(list_intersect(a.g, b.g)) AS i,"
+            "   len(list_distinct(list_concat(a.g, b.g))) AS u"
+            "  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)"
+            " SELECT doc_a, doc_b, CAST((1000 * i) // u AS BIGINT) AS jaccard_x1000"
+            " FROM p WHERE i >= 0.7 * u ORDER BY doc_a, doc_b"
         ),
         "wav_decode": (
             # mirrors the planted-WAV closed form (ops/wav.py

@@ -517,16 +517,16 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pd.DataFrame:
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 
+def _ngram_set(t: str, n: int) -> set:
+    toks = t.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     """Exact word n-gram Jaccard similarity of two texts."""
-
-    def grams(t: str) -> set:
-        toks = t.lower().split()
-        if len(toks) < n:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-
-    ga, gb = grams(text_a), grams(text_b)
+    ga, gb = _ngram_set(text_a, n), _ngram_set(text_b, n)
     if not ga and not gb:
         return 1.0
     union = len(ga | gb)
@@ -597,11 +597,24 @@ def _ngram_pairs_from_sigs(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        # integer-exact score: jaccard_x1000 = (1000 * |intersect|) //
+        # |union| — floor division on both engine and oracle side, so
+        # the value representation can never drift (a float round() had
+        # half-boundary parity risk vs SQL)
         rows = []
         for r in batch.select(["doc_a", "doc_b", "text", "text_b"]).to_pylist():
-            j = ngram_jaccard(r["text"] or "", r["text_b"] or "", n=shingle_size)
-            if j >= threshold:
-                rows.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard_x1000": int(round(j * 1000))})
+            ga = _ngram_set(r["text"] or "", shingle_size)
+            gb = _ngram_set(r["text_b"] or "", shingle_size)
+            inter = len(ga & gb)
+            union = len(ga | gb) or 1
+            if inter >= threshold * union:
+                rows.append(
+                    {
+                        "doc_a": r["doc_a"],
+                        "doc_b": r["doc_b"],
+                        "jaccard_x1000": (1000 * inter) // union,
+                    }
+                )
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(
