@@ -616,3 +616,49 @@ def events_props_k_by_type(sf_dir: str) -> pd.DataFrame:
     )
     out["k_total"] = out["k_total"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def customers_without_orders(
+    sf_dir: str, min_total: float = 0.0, num_partitions: int = 4
+) -> pd.DataFrame:
+    """Distributed ANTI join: customers with no order above
+    ``min_total`` (TPC-H Q22 flavor) via Ray Data's native
+    ``join_type="left_anti"`` — the same hash-partitioned exchange as an
+    inner join, nothing driver-side.  Pytest oracles this directly
+    against DuckDB (NOT IN subquery)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr=f"o_totalprice > {min_total!r}"
+    )
+    out = cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).to_pandas()
+    if "c_custkey" not in out.columns:  # empty anti result loses schema
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customer_order_counts_outer(sf_dir: str, num_partitions: int = 4) -> pd.DataFrame:
+    """Distributed LEFT OUTER join: every customer with their order
+    count (0 for order-less customers) — pre-aggregate the orders side
+    to (custkey, n) BEFORE the join so the wide exchange moves one row
+    per customer, not one per order."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    per_cust = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    out = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).to_pandas()[["c_custkey", "n_orders"]]
+    out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)

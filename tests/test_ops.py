@@ -590,3 +590,41 @@ def test_sample_per_group_deterministic(ray_session):
     # groups smaller than n come back whole
     tiny = ray.data.from_pandas(df.head(5))
     assert sample_per_group(tiny, "lang", 10).count() == 5
+
+
+def test_anti_and_outer_joins_vs_duckdb(ray_session):
+    """Ray-native left_anti / left_outer joins against a direct DuckDB
+    oracle over the same parquet tables."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import (
+        customer_order_counts_outer,
+        customers_without_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    # every customer has SOME order in the test data, so anti-join
+    # against high-value orders to exercise a non-trivial anti side
+    anti = customers_without_orders(sf, min_total=250000.0)
+    want = con.execute(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN"
+        " (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)"
+        " ORDER BY c_custkey"
+    ).fetchdf()
+    assert anti["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert 0 < len(anti) < 150  # non-trivial on both sides
+    # degenerate: no threshold -> every customer ordered -> empty frame
+    assert customers_without_orders(sf).empty
+
+    outer = customer_order_counts_outer(sf)
+    want2 = con.execute(
+        "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer"
+        " LEFT JOIN orders ON c_custkey = o_custkey"
+        " GROUP BY c_custkey ORDER BY c_custkey"
+    ).fetchdf()
+    assert outer["c_custkey"].tolist() == want2["c_custkey"].tolist()
+    assert outer["n_orders"].tolist() == want2["n_orders"].astype("int64").tolist()
