@@ -109,6 +109,19 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+
+    # like-for-like operator timing: the registry query now unions
+    # planted clones and re-verifies them on every run (correctness
+    # instrumentation, not operator cost) — bench the raw operator the
+    # way rounds 1-2 did so cross-round numbers stay comparable
+    def _raw_minhash(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(ray.data.read_parquet(f"{sf}/documents.parquet"))
+
+    qs = {**qs, "minhash_dedup_pairs": _raw_minhash}
     names = [
         "doc_token_counts",
         "exact_dedup_groups",

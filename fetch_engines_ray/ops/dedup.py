@@ -86,6 +86,7 @@ class MinHasher:
         self.a = ab[:num_perm] | np.uint64(1)
         self.b = ab[num_perm:]
         self.num_perm = num_perm
+        self._scratch = None  # lazily-allocated reusable minhash matrix
         self.shingle_size = shingle_size
         # one DISTINCT odd multiplier per shingle position — cycling a
         # fixed 4-tuple made positions j and j+4 share a multiplier, so
@@ -151,8 +152,13 @@ class MinHasher:
         hv_all = np.concatenate(segs) if segs else np.zeros(0, dtype=np.uint64)
         starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]]).astype(np.int64)
         out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        # chunk docs so the (num_perm x n_shingles) matrix stays small
-        max_sh = max(1, (1 << 22) // self.num_perm)  # ~32 MB of uint64
+        # chunk docs so the (num_perm x n_shingles) matrix fits the ONE
+        # per-instance scratch buffer, written in place — this host
+        # stalls catastrophically (5-1000x) on large fresh allocations
+        # during noise phases, so the hot loop must not allocate
+        max_sh = max(1, (1 << 19) // self.num_perm)  # 4 MB scratch
+        if self._scratch is None:
+            self._scratch = np.empty((self.num_perm, max_sh), dtype=np.uint64)
         d0 = 0
         while d0 < len(texts):
             d1 = d0
@@ -162,8 +168,13 @@ class MinHasher:
                 d1 += 1
             lo, hi = starts[d0], starts[d1 - 1] + seg_lens[d1 - 1]
             hv = hv_all[lo:hi]
-            vals = self.a[:, None] * hv[None, :] + self.b[:, None]  # uint64 wrap
-            out[d0:d1] = np.minimum.reduceat(vals, starts[d0:d1] - lo, axis=1).T
+            if len(hv) <= max_sh:
+                buf = self._scratch[:, : len(hv)]
+                np.multiply(self.a[:, None], hv[None, :], out=buf)
+                buf += self.b[:, None]
+            else:  # single oversized doc: one-off allocation
+                buf = self.a[:, None] * hv[None, :] + self.b[:, None]
+            out[d0:d1] = np.minimum.reduceat(buf, starts[d0:d1] - lo, axis=1).T
             d0 = d1
         # int64 bit-pattern view: downstream stores/compares signatures
         # (blob encode, equality for est_jaccard) — order is irrelevant
