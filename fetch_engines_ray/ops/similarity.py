@@ -253,7 +253,10 @@ def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
     n_clusters: Optional[int] = None,
-    max_group_size: int = 8192,
+    # 2048^2 float64 sims = 32 MB per leaf task — large fresh
+    # allocations stall badly on this host during noise phases, and at
+    # cluster scale a smaller leaf also bounds task memory tighter
+    max_group_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "ray.data.Dataset":
