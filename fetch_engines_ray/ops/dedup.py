@@ -416,22 +416,41 @@ def _minhash_pairs_from_sigs(
 def _simhash64_batch(texts: list) -> np.ndarray:
     """Vectorized 64-bit SimHash per document.
 
-    Per doc: hash every token with the (deterministic, C-vectorized)
-    pandas string hasher, unpack the 64 bit-planes of the whole token
-    array at once, column-sum, emit bit i when ones outnumber zeros —
-    no per-token Python work, ~100x the per-token blake2b loop."""
+    ONE ``pd.util.hash_array`` call hashes every token of the whole
+    batch (element-wise hashing, so values are identical to the former
+    per-doc calls — signatures are bit-stable); bit-plane unpacking and
+    the per-doc column sums run chunked (``np.add.reduceat`` over doc
+    boundaries) so no temporary exceeds ~4 MB — large fresh allocations
+    stall badly on this host."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    nonempty = np.nonzero(counts)[0]
     out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        th = pd.util.hash_array(np.asarray(toks, dtype=object))  # uint64
+    if len(nonempty) == 0:
+        return out
+    flat = [tok for toks in tok_lists for tok in toks]
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, N tokens
+    ne_counts = counts[nonempty]
+    starts = np.cumsum(ne_counts) - ne_counts  # segment starts in th
+    ones = np.zeros((len(nonempty), 64), dtype=np.int64)
+    # chunk over whole docs: bits temp = chunk_tokens x 64 uint8 <= ~4MB
+    max_tok = 1 << 16
+    d0 = 0
+    while d0 < len(nonempty):
+        d1 = d0
+        tot = 0
+        while d1 < len(nonempty) and (d1 == d0 or tot + ne_counts[d1] <= max_tok):
+            tot += ne_counts[d1]
+            d1 += 1
+        lo = starts[d0]
+        hi = starts[d1 - 1] + ne_counts[d1 - 1]
         bits = np.unpackbits(
-            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        )  # (n_toks, 64)
-        ones = bits.sum(axis=0, dtype=np.int64)
-        majority = (ones * 2 > len(toks)).astype(np.uint8)
-        out[i] = np.packbits(majority, bitorder="little").view(np.uint64)[0]
+            th[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )  # (chunk_tokens, 64)
+        ones[d0:d1] = np.add.reduceat(bits, starts[d0:d1] - lo, axis=0)
+        d0 = d1
+    majority = (ones * 2 > ne_counts[:, None]).astype(np.uint8)
+    out[nonempty] = np.packbits(majority, axis=1, bitorder="little").view(np.uint64)[:, 0]
     return out
 
 
