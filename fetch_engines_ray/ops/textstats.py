@@ -340,3 +340,45 @@ def sample_per_group(
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow", batch_size=8192)
     return ranked.groupby(group_col).map_groups(top_n, batch_format="pandas")
+
+
+def word_counts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> "ray.data.Dataset":
+    """Corpus vocabulary: (word, n) counts — the canonical giant-shuffle
+    op done the scale-right way.
+
+    Each batch pre-aggregates its tokens to (distinct word, count)
+    BEFORE the shuffle (one ``np.unique`` over the batch's token array),
+    so the wide ``groupby(word).sum`` moves one row per distinct word
+    per batch instead of one row per token — on natural-language text
+    that is a ~10-100x reduction of the exchange.  ``min_count`` prunes
+    the long tail after the rollup."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch[text_col].to_pylist():
+            toks.extend((t or "").lower().split())
+        if not toks:
+            return pa.table(
+                {"word": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        words, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(words.tolist(), type=pa.string()),
+             "n": pa.array(counts, type=pa.int64())}
+        )
+
+    rolled = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if min_count > 1:
+        rolled = rolled.filter(expr=f"n >= {min_count}")
+    return rolled

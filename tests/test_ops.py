@@ -628,3 +628,27 @@ def test_anti_and_outer_joins_vs_duckdb(ray_session):
     ).fetchdf()
     assert outer["c_custkey"].tolist() == want2["c_custkey"].tolist()
     assert outer["n_orders"].tolist() == want2["n_orders"].astype("int64").tolist()
+
+
+def test_word_counts_vocab(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import word_counts
+
+    rng = np.random.RandomState(31)
+    words = [f"tok{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, size=rng.randint(0, 60))) for _ in range(400)]
+    texts += ["", "  ", "UPPER upper UpPeR"]
+    truth = Counter(tok for t in texts for tok in t.lower().split())
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(6)
+    out = word_counts(ds).to_pandas()
+    got = dict(zip(out["word"], out["n"]))
+    assert got == dict(truth)
+    # case folding merged the three 'upper' variants
+    assert got["upper"] == 3
+    # min_count pruning
+    pruned = word_counts(ds, min_count=5).to_pandas()
+    assert set(pruned["word"]) == {w for w, c in truth.items() if c >= 5}
