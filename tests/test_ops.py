@@ -652,3 +652,39 @@ def test_word_counts_vocab(ray_session):
     # min_count pruning
     pruned = word_counts(ds, min_count=5).to_pandas()
     assert set(pruned["word"]) == {w for w, c in truth.items() if c >= 5}
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import tfidf_top_terms
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana banana durian",
+        3: "cherry durian elder elder elder",
+        4: "apple fig",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    ).repartition(3)
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+
+    # ground truth with the same formula
+    df = Counter(w for t in texts.values() for w in set(t.split()))
+    for doc_id, t in texts.items():
+        tf = Counter(t.split())
+        scored = sorted(
+            ((int(c * math.log(4 / df[w]) * 1e6), w) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        got = out[out["doc_id"] == doc_id].sort_values("rank")
+        assert got["term"].tolist() == [w for _, w in scored], (doc_id, got)
+        assert got["score_x1m"].tolist() == [s for s, _ in scored]
+        assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    # df column is the true document frequency
+    row = out[(out["doc_id"] == 1) & (out["term"] == "apple")]
+    assert row["df"].iloc[0] == 2
