@@ -415,6 +415,21 @@ def tfidf_top_terms(
     from .dedup import _checkpoint_parquet, _cleanup_checkpoint
 
     n_docs = ds.count()
+    if n_docs == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "score_x1m": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     def doc_terms(batch: pa.Table) -> pa.Table:
         ids_out: list = []

@@ -135,3 +135,30 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is present in this env
     pass
+
+
+def test_ancillary_chunks_are_skipped():
+    """Real-world PNGs carry tEXt/pHYs/etc. — the chunk walk must skip
+    unknown (CRC-valid) chunks and still decode the pixel data."""
+    import struct
+    import zlib as _zlib
+
+    px = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    data = encode_png(px)
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 8 + 13 + 4
+    payload = b"Comment\x00synthetic"
+    text_chunk = (
+        struct.pack(">I", len(payload))
+        + b"tEXt"
+        + payload
+        + struct.pack(">I", _zlib.crc32(b"tEXt" + payload) & 0xFFFFFFFF)
+    )
+    spliced = data[:ihdr_end] + text_chunk + data[ihdr_end:]
+    dec = decode_png(spliced)
+    assert np.array_equal(dec["pixels"], px)
+    # but a CORRUPT ancillary chunk still fails the CRC wall
+    bad = bytearray(spliced)
+    bad[ihdr_end + 9] ^= 0xFF
+    with pytest.raises(PngFormatError, match="CRC"):
+        decode_png(bytes(bad))

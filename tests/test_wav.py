@@ -118,3 +118,21 @@ def test_frame_features_shapes_and_values():
     assert (loud[:, 0] > 0.5).all() and (loud[:, 1] > 0.9).all()
     # sub-frame input -> empty
     assert frame_features(np.zeros(10, dtype=np.int16), 8000).shape == (0, 13)
+
+
+def test_list_info_chunk_is_skipped():
+    """RIFF files often carry LIST/INFO metadata chunks — the chunk walk
+    must skip them (including odd-length word padding) and still find
+    fmt/data."""
+    s = np.arange(-50, 50, dtype=np.int16)
+    data = encode_wav(s, 8000)
+    # splice a LIST chunk (odd payload length -> exercises padding)
+    payload = b"INFOIART\x05\x00\x00\x00abcd\x00"
+    chunk = b"LIST" + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+    spliced = data[:12] + chunk + data[12:]
+    # fix the RIFF size field
+    spliced = bytearray(spliced)
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    dec = decode_wav(bytes(spliced))
+    assert dec["sample_rate"] == 8000
+    assert np.array_equal(dec["samples"], s)
