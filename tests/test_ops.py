@@ -688,3 +688,44 @@ def test_tfidf_top_terms(ray_session):
     # df column is the true document frequency
     row = out[(out["doc_id"] == 1) & (out["term"] == "apple")]
     assert row["df"].iloc[0] == 2
+
+
+def test_embed_texts_end_to_end(ray_session):
+    """Batched-inference stage: deterministic embeddings, near-dup texts
+    land close in cosine space, and the output feeds the similarity ops
+    directly."""
+    import ray.data
+
+    from fetch_engines_ray.ops.embed import embed_texts
+    from fetch_engines_ray.ops.similarity import knn_bruteforce
+
+    rng = np.random.RandomState(41)
+    words = [f"tok{i}" for i in range(500)]
+    rows = []
+    for i in range(80):
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, size=60))})
+    near = rows[0]["text"].split()
+    near[3] = "CHANGED"
+    rows.append({"doc_id": 900, "text": " ".join(near)})  # near-dup of 0
+    rows.append({"doc_id": 901, "text": rows[0]["text"]})  # exact dup of 0
+    ds = ray.data.from_items(rows).repartition(4)
+
+    emb = embed_texts(ds, dim=32, concurrency=2, batch_size=16)
+    df = emb.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 82 and all(len(v) == 32 for v in df["embedding"])
+
+    # determinism across runs/actors
+    df2 = embed_texts(ds, dim=32, concurrency=1).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert all(np.allclose(a, b) for a, b in zip(df["embedding"], df2["embedding"]))
+
+    # exact dup -> identical embedding; near-dup -> nearest neighbor of 0
+    by_id = {int(r["doc_id"]): np.asarray(r["embedding"]) for _, r in df.iterrows()}
+    assert np.allclose(by_id[0], by_id[901])
+    knn = knn_bruteforce(
+        emb.map_batches(
+            lambda b: b.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+        ),
+        query_ids=[0],
+        k=2,
+    )
+    assert set(knn["neighbor_id"]) == {900, 901}
