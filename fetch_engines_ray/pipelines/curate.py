@@ -1,0 +1,89 @@
+"""End-to-end training-data curation: the composed pipeline a 100-TB
+corpus runs before pretraining, expressed as ONE streaming Ray Data
+chain.
+
+    documents
+      → exact dedup        (md5 groupby winners, distributed semi-join)
+      → near dedup         (MinHash-LSH pairs → keep/drop decisions;
+                            the drop set is NEAR-DUP-PAIR-sized — tiny
+                            relative to the corpus — so it broadcasts
+                            via ray.put and filters inside map_batches;
+                            contrast clean_corpus, whose winner set is
+                            corpus-sized and therefore semi-JOINS)
+      → quality filter     (Gopher-style integer rules, vectorized)
+      → PII redaction      (ordered RE2 replaces)
+      → sequence packing   (shard-local greedy first-fit)
+
+Every stage is a batch transform; the only wide operations are the two
+dedup group-bys/joins.  Nothing corpus-sized ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..ops.dedup import exact_dedup_groups, minhash_dedup
+from ..ops.packing import pack_sequences
+from ..ops.textstats import add_gopher_quality_flags, add_pii_redacted
+
+
+def curate_corpus(
+    ds: "ray.data.Dataset",
+    max_tokens: int = 512,
+    near_dup_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Run the full curation chain; returns the packed-sequence Dataset
+    (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
+    surviving, redacted documents."""
+    # 1. exact dedup winners — corpus-sized set, so semi-join
+    winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
+    docs = ds.select_columns([id_col, text_col])
+    deduped = docs.join(
+        winners,
+        join_type="inner",
+        num_partitions=2,
+        on=(id_col,),
+        right_on=("keep_doc_id",),
+    )
+
+    # 2. near-dedup drop set — bounded by the near-dup PAIR count
+    #    (tiny), so a ray.put broadcast + batch filter is the right
+    #    shape (a sparse-key anti-join would also trip Ray's
+    #    schema-less empty join partitions)
+    decisions = minhash_dedup(ds, threshold=near_dup_threshold)
+    dropped = frozenset(decisions.loc[~decisions["is_kept"], "doc_id"].tolist())
+    drop_ref = ray.put(dropped)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        if not drop:
+            return batch
+        mask = pa.array([v not in drop for v in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
+
+    # 3 + 4. quality gate then PII redaction, fused into one map stage
+    def quality_and_redact(batch: pa.Table) -> pa.Table:
+        batch = add_gopher_quality_flags(batch, text_col=text_col)
+        batch = batch.filter(batch.column("gopher_pass"))
+        batch = add_pii_redacted(batch, text_col=text_col)
+        # downstream packs the REDACTED text
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: batch["redacted_text"],
+            }
+        )
+
+    clean = survived.map_batches(
+        quality_and_redact, batch_format="pyarrow", batch_size=4096
+    )
+
+    # 5. shard-local packing
+    return pack_sequences(clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col)

@@ -279,3 +279,42 @@ def test_driver_registry_contract():
     assert len(qs) <= 50, f"driver gate caps at 50 recorded queries, got {len(qs)}"
     missing = sorted(set(oracles) - set(qs))
     assert not missing, f"oracle entries without a query: {missing}"
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    """The composed curation chain: exact dups collapse to one winner,
+    near-dups drop, junk fails the quality gate, PII is redacted before
+    packing, and pack budgets hold."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(6)
+    stop = "the be to of and that have with".split()
+    # long-ish content words keep the mean word length inside the
+    # Gopher window (3.0-10.0 chars); stopwords supply the hits
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = []
+    for i in range(40):
+        # quality-passing docs: 60-90 words with stopwords mixed in
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))})
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup -> loses to 0
+    near = rows[1]["text"].split(); near[5] = "CHANGED"
+    rows.append({"doc_id": 101, "text": " ".join(near)})  # near dup -> dropped
+    rows.append({"doc_id": 102, "text": "junk"})  # fails gopher (too short)
+    pii_text = " ".join(rng.choice(words, size=70)) + " contact bob@example.com now"
+    rows.append({"doc_id": 103, "text": pii_text})  # PII doc, quality-passing
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    packed = curate_corpus(ds, max_tokens=256).to_pandas()
+    packed_docs = sorted(d for ids in packed["doc_ids"] for d in ids)
+    assert 100 not in packed_docs  # exact dup collapsed
+    assert 101 not in packed_docs  # near dup dropped
+    assert 102 not in packed_docs  # quality-gated
+    assert 0 in packed_docs and 1 in packed_docs and 103 in packed_docs
+    assert len(packed_docs) == len(set(packed_docs))
+    ok = packed[~packed["oversize"]]
+    assert (ok["total_tokens"] <= 256).all()
