@@ -89,12 +89,22 @@ def _q_extract_pipeline(sf_dir: str) -> Any:
 
 def _q_media_decode(sf_dir: str) -> Any:
     """Decode every media span of the extraction output.  Self-check on
-    every sweep: ALL image rows must come back ``decode_status="real"``
-    (the PNG codec actually parsed the planted payload — a silent
-    fallback to ``decode_error`` fails the query)."""
-    from fetch_engines_ray.ops.multimodal import decode_media, media_spans_dataset
+    every sweep: ALL image/audio/VIDEO rows must come back
+    ``decode_status="real"`` (the PNG / RIFF-PCM / GIF-LZW codecs
+    actually parsed the planted payloads — a silent fallback to
+    ``decode_error`` fails the query), and the framed audio-feature path
+    must produce real per-frame DSP features over the same spans
+    (folded from the retired ``audio_features`` query; still
+    pytest-covered in tests/test_wav.py + tests/test_ops.py)."""
+    from fetch_engines_ray.ops.multimodal import (
+        decode_media,
+        extract_audio_features,
+        media_spans_dataset,
+    )
 
-    out = decode_media(media_spans_dataset(_extracted(sf_dir)), concurrency=2).to_pandas()
+    spans = media_spans_dataset(_extracted(sf_dir))
+    decoded = decode_media(spans, concurrency=2)
+    out = decoded.to_pandas()
     img = out[out["kind"] == "image"]
     assert len(img) > 0 and (img["decode_status"] == "real").all(), (
         img["decode_status"].value_counts().to_dict()
@@ -103,6 +113,17 @@ def _q_media_decode(sf_dir: str) -> Any:
     aud = out[out["kind"] == "audio"]
     assert len(aud) > 0 and (aud["decode_status"] == "real").all()
     assert (aud["duration_ms"] > 0).all()
+    vid = out[out["kind"] == "video"]
+    assert len(vid) > 0 and (vid["decode_status"] == "real").all(), (
+        vid["decode_status"].value_counts().to_dict()
+    )
+    assert (vid["width"] > 0).all() and (vid["height"] > 0).all()
+    assert (vid["duration_ms"] > 0).all()
+    feats = extract_audio_features(decoded).to_pandas()
+    assert len(feats) > 0 and (feats["feature_status"] == "real").all(), (
+        feats["feature_status"].value_counts().to_dict()
+    )
+    assert (feats["n_frames"] > 0).all()
     return out
 
 
@@ -170,25 +191,39 @@ def _q_wav_decode(sf_dir: str) -> Any:
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def _q_audio_features(sf_dir: str) -> Any:
-    """Framed features over every audio span of the extraction output.
-    Self-check on every sweep: ALL rows must carry
-    ``feature_status="real"`` (real PCM decode + framing, not a stub)
-    with frame counts matching the decoded durations."""
-    from fetch_engines_ray.ops.multimodal import (
-        decode_media,
-        extract_audio_features,
-        media_spans_dataset,
-    )
+def _q_gif_decode(sf_dir: str) -> Any:
+    """REAL video decode, SQL-oracled: every documents row gets a
+    planted animated-GIF payload (genuine GIF89a bytes — logical screen,
+    64-color global table, per-frame Graphic Control delays,
+    variable-width LZW image data) whose frame pixels and delays follow
+    a closed form of doc_id; the engine recovers width/height/n_frames/
+    duration/pixel sums ONLY by LZW-decoding every frame (ops/gif.py).
+    ``mid_frame_sum`` additionally pins the FrameSampler midpoint frame.
+    The oracle mirrors the closed form in SQL — a header-peek cannot
+    fake the pixel sums."""
+    import pyarrow as pa
 
-    out = extract_audio_features(
-        decode_media(media_spans_dataset(_extracted(sf_dir)), concurrency=2)
-    ).to_pandas()
-    assert len(out) > 0 and (out["feature_status"] == "real").all(), (
-        out["feature_status"].value_counts().to_dict()
+    from fetch_engines_ray.ops.gif import planted_gif
+    from fetch_engines_ray.ops.multimodal import GifDecoder
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "payload": pa.array([planted_gif(int(i)) for i in ids], type=pa.binary()),
+            }
+        )
+
+    ds = (
+        _read_documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(attach_payload, batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            GifDecoder, batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=1
+        )
     )
-    assert (out["n_frames"] > 0).all()
-    return out
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _read_documents(sf_dir: str):
@@ -711,10 +746,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "png_decode": _q_png_decode,
         "wav_decode": _q_wav_decode,
-        "audio_features": _q_audio_features,
-        # (video frame sampling stays pytest-covered —
-        # tests/test_ops.py::test_frame_sampling_plan — its stub query
-        # slot went to the oracled wav_decode)
+        "gif_decode": _q_gif_decode,
+        # (the rows-only audio_features query was retired for the
+        # oracled gif_decode under the 50-query cap; its real-DSP
+        # assertions are folded into media_decode above and the framed
+        # feature math stays pytest-covered in tests/test_wav.py.
+        # Video frame sampling: tests/test_ops.py::test_frame_sampling_plan
+        # plus gif_decode's mid_frame_sum midpoint pin.)
         # text analysis over documents (SQL oracles)
         "doc_token_counts": _q_doc_token_counts,
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,
@@ -878,6 +916,34 @@ def oracle_sql() -> dict[str, str]:
             "  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)"
             " SELECT doc_a, doc_b, CAST((1000 * i) // u AS BIGINT) AS jaccard_x1000"
             " FROM p WHERE i >= 0.7 * u ORDER BY doc_a, doc_b"
+        ),
+        "gif_decode": (
+            # mirrors the planted-GIF closed form (ops/gif.py
+            # planted_frames / planted_palette / planted_delays_cs):
+            # w = 4 + id%11, h = 3 + id%5, nf = 2 + id%4,
+            # index[f,y,x] = (5x + 11y + 17f + id) % 64,
+            # palette[i] = ((3i+7)%256, (5i+11)%256, (7i+13)%256),
+            # delay_cs[f] = 4 + (id + f) % 7 — the ENGINE side recovers
+            # these numbers only by LZW-decoding genuine GIF89a bytes
+            "WITH dims AS (SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h,"
+            "   2 + doc_id % 4 AS nf FROM documents),"
+            " cells AS (SELECT dims.doc_id, dims.nf, f.i AS fi,"
+            "   (5 * x.i + 11 * y.i + 17 * f.i + dims.doc_id) % 64 AS idx"
+            "  FROM dims, range(0, 14) x(i), range(0, 7) y(i), range(0, 5) f(i)"
+            "  WHERE x.i < dims.w AND y.i < dims.h AND f.i < dims.nf),"
+            " px AS (SELECT doc_id,"
+            "   sum((3 * idx + 7) % 256 + (5 * idx + 11) % 256 + (7 * idx + 13) % 256) AS ps,"
+            "   sum(CASE WHEN fi = nf // 2 THEN"
+            "     (3 * idx + 7) % 256 + (5 * idx + 11) % 256 + (7 * idx + 13) % 256"
+            "     ELSE 0 END) AS ms"
+            "  FROM cells GROUP BY doc_id),"
+            " dur AS (SELECT dims.doc_id, sum(10 * (4 + (dims.doc_id + f.i) % 7)) AS d"
+            "  FROM dims, range(0, 5) f(i) WHERE f.i < dims.nf GROUP BY dims.doc_id)"
+            " SELECT dims.doc_id, CAST(dims.w AS BIGINT) AS width,"
+            " CAST(dims.h AS BIGINT) AS height, CAST(dims.nf AS BIGINT) AS n_frames,"
+            " CAST(dur.d AS BIGINT) AS duration_ms, CAST(px.ps AS BIGINT) AS pixel_sum,"
+            " CAST(px.ms AS BIGINT) AS mid_frame_sum"
+            " FROM dims JOIN px USING (doc_id) JOIN dur USING (doc_id) ORDER BY doc_id"
         ),
         "wav_decode": (
             # mirrors the planted-WAV closed form (ops/wav.py

@@ -193,8 +193,8 @@ def test_media_decode_schema(ray_session):
     img = next(r for r in rows if r["kind"] == "image")
     assert img["width"] > 0 and img["height"] > 0 and img["duration_ms"] == 0
     # image refs resolve to planted PNG bytes, audio refs to planted
-    # WAV bytes — both take REAL codec paths; only video stays a
-    # deterministic stub (no video codec without ffmpeg)
+    # WAV bytes, video refs to planted animated-GIF bytes — all three
+    # take REAL codec paths
     assert img["decode_status"] == "real"
     from fetch_engines_ray.ops.png import decode_png, planted_png_for_ref
 
@@ -206,7 +206,12 @@ def test_media_decode_schema(ray_session):
 
     assert aud["duration_ms"] == decode_wav(planted_wav_for_ref("media://d2/0"))["duration_ms"]
     vid = next(r for r in rows if r["kind"] == "video")
-    assert vid["decode_status"] == "stubbed"
+    assert vid["decode_status"] == "real"
+    from fetch_engines_ray.ops.gif import decode_gif, planted_gif_for_ref
+
+    gdec = decode_gif(planted_gif_for_ref("media://d1/1"))
+    assert (vid["width"], vid["height"]) == (gdec["width"], gdec["height"])
+    assert vid["duration_ms"] == gdec["duration_ms"] > 0
     # determinism
     rows2 = decode_media(ds, concurrency=1).take_all()
     key = lambda r: r["media_ref"]  # noqa: E731
