@@ -873,25 +873,45 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": (
             # mirrors the planted-PNG closed form (ops/png.py
             # planted_pixels) + the letterbox formula (ops/multimodal.py
-            # letterbox) — the ENGINE side recovers these numbers only by
-            # decoding genuine PNG bytes
+            # letterbox) + the nearest-neighbor resample
+            # (ops/multimodal.py resample_nearest: src = ((2*dst+1)*src_dim)
+            # // (2*dst_dim), integer-exact) — the ENGINE side recovers
+            # these numbers only by decoding genuine PNG bytes and REALLY
+            # resampling the decoded pixels.  resized_pixel_sum factorizes
+            # per axis (each destination cell depends only on its source
+            # row/column), so the oracle sums cnt_x*cnt_y*pixel over the
+            # small source grid instead of the 224x224 destination grid.
             "WITH dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h"
             "  FROM documents),"
+            " ldims AS (SELECT doc_id, w, h,"
+            "   CAST(greatest(1, floor(w * least(224.0 / w, 224.0 / h))) AS BIGINT) AS rw,"
+            "   CAST(greatest(1, floor(h * least(224.0 / w, 224.0 / h))) AS BIGINT) AS rh"
+            "  FROM dims),"
             # range() cannot be laterally correlated in this DuckDB —
             # cross-join the fixed 16x9 grid (max w/h) and filter
             " px AS (SELECT dims.doc_id,"
             "   sum((7 * x.i + 13 * y.i + dims.doc_id) % 256) AS ps"
             "  FROM dims, range(0, 16) x(i), range(0, 9) y(i)"
             "  WHERE x.i < dims.w AND y.i < dims.h"
-            "  GROUP BY dims.doc_id)"
-            " SELECT dims.doc_id, CAST(dims.w AS BIGINT) AS width,"
-            " CAST(dims.h AS BIGINT) AS height, CAST(8 AS BIGINT) AS bit_depth,"
+            "  GROUP BY dims.doc_id),"
+            " cx AS (SELECT ldims.doc_id,"
+            "   ((2 * x.i + 1) * ldims.w) // (2 * ldims.rw) AS sx, count(*) AS cnt"
+            "  FROM ldims, range(0, 224) x(i) WHERE x.i < ldims.rw"
+            "  GROUP BY ldims.doc_id, sx),"
+            " cy AS (SELECT ldims.doc_id,"
+            "   ((2 * y.i + 1) * ldims.h) // (2 * ldims.rh) AS sy, count(*) AS cnt"
+            "  FROM ldims, range(0, 224) y(i) WHERE y.i < ldims.rh"
+            "  GROUP BY ldims.doc_id, sy),"
+            " rs AS (SELECT cx.doc_id,"
+            "   sum(cx.cnt * cy.cnt * ((7 * cx.sx + 13 * cy.sy + cx.doc_id) % 256)) AS rps"
+            "  FROM cx JOIN cy ON cx.doc_id = cy.doc_id GROUP BY cx.doc_id)"
+            " SELECT ldims.doc_id, CAST(ldims.w AS BIGINT) AS width,"
+            " CAST(ldims.h AS BIGINT) AS height, CAST(8 AS BIGINT) AS bit_depth,"
             " CAST(px.ps AS BIGINT) AS pixel_sum,"
-            " CAST(greatest(1, floor(dims.w * least(224.0 / dims.w, 224.0 / dims.h))) AS BIGINT)"
-            "  AS resized_width,"
-            " CAST(greatest(1, floor(dims.h * least(224.0 / dims.w, 224.0 / dims.h))) AS BIGINT)"
-            "  AS resized_height"
-            " FROM dims JOIN px USING (doc_id) ORDER BY doc_id"
+            " ldims.rw AS resized_width, ldims.rh AS resized_height,"
+            " CAST(rs.rps AS BIGINT) AS resized_pixel_sum"
+            " FROM ldims JOIN px USING (doc_id) JOIN rs USING (doc_id)"
+            " ORDER BY doc_id"
         ),
         "ngram_jaccard_pairs": (
             # FULL oracle: the exact all-pairs word-3-gram Jaccard set at

@@ -254,6 +254,18 @@ def letterbox(w: int, h: int, tw: int, th: int) -> tuple[int, int]:
     return max(1, int(w * scale)), max(1, int(h * scale))
 
 
+def resample_nearest(pixels: np.ndarray, rw: int, rh: int) -> np.ndarray:
+    """REAL pixel resampling: nearest-neighbor (pixel-center mapping,
+    ``src = ((2*dst + 1) * src_dim) // (2 * dst_dim)`` — integer-exact,
+    so the SQL oracle can mirror it bit-for-bit).  Vectorized as two
+    index-map gathers; works for ``(h, w)`` grey and ``(h, w, 3)``
+    RGB."""
+    h, w = pixels.shape[:2]
+    ys = ((2 * np.arange(rh, dtype=np.int64) + 1) * h) // (2 * rh)
+    xs = ((2 * np.arange(rw, dtype=np.int64) + 1) * w) // (2 * rw)
+    return pixels[ys][:, xs]
+
+
 PNG_DECODE_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -263,6 +275,7 @@ PNG_DECODE_SCHEMA = pa.schema(
         ("pixel_sum", pa.int64()),
         ("resized_width", pa.int64()),
         ("resized_height", pa.int64()),
+        ("resized_pixel_sum", pa.int64()),
     ]
 )
 
@@ -271,8 +284,10 @@ class PngDecoder:
     """Actor-pool stage for the oracled real-decode query: (doc_id,
     payload) batches in, fully-decoded metadata out.  ``pixel_sum`` is
     the sum over every decoded pixel value — recoverable only by
-    actually inflating and de-filtering the IDAT stream — and the
-    letterbox plan reuses :func:`letterbox` on the decoded dimensions."""
+    actually inflating and de-filtering the IDAT stream — the letterbox
+    plan reuses :func:`letterbox` on the decoded dimensions, and
+    ``resized_pixel_sum`` sums the REAL letterboxed nearest-neighbor
+    resample (:func:`resample_nearest`) of the decoded pixels."""
 
     def __init__(self, target_size: tuple[int, int] = (224, 224)) -> None:
         self.tw, self.th = target_size
@@ -284,6 +299,7 @@ class PngDecoder:
         ):
             dec = decode_png(payload)
             rw, rh = letterbox(dec["width"], dec["height"], self.tw, self.th)
+            resized = resample_nearest(dec["pixels"], rw, rh)
             rows.append(
                 {
                     "doc_id": int(doc_id),
@@ -293,6 +309,7 @@ class PngDecoder:
                     "pixel_sum": int(dec["pixels"].astype(np.int64).sum()),
                     "resized_width": rw,
                     "resized_height": rh,
+                    "resized_pixel_sum": int(resized.astype(np.int64).sum()),
                 }
             )
         return pa.Table.from_pylist(rows, schema=PNG_DECODE_SCHEMA)
@@ -403,8 +420,11 @@ RESIZED_SCHEMA = pa.schema(
 
 class ImageResizer:
     """Actor-pool stage: decoded image metadata → letterboxed resize
-    plan.  Real pixel work is stubbed (no PIL in this container); the
-    aspect-ratio math, schema, and actor plumbing are real."""
+    plan.  This stage plans from metadata rows (no pixel column in its
+    input); the REAL pixel resample lives in :func:`resample_nearest`
+    and is exercised + SQL-oracled end-to-end by :class:`PngDecoder`
+    (``resized_pixel_sum`` over actually-decoded, actually-resampled
+    planted PNGs)."""
 
     def __init__(self, target_size: tuple[int, int] = (224, 224)) -> None:
         self.tw, self.th = target_size

@@ -80,7 +80,7 @@ def test_png_decoder_stage(ray_session):
 
     import ray.data
 
-    from fetch_engines_ray.ops.multimodal import PngDecoder, letterbox
+    from fetch_engines_ray.ops.multimodal import PngDecoder, letterbox, resample_nearest
 
     ids = [0, 7, 123]
     tbl = pa.table(
@@ -102,6 +102,38 @@ def test_png_decoder_stage(ray_session):
         assert r["pixel_sum"] == int(px.astype(np.int64).sum())
         rw, rh = letterbox(px.shape[1], px.shape[0], 224, 224)
         assert (r["resized_width"], r["resized_height"]) == (rw, rh)
+        resized = resample_nearest(px, rw, rh)
+        assert resized.shape == (rh, rw)
+        assert r["resized_pixel_sum"] == int(resized.astype(np.int64).sum())
+
+
+def test_resample_nearest_kernel():
+    from fetch_engines_ray.ops.multimodal import resample_nearest
+
+    # identity: same-size resample returns the image unchanged
+    px = planted_pixels(42)
+    h, w = px.shape
+    assert np.array_equal(resample_nearest(px, w, h), px)
+    # known 2x upscale of a 2x2: pixel-center mapping picks
+    # src = ((2*dst+1)*2)//(2*2) = dst//... -> [0,0,1,1] per axis
+    small = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = resample_nearest(small, 4, 4)
+    assert np.array_equal(
+        up,
+        np.array(
+            [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]],
+            dtype=np.uint8,
+        ),
+    )
+    # downscale 4x4 -> 2x2 picks the pixel-center sources (indices 1,3)
+    grid = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    down = resample_nearest(grid, 2, 2)
+    assert np.array_equal(down, np.array([[5, 7], [13, 15]], dtype=np.uint8))
+    # RGB (h, w, 3) shape passes through the same gather
+    rgb = np.stack([grid, grid + 100, grid + 200], axis=-1)
+    down_rgb = resample_nearest(rgb, 2, 2)
+    assert down_rgb.shape == (2, 2, 3)
+    assert np.array_equal(down_rgb[..., 0], down)
 
 
 try:
