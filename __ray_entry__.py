@@ -691,27 +691,39 @@ def _q_structured_extract(sf_dir: str) -> Any:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def _q_hll_users_per_event_type(sf_dir: str) -> Any:
-    """HLL approximate distinct (no SQL hash oracle — estimates are not
-    exact).  Self-check on every sweep: each per-key estimate must land
-    within 5% of the exact distinct count (p=12 → ~1.6% std error)."""
-    import ray.data
+def _q_line_dedup_corpus(sf_dir: str) -> Any:
+    """C4-style cross-corpus line dedup, fully SQL-oracled: every
+    distinct non-empty line survives exactly once corpus-wide (first
+    occurrence by ``(doc_id, line_no)``), documents are rebuilt from
+    surviving lines, and docs that lose every line drop out.  The
+    DuckDB oracle re-derives the rebuilt TEXT of every document, so a
+    green hash pins the winner rule AND the reconstruction byte-for-
+    byte.  (This slot replaced the rows-only ``hll_users_per_event_type``
+    under the 50-query driver cap — HLL accuracy stays pytest-checked
+    in tests/test_ops.py::test_hll_distinct_accuracy.)
 
-    from fetch_engines_ray.ops.sketches import hll_distinct_by_key
+    The testdata document texts are single-line, so the query derives a
+    multi-line corpus deterministically (mirrored in the oracle):
+    ``text \\n SHARED-LINE-<doc_id%7> \\n text`` — planting cross-doc
+    shared lines (only 7 sentinel survivors corpus-wide), within-doc
+    duplicate lines (the repeated own text), and exact-duplicate docs
+    losing their text line to the min-doc_id witness."""
+    import pandas as pd
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    out = hll_distinct_by_key(ds, "event_type", "user_id")
-    # exact distinct via a tiny two-level groupby (distinct pairs first)
-    pairs = ds.groupby(["event_type", "user_id"]).count()
-    exact_df = (
-        pairs.groupby("event_type").count().to_pandas().sort_values("event_type")
+    from fetch_engines_ray.ops.dedup import line_dedup
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        sent = "SHARED-LINE-" + (batch["doc_id"] % 7).astype(str)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "text": t + "\n" + sent + "\n" + t}
+        )
+
+    derived = _read_documents(sf_dir).map_batches(
+        derive, batch_format="pandas", batch_size=4096
     )
-    merged = out.merge(
-        exact_df.rename(columns={"count()": "exact"}), on="event_type"
-    )
-    rel_err = (merged["approx_distinct"] - merged["exact"]).abs() / merged["exact"]
-    assert (rel_err <= 0.05).all(), merged.to_dict("records")
-    return out
+    out = line_dedup(derived).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_doc_quality_counts(sf_dir: str) -> Any:
@@ -792,7 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_month": rel.orders_per_month,
         "large_parts_by_brand": rel.large_parts_by_brand,
         "distinct_users_by_event_type": rel.distinct_users_by_event_type,
-        "hll_users_per_event_type": _q_hll_users_per_event_type,
+        "line_dedup_corpus": _q_line_dedup_corpus,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "events_tumbling_window": rel.events_tumbling_window,
         "events_hopping_window": rel.events_hopping_window,
@@ -862,6 +874,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"
             " FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "line_dedup_corpus": (
+            # C4-style cross-corpus line dedup: distinct non-empty line
+            # survives once (min (doc_id, line_no), packed as one BIGINT
+            # exactly like the engine's pack = doc_id*2^32+line_no);
+            # documents rebuilt from surviving lines in original order.
+            # parallel unnest zips each line with its 1-based ordinal.
+            # documents2 mirrors the query's derived multi-line corpus
+            # (own text + shared sentinel + repeated own text).
+            "WITH documents2 AS (SELECT doc_id,"
+            "   text || chr(10) || 'SHARED-LINE-' || CAST(doc_id % 7 AS VARCHAR)"
+            "   || chr(10) || text AS text FROM documents),"
+            " parts AS (SELECT doc_id, string_split(text, chr(10)) AS p"
+            "  FROM documents2),"
+            " lines AS (SELECT doc_id, unnest(p) AS line,"
+            "   unnest(range(1, len(p) + 1)) AS line_no FROM parts),"
+            " nz AS (SELECT * FROM lines WHERE line <> ''),"
+            " w AS (SELECT line, min(doc_id * 4294967296 + line_no) AS k"
+            "  FROM nz GROUP BY line),"
+            " keep AS (SELECT nz.doc_id, nz.line_no, nz.line FROM nz"
+            "  JOIN w ON nz.line = w.line"
+            "   AND nz.doc_id * 4294967296 + nz.line_no = w.k)"
+            " SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,"
+            " CAST(count(*) AS BIGINT) AS n_lines"
+            " FROM keep GROUP BY doc_id ORDER BY doc_id"
         ),
         "exact_dedup_groups": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups"

@@ -795,3 +795,113 @@ def minhash_dedup(
     paths to identical output)."""
     pairs = minhash_lsh_pairs(ds, threshold=threshold, **lsh_kwargs)
     return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """C4/RefinedWeb-style cross-corpus line dedup: every distinct
+    non-empty line survives exactly ONCE corpus-wide (first occurrence
+    by ``(doc_id, line_no)``); documents are rebuilt from their
+    surviving lines (docs that lose every line drop out).
+
+    Reference analog: the converters' per-document boilerplate removal
+    (MarkdownConverter.ts postprocess) is within-doc only — this is the
+    corpus-wide variant a training-data pipeline needs (C4's "discard
+    duplicated lines across the corpus" step).
+
+    Scale design (two shuffles total, no joins):
+
+    * Explode is a vectorized ``map_batches`` (numpy repeat/cumsum for
+      line numbers) with a per-batch combiner — local duplicate lines
+      collapse to their min-``(doc_id, line_no)`` witness BEFORE the
+      shuffle, so repetitive corpora shuffle far less than corpus size.
+    * The wide key is the 64-bit siphash of the line
+      (``pd.util.hash_array``, process-stable), an int64 — NOT the line
+      string — so the groupby exchanges fixed-width keys; the line text
+      rides along once per local witness.  Hash collisions are resolved
+      EXACTLY inside the group by sub-grouping on the full line text
+      (at 10^12 lines 64-bit birthday collisions are expected, and they
+      cost one extra in-group compare, never a wrong merge).
+    * ``(doc_id, line_no)`` packs into one int64
+      (``doc_id * 2^32 + line_no``) whose integer min IS the
+      lexicographic first-occurrence rule — the oracle mirrors the same
+      arithmetic.
+    * Document reconstruction is the second shuffle
+      (``groupby(doc_id)``), sort-by-line_no + join inside the group.
+
+    Returns a Dataset of ``(doc_id, text, n_lines)``.
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        parts = texts.str.split("\n")
+        lens = parts.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"line_hash": np.array([], dtype=np.int64),
+                 "pack": np.array([], dtype=np.int64),
+                 "line": np.array([], dtype=object)}
+            )
+        doc_ids = batch[id_col].to_numpy(dtype=np.int64).repeat(lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        line_no = np.arange(total, dtype=np.int64) - starts + 1
+        lines = np.empty(total, dtype=object)
+        pos = 0
+        for p in parts:
+            lines[pos : pos + len(p)] = p
+            pos += len(p)
+        keep = lines != ""
+        doc_ids, line_no, lines = doc_ids[keep], line_no[keep], lines[keep]
+        df = pd.DataFrame(
+            {
+                "line_hash": pd.util.hash_array(lines).view(np.int64),
+                "pack": doc_ids * (1 << 32) + line_no,
+                "line": lines,
+            }
+        )
+        # local combiner: one witness per distinct line before the shuffle
+        df = df.sort_values("pack", kind="stable").drop_duplicates("line", keep="first")
+        return df
+
+    def pick_winner(g: pd.DataFrame) -> pd.DataFrame:
+        # exact collision handling: min pack PER DISTINCT LINE TEXT
+        g = g.sort_values("pack", kind="stable").drop_duplicates("line", keep="first")
+        return g[["pack", "line"]]
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("line_no", kind="stable")
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([g["doc_id"].iloc[0]], dtype=np.int64),
+                "text": ["\n".join(g["line"])],
+                "n_lines": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    def unpack(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": (batch["pack"].to_numpy() >> 32).astype(np.int64),
+                "line_no": (batch["pack"].to_numpy() & 0xFFFFFFFF).astype(np.int64),
+                "line": batch["line"],
+            }
+        )
+
+    winners = (
+        ds.map_batches(explode, batch_format="pandas", batch_size=2048)
+        .groupby("line_hash")
+        .map_groups(pick_winner, batch_format="pandas")
+    )
+    return (
+        winners.map_batches(unpack, batch_format="pandas", batch_size=65536)
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pandas")
+    )

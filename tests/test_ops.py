@@ -37,6 +37,55 @@ def test_exact_dedup_finds_planted_dups(docs_with_dups):
     assert (out["n_dups"] >= 1).all()
 
 
+def test_line_dedup_corpus(ray_session):
+    """Cross-document line dedup vs a direct DuckDB restatement of the
+    rule (same SQL shape as the driver oracle): first occurrence by
+    (doc_id, line_no) wins, docs rebuilt in order, all-loser and empty
+    docs drop out, within-doc duplicate lines collapse."""
+    import duckdb
+
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import line_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha\nshared line\nbeta",
+                "shared line\ngamma\n\nshared line",
+                "delta\nshared line",
+                "shared line",
+                "",
+            ],
+        }
+    )
+    out = (
+        line_dedup(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        "WITH parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM documents),"
+        " lines AS (SELECT doc_id, unnest(p) AS line,"
+        "   unnest(range(1, len(p) + 1)) AS line_no FROM parts),"
+        " nz AS (SELECT * FROM lines WHERE line <> ''),"
+        " w AS (SELECT line, min(doc_id * 4294967296 + line_no) AS k FROM nz GROUP BY line),"
+        " keep AS (SELECT nz.doc_id, nz.line_no, nz.line FROM nz JOIN w ON nz.line = w.line"
+        "  AND nz.doc_id * 4294967296 + nz.line_no = w.k)"
+        " SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,"
+        " CAST(count(*) AS BIGINT) AS n_lines"
+        " FROM keep GROUP BY doc_id ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=True)
+    # the planted losers really dropped
+    assert set(out["doc_id"]) == {1, 2, 3}
+    assert out.loc[out["doc_id"] == 2, "text"].iloc[0] == "gamma"
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(docs_with_dups):
     from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
 
