@@ -121,11 +121,21 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         return minhash_lsh_pairs(ray.data.read_parquet(f"{sf}/documents.parquet"))
 
-    qs = {**qs, "minhash_dedup_pairs": _raw_minhash}
+    def _raw_linededup(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.dedup import line_dedup
+
+        return line_dedup(
+            ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        )
+
+    qs = {**qs, "minhash_dedup_pairs": _raw_minhash, "line_dedup": _raw_linededup}
     names = [
         "doc_token_counts",
         "exact_dedup_groups",
         "minhash_dedup_pairs",
+        "line_dedup",
         "knn_bruteforce",
         "lineitem_pricing_summary",
         "customer_revenue_by_segment",

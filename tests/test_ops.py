@@ -783,3 +783,47 @@ def test_embed_texts_end_to_end(ray_session):
         k=2,
     )
     assert set(knn["neighbor_id"]) == {900, 901}
+
+
+def test_profile_table_duckdb_parity(ray_session):
+    """One-pass profiler vs DuckDB ground truth over real testdata:
+    exact row/null counts and typed extrema (ints, floats, strings,
+    dates, timestamps), HLL distinct within 5% of exact, list columns
+    degrade gracefully (no extrema, NaN distinct)."""
+    import duckdb
+
+    import ray.data
+
+    from fetch_engines_ray.ops.profile import profile_table
+
+    sf = "/root/testdata/sf0.001"
+    for table, cols in [
+        ("lineitem", ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]),
+        ("events", ["ts", "event_type", "value"]),
+    ]:
+        ds = ray.data.read_parquet(f"{sf}/{table}.parquet", columns=cols)
+        prof = profile_table(ds).set_index("column")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW t AS SELECT * FROM read_parquet('{sf}/{table}.parquet')"
+        )
+        for c in cols:
+            n, nn, nd, mn, mx = con.execute(
+                f"SELECT count(*), count(*) - count({c}), count(DISTINCT {c}),"
+                f" min({c}), max({c}) FROM t"
+            ).fetchone()
+            row = prof.loc[c]
+            assert row["n_rows"] == n and row["n_nulls"] == nn, (table, c)
+            assert row["min_repr"] == str(mn) and row["max_repr"] == str(mx), (
+                table,
+                c,
+                row["min_repr"],
+                str(mn),
+            )
+            assert abs(row["approx_distinct"] - nd) <= max(1, 0.05 * nd), (table, c)
+    # list-typed embedding column: counts still exact, extrema/sketch degrade
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    prof = profile_table(emb, columns=["vec_id", "embedding"]).set_index("column")
+    assert prof.loc["embedding", "min_repr"] == ""
+    assert np.isnan(prof.loc["embedding", "approx_distinct"])
+    assert prof.loc["vec_id", "n_rows"] == prof.loc["embedding", "n_rows"] > 0
