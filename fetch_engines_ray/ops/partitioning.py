@@ -91,3 +91,54 @@ def range_partition_by_doc_id(ds: "ray.data.Dataset", num_partitions: int) -> "r
     shuffle — use only when downstream stages rely on doc_id locality
     (e.g. partition-atomic lineage with stable partition ids)."""
     return ds.sort("doc_id").repartition(num_partitions)
+
+
+def assign_shards(
+    ds: "ray.data.Dataset",
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic pseudo-random shard assignment for training-data
+    delivery: ``shard = md5(seed:id)[:8 hex] % n_shards`` and
+    ``shuffle_key`` = the first 15 hex chars (60 bits, fits int64) of
+    the same digest — so sorting by ``(shard, shuffle_key)`` IS a
+    seeded global shuffle that is reproducible across runs, machines
+    and engines (DuckDB mirror:
+    ``('0x' || substr(md5(seed || ':' || id), 1, 8))::BIGINT % n`` /
+    ``substr(..., 1, 15)``).  Per-row md5 is Python but O(1)/row, the
+    same trade documented for :func:`textstats.add_split_assignment`.
+    """
+    import hashlib
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        digs = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+        batch = batch.append_column(
+            "shard", pa.array([int(d[:8], 16) % n_shards for d in digs], type=pa.int64())
+        )
+        return batch.append_column(
+            "shuffle_key", pa.array([int(d[:15], 16) for d in digs], type=pa.int64())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=8192)
+
+
+def export_shards(
+    ds: "ray.data.Dataset",
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Seeded global shuffle + sharded parquet export: assign shards,
+    ONE all-to-all sort by ``(shard, shuffle_key)`` (the shuffle), and
+    a hive-partitioned write (``path/shard=K/``) — one directory per
+    shard, so a failed export run resumes by skipping completed shard
+    directories, and trainers stream shards independently.  Everything
+    before the write is lazy/streaming; nothing lands on the driver.
+    """
+    sharded = assign_shards(ds, n_shards, seed=seed, id_col=id_col)
+    sharded.sort(["shard", "shuffle_key"]).write_parquet(
+        path, partition_cols=["shard"]
+    )
