@@ -409,18 +409,40 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     return pairs
 
 
-def _q_minhash_dedup_decisions(sf_dir: str) -> Any:
-    """Near-dedup keep/drop decisions.  Self-check on every sweep: the
-    union-find invariants — min-id representatives, is_kept <=> self-
-    rooted, every representative present and kept."""
-    from fetch_engines_ray.ops.dedup import minhash_dedup
+def _q_doc_decontamination(sf_dir: str) -> Any:
+    """Benchmark decontamination (GPT-3-style n-gram overlap), fully
+    SQL-oracled: flag every document whose word 5-grams intersect a
+    benchmark set.  The benchmark derives deterministically from the
+    corpus itself (the first 10 words of doc 3 → guaranteed hits, plus
+    a novel string → guaranteed miss), mirrored verbatim in the oracle.
+    The engine path is the broadcast one: benchmark hashes ray.put once,
+    corpus streams through one vectorized map_batches, no shuffle.
 
-    out = minhash_dedup(_read_documents(sf_dir))
-    assert (out["cluster_rep"] <= out["doc_id"]).all()
-    assert (out["is_kept"] == (out["cluster_rep"] == out["doc_id"])).all()
-    reps = set(out["cluster_rep"])
-    kept = set(out.loc[out["is_kept"], "doc_id"])
-    assert reps <= kept, f"non-kept representatives: {sorted(reps - kept)[:5]}"
+    (This slot replaced the rows-only ``minhash_dedup_decisions`` —
+    the decision logic stays pytest-pinned: driver union-find ==
+    distributed label propagation, plus invariant checks, in
+    tests/test_ops.py.)"""
+    from fetch_engines_ray.ops.decontam import flag_contaminated
+
+    import pyarrow.compute as pc
+
+    docs = _read_documents(sf_dir)
+    d3 = docs.map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"], 3)),
+        batch_format="pyarrow",
+        batch_size=4096,
+    ).take_all()
+    excerpt = " ".join((d3[0]["text"] or "").split()[:10])
+    bench = [excerpt, "zz unseen benchmark zz phrase zz never zz in zz corpus"]
+    out = (
+        flag_contaminated(docs, bench, n=5)
+        .select_columns(["doc_id", "n_contaminated_ngrams", "contaminated"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # planted guarantees: doc 3 must be contaminated (its own excerpt)
+    assert out.loc[out["doc_id"] == 3, "contaminated"].iloc[0]
     return out
 
 
@@ -785,7 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_pairs,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "minhash_dedup_decisions": _q_minhash_dedup_decisions,
+        "doc_decontamination": _q_doc_decontamination,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,
@@ -874,6 +896,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars"
             " FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "doc_decontamination": (
+            # mirrors the query's benchmark derivation (first 10 words
+            # of doc 3 + a novel string) and the engine's n-gram rule
+            # (lowercase, whitespace split, 5-grams; texts shorter than
+            # n form one whole-text gram).  range bound 4000 >> max doc
+            # token count; the i=1 OR guard keeps the short-text gram.
+            "WITH bench AS ("
+            "  SELECT array_to_string(list_slice("
+            "    string_split_regex(trim(text), '\\s+'), 1, 10), ' ') AS text"
+            "  FROM documents WHERE doc_id = 3"
+            "  UNION ALL SELECT 'zz unseen benchmark zz phrase zz never zz in zz corpus'),"
+            " bt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM bench),"
+            " bg AS (SELECT DISTINCT CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')"
+            "    ELSE array_to_string(list_slice(t, i, i + 4), ' ') END AS g"
+            "   FROM bt, range(1, 4000) r(i) WHERE i = 1 OR i <= len(t) - 4),"
+            " dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t"
+            "   FROM documents),"
+            " dg AS (SELECT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')"
+            "    ELSE array_to_string(list_slice(t, i, i + 4), ' ') END AS g"
+            "   FROM dt, range(1, 4000) r(i) WHERE i = 1 OR i <= len(t) - 4)"
+            " SELECT dt.doc_id,"
+            " CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated_ngrams,"
+            " coalesce(h.c, 0) > 0 AS contaminated"
+            " FROM dt LEFT JOIN (SELECT doc_id, count(*) AS c FROM dg"
+            "   JOIN bg USING (g) GROUP BY doc_id) h USING (doc_id)"
+            " ORDER BY dt.doc_id"
         ),
         "line_dedup_corpus": (
             # C4-style cross-corpus line dedup: distinct non-empty line

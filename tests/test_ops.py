@@ -827,3 +827,64 @@ def test_profile_table_duckdb_parity(ray_session):
     assert prof.loc["embedding", "min_repr"] == ""
     assert np.isnan(prof.loc["embedding", "approx_distinct"])
     assert prof.loc["vec_id", "n_rows"] == prof.loc["embedding", "n_rows"] > 0
+
+
+def test_decontamination_duckdb_parity(ray_session):
+    """Benchmark n-gram decontamination vs an exact DuckDB restatement:
+    per-doc contaminated-ngram counts over real testdata docs, with two
+    planted benchmark texts (one verbatim doc excerpt, one novel)."""
+    import duckdb
+
+    import ray.data
+
+    from fetch_engines_ray.ops.decontam import flag_contaminated
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    # benchmark = an excerpt of a real doc (guaranteed hits) + a novel text
+    excerpt = " ".join(
+        con.execute("SELECT text FROM documents WHERE doc_id = 3").fetchone()[0]
+        .split()[:10]
+    )
+    bench = [excerpt, "zz unseen benchmark zz phrase zz never zz in zz corpus"]
+    N = 5
+
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        flag_contaminated(ds, bench, n=N)
+        .select_columns(["doc_id", "n_contaminated_ngrams", "contaminated"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con.execute("CREATE TABLE bench (text VARCHAR)")
+    for t in bench:
+        con.execute("INSERT INTO bench VALUES (?)", [t])
+    want = con.execute(
+        f"""
+        WITH bt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM bench),
+        bg AS (SELECT DISTINCT CASE WHEN len(t) < {N} THEN array_to_string(t, ' ')
+                 ELSE array_to_string(list_slice(t, i, i + {N} - 1), ' ') END AS g
+               FROM bt, range(1, 2000) r(i)
+               WHERE i = 1 OR i <= len(t) - {N} + 1),
+        dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+        dg AS (SELECT doc_id, CASE WHEN len(t) < {N} THEN array_to_string(t, ' ')
+                 ELSE array_to_string(list_slice(t, i, i + {N} - 1), ' ') END AS g
+               FROM dt, range(1, 2000) r(i)
+               WHERE i = 1 OR i <= len(t) - {N} + 1)
+        SELECT dt.doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated_ngrams,
+               coalesce(h.c, 0) > 0 AS contaminated
+        FROM dt LEFT JOIN (
+          SELECT doc_id, count(*) AS c FROM dg JOIN bg USING (g) GROUP BY doc_id
+        ) h USING (doc_id) ORDER BY dt.doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # the planted excerpt really contaminates doc 3, the novel text nothing
+    assert got.loc[got["doc_id"] == 3, "contaminated"].iloc[0]
+    assert got["contaminated"].sum() >= 1
