@@ -353,13 +353,24 @@ def _minhash_pairs_from_sigs(
     banded = sigs.map_batches(
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
     )
-    empty = pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
     # Partition count scales with the table (count on a parquet read is
     # metadata-only) — every join/shuffle partition is an aggregator
     # actor with multi-second fixed cost, so stay small at small scale.
     n_docs = sigs.count()
     n_parts = max(2, min(32, n_docs // 200_000 + 1))
     cand = _lsh_candidate_pairs(banded, n_parts)
+    return _verify_minhash_pairs(cand, sigs, n_parts, threshold)
+
+
+def _verify_minhash_pairs(
+    cand: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    n_parts: int,
+    threshold: float,
+) -> pd.DataFrame:
+    """Attach signatures to candidate pairs (two hash joins) and keep
+    pairs whose signature agreement >= threshold."""
+    empty = pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
     left = cand.join(
         sigs, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",)
     )
@@ -407,6 +418,95 @@ def _minhash_pairs_from_sigs(
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+def build_minhash_checkpoint(
+    ds: "ray.data.Dataset",
+    path: str,
+    num_perm: int = 64,
+    shingle_size: int = 3,
+) -> None:
+    """Write the corpus's ``(doc_id, minhash_sig)`` table to ``path`` as
+    parquet — the persistent signature index for
+    :func:`minhash_incremental_pairs`.  On a cluster, point ``path`` at
+    shared storage."""
+    ds.map_batches(
+        minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+        batch_format="pyarrow",
+        batch_size=1024,
+    ).write_parquet(path)
+
+
+def minhash_incremental_pairs(
+    new_ds: "ray.data.Dataset",
+    checkpoint_path: str,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    persist_new: bool = True,
+) -> pd.DataFrame:
+    """Continuous-ingest dedup: near-dup pairs between a NEW document
+    batch and the existing corpus, plus within the new batch, WITHOUT
+    recomputing the old corpus's signatures.
+
+    This is the 100-TB ingestion shape: the baseline corpus is
+    represented only by its signature checkpoint (written by
+    :func:`build_minhash_checkpoint` / a prior increment), so each
+    increment costs O(new + index-scan) instead of O(corpus).  The LSH
+    join is new-side x all-sides — old-old pairs are structurally
+    excluded (the left side only carries new docs), new-old and new-new
+    pairs surface exactly as in the batch path.  With ``persist_new``
+    the new signatures are appended to the checkpoint directory
+    (Ray writes uniquely-named files), so the next increment dedups
+    against old + new.
+
+    Returns the same ``(doc_a, doc_b, est_jaccard)`` contract as
+    :func:`minhash_lsh_pairs`.
+    """
+    new_sigs_stream = new_ds.map_batches(
+        minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    # signatures are consumed by banding, both verify joins, and the
+    # optional persist — checkpoint once, stream back per consumer
+    new_sigs, tmp = _checkpoint_parquet(new_sigs_stream, "minhash_new")
+    try:
+        base_sigs = ray.data.read_parquet(checkpoint_path)
+        all_sigs = base_sigs.union(new_sigs)
+        band = lambda b: _band_rows(b, num_bands)  # noqa: E731
+        new_banded = new_sigs.map_batches(band, batch_format="pyarrow", batch_size=1024)
+        all_banded = all_sigs.map_batches(band, batch_format="pyarrow", batch_size=1024)
+        n_parts = max(2, min(32, all_sigs.count() // 200_000 + 1))
+
+        def to_right(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["doc_b" if n == "doc_id" else n for n in b.column_names]
+            )
+
+        right = all_banded.map_batches(to_right, batch_format="pyarrow", batch_size=8192)
+        raw = new_banded.join(
+            right, join_type="inner", num_partitions=n_parts, on=("bucket",)
+        )
+
+        def ordered(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lo = pc.min_element_wise(b["doc_id"], b["doc_b"])
+            hi = pc.max_element_wise(b["doc_id"], b["doc_b"])
+            t = pa.table({"doc_a": lo, "doc_b": hi})
+            return t.filter(pc.less(t["doc_a"], t["doc_b"]))
+
+        cand = raw.map_batches(ordered, batch_format="pyarrow", batch_size=8192)
+        pairs = _verify_minhash_pairs(cand, all_sigs, n_parts, threshold)
+        if persist_new:
+            new_sigs.write_parquet(checkpoint_path)
+        return pairs
+    finally:
+        _cleanup_checkpoint(tmp)
 
 
 # ---------------------------------------------------------------------------

@@ -888,3 +888,58 @@ def test_decontamination_duckdb_parity(ray_session):
     # the planted excerpt really contaminates doc 3, the novel text nothing
     assert got.loc[got["doc_id"] == 3, "contaminated"].iloc[0]
     assert got["contaminated"].sum() >= 1
+
+
+def test_minhash_incremental_pairs(ray_session, docs_with_dups, tmp_path):
+    """Continuous-ingest dedup against a signature checkpoint: a new
+    batch finds its clones of OLD docs (new-old) and of itself
+    (new-new) without recomputing old signatures; old-old pairs are
+    structurally excluded; persisting grows the index so the next
+    increment sees the previous batch."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import (
+        build_minhash_checkpoint,
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    ckpt = str(tmp_path / "sigs")
+    build_minhash_checkpoint(docs_with_dups, ckpt)
+
+    old = {r["doc_id"]: r["text"] for r in docs_with_dups.take_all()}
+    new1 = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [500, 501, 502, 503],
+                "text": [
+                    old[0],  # clone of an old doc -> new-old pair
+                    "completely novel words nothing shared here at all",
+                    old[7],  # new-new clone pair with 503
+                    old[7],
+                ],
+            }
+        )
+    )
+    pairs = minhash_incremental_pairs(new1, ckpt, threshold=0.7)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 500) in found  # new-old
+    assert (100, 500) in found and (101, 500) in found  # old clones of 0
+    assert (502, 503) in found  # new-new
+    assert (7, 502) in found and (7, 503) in found
+    # old-old pairs are excluded even though they exist in the corpus
+    full = minhash_lsh_pairs(docs_with_dups, threshold=0.7)
+    assert (0, 100) in {(a, b) for a, b in zip(full["doc_a"], full["doc_b"])}
+    assert (0, 100) not in found
+    assert not any(a < 500 and b < 500 for a, b in found)
+
+    # the persisted index now contains batch 1: a clone of 501 is found
+    new2 = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [600], "text": [
+            "completely novel words nothing shared here at all"
+        ]})
+    )
+    pairs2 = minhash_incremental_pairs(new2, ckpt, threshold=0.7, persist_new=False)
+    found2 = {(a, b) for a, b in zip(pairs2["doc_a"], pairs2["doc_b"])}
+    assert (501, 600) in found2
+    assert all(b == 600 for _, b in found2)  # only pairs touching the new doc
