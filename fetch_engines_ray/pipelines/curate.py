@@ -10,6 +10,9 @@ chain.
                             via ray.put and filters inside map_batches;
                             contrast clean_corpus, whose winner set is
                             corpus-sized and therefore semi-JOINS)
+      → decontamination    (optional: benchmark n-gram hash set
+                            broadcast once, vectorized overlap check —
+                            drops docs contaminated by the eval set)
       → quality filter     (Gopher-style integer rules, vectorized)
       → PII redaction      (ordered RE2 replaces)
       → sequence packing   (shard-local greedy first-fit)
@@ -34,6 +37,8 @@ def curate_corpus(
     ds: "ray.data.Dataset",
     max_tokens: int = 512,
     near_dup_threshold: float = 0.7,
+    benchmark_texts: list[str] | None = None,
+    decontam_ngram: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "ray.data.Dataset":
@@ -68,7 +73,27 @@ def curate_corpus(
 
     survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
 
-    # 3 + 4. quality gate then PII redaction, fused into one map stage
+    # 3. optional decontamination: drop docs whose n-grams overlap the
+    #    benchmark/eval set (GPT-3-style); the benchmark hash set is
+    #    broadcast once inside flag_contaminated — no shuffle
+    if benchmark_texts:
+        from ..ops.decontam import flag_contaminated
+
+        flagged = flag_contaminated(
+            survived, benchmark_texts, n=decontam_ngram, text_col=text_col
+        )
+
+        def drop_contaminated(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.invert(batch["contaminated"]))
+            return batch.drop_columns(["contaminated", "n_contaminated_ngrams"])
+
+        survived = flagged.map_batches(
+            drop_contaminated, batch_format="pyarrow", batch_size=4096
+        )
+
+    # 4 + 5. quality gate then PII redaction, fused into one map stage
     def quality_and_redact(batch: pa.Table) -> pa.Table:
         batch = add_gopher_quality_flags(batch, text_col=text_col)
         batch = batch.filter(batch.column("gopher_pass"))
@@ -85,5 +110,5 @@ def curate_corpus(
         quality_and_redact, batch_format="pyarrow", batch_size=4096
     )
 
-    # 5. shard-local packing
+    # 6. shard-local packing
     return pack_sequences(clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col)

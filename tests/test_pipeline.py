@@ -309,11 +309,17 @@ def test_curate_corpus_end_to_end(ray_session):
     rows.append({"doc_id": 103, "text": pii_text})  # PII doc, quality-passing
     ds = ray.data.from_pandas(pd.DataFrame(rows))
 
-    packed = curate_corpus(ds, max_tokens=256).to_pandas()
+    # decontamination stage: doc 2's own opening words form the
+    # benchmark -> doc 2 must drop while everything else is unaffected
+    bench = [" ".join(rows[2]["text"].split()[:20])]
+    packed = curate_corpus(
+        ds, max_tokens=256, benchmark_texts=bench, decontam_ngram=13
+    ).to_pandas()
     packed_docs = sorted(d for ids in packed["doc_ids"] for d in ids)
     assert 100 not in packed_docs  # exact dup collapsed
     assert 101 not in packed_docs  # near dup dropped
     assert 102 not in packed_docs  # quality-gated
+    assert 2 not in packed_docs  # contaminated by the benchmark
     assert 0 in packed_docs and 1 in packed_docs and 103 in packed_docs
     assert len(packed_docs) == len(set(packed_docs))
     ok = packed[~packed["oversize"]]
