@@ -289,3 +289,126 @@ def heavy_hitters(ds: "ray.data.Dataset", column: str, k: int = 16) -> pd.DataFr
     counters = ds.aggregate(HeavyHitters(on=column, k=k, alias_name="hh"))["hh"]
     rows = sorted(counters.items(), key=lambda t: (-t[1], str(t[0])))
     return pd.DataFrame(rows, columns=["value", "min_count"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: compact distributed membership index
+# ---------------------------------------------------------------------------
+
+def _splitmix64_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 mix (public constants) over uint64."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(values, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch &
+    Mitzenmacher: two hash functions suffice for k indexes)."""
+    h1 = _hash64(values)
+    h2 = _splitmix64_vec(h1) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def _bloom_set(values, m_bits: int, k: int) -> np.ndarray:
+    """Bit array (uint8, m_bits/8 bytes) with every value's k bits set."""
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    if len(values) == 0:
+        return bits
+    pos = _bloom_positions(values, m_bits, k).reshape(-1)
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(blob: bytes, values, m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set.
+    No false negatives; false-positive rate ≈ (1 - e^(-k*n/m))^k."""
+    bits = np.frombuffer(blob, dtype=np.uint8)
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(values, m_bits, k)
+    probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probe.all(axis=1)
+
+
+class BloomFilter(AggregateFnV2):
+    """Distributed Bloom-filter build as a first-class aggregation:
+    ``blob = ds.aggregate(BloomFilter(on="url", m_bits=1<<23))[...]``.
+
+    Same partial-aggregation shape as :class:`HllDistinct`: each block
+    reduces to one fixed-size bit array, partials merge by bitwise OR —
+    the blob size is set by the TARGET capacity, never by row count.
+    The finalized blob is the broadcastable membership index for
+    "seen before?" filtering at ingest (``ray.put`` once, probe with
+    :func:`bloom_contains` inside ``map_batches``).  Size ``m_bits`` ≈
+    10 bits/key with k=7 for ~1% false positives (standard sizing).
+    """
+
+    def __init__(
+        self,
+        on: str,
+        m_bits: int = 1 << 20,
+        k: int = 7,
+        alias_name: str | None = None,
+    ):
+        assert m_bits % 8 == 0, "m_bits must be a multiple of 8"
+        self._m = m_bits
+        self._k = k
+        super().__init__(
+            alias_name or f"bloom({on})",
+            zero_factory=lambda: bytes(m_bits >> 3),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        return _bloom_set(col.drop_null().to_pylist(), self._m, self._k).tobytes()
+
+    def combine(self, current_accumulator: bytes, new: bytes) -> bytes:
+        return np.bitwise_or(
+            np.frombuffer(current_accumulator, dtype=np.uint8),
+            np.frombuffer(new, dtype=np.uint8),
+        ).tobytes()
+
+    def finalize(self, accumulator: bytes) -> bytes:
+        return accumulator
+
+
+def bloom_build(
+    ds: "ray.data.Dataset", column: str, m_bits: int = 1 << 20, k: int = 7
+) -> bytes:
+    """Build a membership blob over a column (one streaming pass)."""
+    return ds.aggregate(BloomFilter(on=column, m_bits=m_bits, k=k, alias_name="bloom"))[
+        "bloom"
+    ]
+
+
+def bloom_filter_new(
+    ds: "ray.data.Dataset",
+    blob: bytes,
+    column: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> "ray.data.Dataset":
+    """Keep only rows whose ``column`` value is NOT in the blob — the
+    ingest-side "drop everything we've seen" filter.  The blob is
+    ``ray.put`` once and read zero-copy per task; no shuffle.  Bloom
+    false positives drop a ~FP-rate sliver of genuinely-new rows
+    (never the reverse), the standard trade for O(bits) memory."""
+    import ray as _ray
+
+    blob_ref = _ray.put(blob)
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        b = _ray.get(blob_ref)
+        seen = bloom_contains(b, batch[column].to_pylist(), m_bits, k)
+        return batch.filter(pa.array(~seen))
+
+    return ds.map_batches(keep_new, batch_format="pyarrow", batch_size=8192)

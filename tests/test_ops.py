@@ -943,3 +943,42 @@ def test_minhash_incremental_pairs(ray_session, docs_with_dups, tmp_path):
     found2 = {(a, b) for a, b in zip(pairs2["doc_a"], pairs2["doc_b"])}
     assert (501, 600) in found2
     assert all(b == 600 for _, b in found2)  # only pairs touching the new doc
+
+
+def test_bloom_filter_membership(ray_session):
+    """Distributed Bloom build: ZERO false negatives (every inserted key
+    probes True), false-positive rate near theory, ingest filter keeps
+    genuinely-new rows and drops all seen ones."""
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_filter_new,
+    )
+
+    M, K = 1 << 17, 7  # ~13 bits/key for 10k keys -> sub-1% FP
+    seen_keys = [f"url-{i}" for i in range(10_000)]
+    ds = ray.data.from_pandas(pd.DataFrame({"url": seen_keys})).repartition(8)
+    blob = bloom_build(ds, "url", m_bits=M, k=K)
+    assert len(blob) == M >> 3
+
+    # no false negatives — every inserted key is found
+    assert bloom_contains(blob, seen_keys, M, K).all()
+
+    # false positives near theory: (1 - e^(-k n / m))^k ~ 0.8% here
+    novel = [f"new-{i}" for i in range(20_000)]
+    fp = bloom_contains(blob, novel, M, K).mean()
+    assert fp < 0.03, fp
+
+    # ingest filter: seen rows all drop, novel rows survive modulo FP
+    mixed = ray.data.from_pandas(
+        pd.DataFrame({"url": seen_keys[:500] + novel[:500]})
+    )
+    kept = bloom_filter_new(mixed, blob, "url", m_bits=M, k=K).to_pandas()
+    assert not kept["url"].str.startswith("url-").any()
+    assert (kept["url"].str.startswith("new-")).sum() >= 480
+
+    # distributed build == single-block build (OR-merge correctness)
+    blob1 = bloom_build(ds.repartition(1), "url", m_bits=M, k=K)
+    assert blob == blob1
