@@ -150,10 +150,15 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     for name in names:
         best = None
         for _ in range(2):  # best-of-2: the box has ±30% noise phases
+            import ray.data as _rd
+
             t0 = time.perf_counter()
             result = qs[name](sf_dir)
-            # consume lazily-returned datasets
-            if hasattr(result, "count") and not hasattr(result, "columns"):
+            # consume lazily-returned datasets (NOTE: an attribute probe
+            # is wrong here — ray.data.Dataset has BOTH .count and
+            # .columns, so `not hasattr(result, "columns")` silently
+            # skipped execution and recorded plan-build time)
+            if isinstance(result, _rd.Dataset):
                 result.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
