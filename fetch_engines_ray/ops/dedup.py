@@ -923,14 +923,13 @@ def line_dedup(
       line numbers) with a per-batch combiner — local duplicate lines
       collapse to their min-``(doc_id, line_no)`` witness BEFORE the
       shuffle, so repetitive corpora shuffle far less than corpus size.
-    * Winner selection is Ray's NATIVE sort-aggregate (``Min`` of the
-      packed position per ``(line_hash, line)`` group) — a vectorized
-      Arrow path with no per-group Python dispatch.  The 64-bit siphash
-      of the line (``pd.util.hash_array``, process-stable) leads the
-      sort key so string compares only happen on hash ties; grouping
-      ALSO on the full line text keeps exactness (at 10^12 lines 64-bit
-      birthday collisions are expected — colliding distinct lines stay
-      distinct groups, never a wrong merge).
+    * Winner selection shuffles on ``hash(line) % rebuild_partitions``
+      (int64 — the line string is payload, never a sort key: Ray's
+      sort-aggregate with a long-string group key measured ~4ms/row)
+      and resolves EXACTLY inside each partition with one vectorized
+      pandas ``drop_duplicates`` on the full line text — hash
+      collisions only co-locate lines, they can never merge distinct
+      ones.
     * ``(doc_id, line_no)`` packs into one int64
       (``doc_id * 2^32 + line_no``) whose integer min IS the
       lexicographic first-occurrence rule — the oracle mirrors the same
@@ -954,7 +953,7 @@ def line_dedup(
         total = int(lens.sum())
         if total == 0:
             return pd.DataFrame(
-                {"line_hash": np.array([], dtype=np.int64),
+                {"part": np.array([], dtype=np.int64),
                  "pack": np.array([], dtype=np.int64),
                  "line": np.array([], dtype=object)}
             )
@@ -970,7 +969,9 @@ def line_dedup(
         doc_ids, line_no, lines = doc_ids[keep], line_no[keep], lines[keep]
         df = pd.DataFrame(
             {
-                "line_hash": pd.util.hash_array(lines).view(np.int64),
+                "part": (
+                    pd.util.hash_array(lines).view(np.int64) % rebuild_partitions
+                ),
                 "pack": doc_ids * (1 << 32) + line_no,
                 "line": lines,
             }
@@ -1006,15 +1007,25 @@ def line_dedup(
             }
         )
 
-    # winner = min pack per DISTINCT LINE: native Arrow sort-aggregate
-    # (no per-group Python).  Grouping on (line_hash, line) keeps the
-    # exactness guarantee — hash collisions land adjacent but distinct
-    # lines stay distinct groups — while the int64 hash leads the sort
-    # key, so string compares only happen on hash ties.
+    def pick_part(g: pd.DataFrame) -> pd.DataFrame:
+        # exact winner per DISTINCT LINE, vectorized over the whole hash
+        # partition: pandas drop_duplicates hashes/compares the full
+        # line text in C, so hash-partitioning is only a routing step —
+        # 64-bit partition-key collisions are harmless (the lines just
+        # share a partition) and can never merge distinct lines.
+        g = g.sort_values("pack", kind="stable").drop_duplicates("line", keep="first")
+        return g[["pack", "line"]]
+
+    # winner = min pack per DISTINCT LINE.  NOT a Ray aggregate on
+    # (hash, line): sort-aggregating with a long-string group key
+    # measured ~4ms/row of remote time (22s for a 5k-line corpus);
+    # partitioning on the int64 line-hash and resolving exactly inside
+    # each partition with one vectorized pandas pass is >30x cheaper
+    # and keeps identical semantics.
     winners = (
         ds.map_batches(explode, batch_format="pandas", batch_size=2048)
-        .groupby(["line_hash", "line"])
-        .aggregate(Min("pack", alias_name="pack"))
+        .groupby("part")
+        .map_groups(pick_part, batch_format="pandas")
     )
     return (
         winners.map_batches(unpack_part, batch_format="pandas", batch_size=65536)
