@@ -484,3 +484,47 @@ def tfidf_top_terms(
         return out.materialize()
     finally:
         _cleanup_checkpoint(ckpt)
+
+
+def sample_mixture(
+    ds: "ray.data.Dataset",
+    weights: dict,
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic data-mixture sampling: draw ~``total`` rows whose
+    group composition follows ``weights`` (e.g. ``{"web": 0.6, "books":
+    0.3, "code": 0.1}``) — the mixing step every pretraining run does
+    over its sources.  Groups absent from ``weights`` are dropped;
+    per-group quotas are ``floor(weight / sum(weights) * total)``, and
+    a group smaller than its quota contributes everything it has (the
+    realized mixture is then reported by the caller's own counts).
+
+    Selection per group is the engine-stable md5-rank bottom-n (same
+    mechanism as :func:`sample_per_group` / the train/val split), so
+    the sample is reproducible across runs, machines and partitionings,
+    and SQL-mirrorable (``row_number() OVER (PARTITION BY g ORDER BY
+    md5(id)) <= quota``).
+
+    Scale shape: ONE ``groupby(group_col).map_groups`` with the quota
+    dict riding in the closure (it is weights-sized, tiny); ranks are
+    vectorized per batch; no driver-side data."""
+    import hashlib
+
+    import pandas as pd
+
+    wsum = float(sum(weights.values()))
+    quotas = {g: int(w / wsum * total) for g, w in weights.items()}
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ranks = [int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16) for i in ids]
+        return batch.append_column("_sample_rank", pa.array(ranks, type=pa.uint64()))
+
+    def take_quota(group: pd.DataFrame) -> pd.DataFrame:
+        q = quotas.get(group[group_col].iloc[0], 0)
+        return group.nsmallest(q, "_sample_rank").drop(columns=["_sample_rank"])
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow", batch_size=8192)
+    return ranked.groupby(group_col).map_groups(take_quota, batch_format="pandas")

@@ -982,3 +982,80 @@ def test_bloom_filter_membership(ray_session):
     # distributed build == single-block build (OR-merge correctness)
     blob1 = bloom_build(ds.repartition(1), "url", m_bits=M, k=K)
     assert blob == blob1
+
+
+def test_sample_mixture_duckdb_parity(ray_session):
+    """Mixture sampling vs the exact SQL restatement (md5-rank bottom-n
+    per group with per-group quotas): reproducible row selection,
+    quota-capped composition, unlisted groups dropped, undersized
+    groups contribute everything they have."""
+    import duckdb
+
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import sample_mixture
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    # src0 weighted heavier than its 25 rows can supply at total=120:
+    # quota floor(0.5*120)=60 > 25 -> contributes all 25
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    got = (
+        sample_mixture(ds, weights, total=120)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   md5(CAST(doc_id AS VARCHAR))) AS rn
+          FROM read_parquet('{sf}/documents.parquet')
+          WHERE source IN ('src0', 'src1', 'src2'))
+        SELECT doc_id, source FROM ranked
+        WHERE (source = 'src0' AND rn <= 60)
+           OR (source = 'src1' AND rn <= 30)
+           OR (source = 'src2' AND rn <= 30)
+        ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    sizes = got.groupby("source").size()
+    assert sizes["src0"] == 25  # undersized group gives everything
+    assert sizes["src1"] == 25 and sizes["src2"] == 25  # quota 30 > 25
+    # determinism across a second run
+    got2 = (
+        sample_mixture(ds, weights, total=120)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+    # BINDING quotas (20 of 25 rows per group): the md5-rank cut must
+    # select exactly the SQL's bottom-20 rows, not just the right count
+    got3 = (
+        sample_mixture(ds, {"src3": 0.5, "src4": 0.5}, total=40)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want3 = con.execute(
+        f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                   md5(CAST(doc_id AS VARCHAR))) AS rn
+          FROM read_parquet('{sf}/documents.parquet')
+          WHERE source IN ('src3', 'src4'))
+        SELECT doc_id, source FROM ranked WHERE rn <= 20 ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got3, want3, check_dtype=True)
+    assert (got3.groupby("source").size() == 20).all()
