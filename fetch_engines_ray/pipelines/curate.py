@@ -16,6 +16,8 @@ chain.
       → quality filter     (Gopher-style integer rules, vectorized)
       → PII redaction      (ordered RE2 replaces)
       → sequence packing   (shard-local greedy first-fit)
+      → sharded export     (optional: seeded global shuffle, one dir
+                            per shard — the layout trainers stream)
 
 Every stage is a batch transform; the only wide operations are the two
 dedup group-bys/joins.  Nothing corpus-sized ever reaches the driver.
@@ -39,12 +41,16 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     benchmark_texts: list[str] | None = None,
     decontam_ngram: int = 13,
+    export_path: str | None = None,
+    n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns the packed-sequence Dataset
     (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
-    surviving, redacted documents."""
+    surviving, redacted documents.  With ``export_path`` the packed
+    sequences are ALSO shard-exported (seeded shuffle, ``shard=K/``
+    dirs) — the delivery layout a trainer streams."""
     # 1. exact dedup winners — corpus-sized set, so semi-join
     winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
     docs = ds.select_columns([id_col, text_col])
@@ -110,5 +116,13 @@ def curate_corpus(
         quality_and_redact, batch_format="pyarrow", batch_size=4096
     )
 
-    # 6. shard-local packing
-    return pack_sequences(clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col)
+    # 6. shard-local packing (+ optional delivery export)
+    packed = pack_sequences(clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col)
+    if export_path:
+        from ..ops.partitioning import export_shards
+
+        # the packed table is consumed twice (export + return) — let the
+        # caller's consumption re-execute rather than pinning; exports
+        # are terminal in practice
+        export_shards(packed, export_path, n_shards=n_shards, id_col="seq_id")
+    return packed

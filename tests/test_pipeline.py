@@ -324,3 +324,38 @@ def test_curate_corpus_end_to_end(ray_session):
     assert len(packed_docs) == len(set(packed_docs))
     ok = packed[~packed["oversize"]]
     assert (ok["total_tokens"] <= 256).all()
+
+
+def test_curate_corpus_sharded_export(ray_session, tmp_path):
+    """The optional export tail writes hive-partitioned shard dirs whose
+    union is exactly the packed output (list columns survive the sort
+    and the parquet round-trip)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(9)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(30)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = str(tmp_path / "delivery")
+    packed = curate_corpus(ds, max_tokens=256, export_path=out, n_shards=4).to_pandas()
+
+    shard_dirs = sorted((tmp_path / "delivery").glob("shard=*"))
+    assert 1 <= len(shard_dirs) <= 4
+    exported = pd.concat(
+        [pd.read_parquet(f) for d in shard_dirs for f in sorted(d.glob("*.parquet"))],
+        ignore_index=True,
+    )
+    assert sorted(exported["seq_id"]) == sorted(packed["seq_id"])
+    # every doc of the packed output survives the export round-trip
+    assert sorted(d for ids in exported["doc_ids"] for d in ids) == sorted(
+        d for ids in packed["doc_ids"] for d in ids
+    )
