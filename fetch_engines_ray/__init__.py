@@ -7,9 +7,14 @@ Public surface (reference analog: /root/reference/src/index.ts:1-9):
 * :class:`PipelineConfig` — engine knobs.
 * :func:`run_resumable` — partition-atomic runner with lineage resume.
 * :func:`convert` — the pure per-document converter (M1-M22 chain).
+* :func:`pipelines.curate.curate_corpus` — the composed training-data
+  chain (dedup → decontamination → quality → PII → packing →
+  sharded export).
 * ``sources`` / ``ops`` submodules — readers/sinks and the
-  training-data operator families (dedup, similarity, text stats,
-  sketches, partitioning, multimodal).
+  training-data operator families (dedup incl. line-level +
+  incremental, similarity, text stats incl. decontamination + mixture
+  sampling, sketches incl. Bloom, profiling, partitioning incl.
+  sharded export, multimodal codecs).
 """
 
 from .functions.converter import convert  # noqa: F401
