@@ -1,0 +1,154 @@
+"""WARC source: ingest web-archive files (the Common Crawl delivery
+format, ISO 28500) straight into the corpus schema the extraction
+pipeline consumes.
+
+The reference fetches live URLs one at a time
+(``/root/reference/src/FetchEngine.ts:83-165``); at 100-TB scale the
+same documents arrive as crawl archives — ~1 GB ``.warc.gz`` files,
+one gzip member per record.  Scale shape: FILES are the parallelism
+unit — ``ray.data.read_binary_files`` distributes whole-file reads
+across the cluster and each map task parses its own file's records, so
+bytes never flow through the driver and a shard list partitions work
+exactly like the crawl publishes it.  Multi-member gzip (the CC
+convention) decompresses transparently with stdlib ``gzip``.
+
+Pure-stdlib parser; only ``WARC-Type: response`` records carrying an
+HTML HTTP response become documents (requests/metadata/non-HTML are
+counted and skipped — the reference's content-type gate,
+``FetchEngine.ts:116-123``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator
+
+import pyarrow as pa
+
+import ray.data
+
+from .io import CORPUS_SCHEMA, _doc_row
+
+
+class WarcFormatError(ValueError):
+    pass
+
+
+def split_warc_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(warc_headers, payload)`` per record.  Header names are
+    lower-cased; payload is exactly ``Content-Length`` bytes."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        while buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise WarcFormatError("truncated WARC header block")
+        lines = buf[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise WarcFormatError(f"bad WARC version line: {lines[0][:40]!r}")
+        headers: dict = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError as exc:
+            raise WarcFormatError("missing/invalid Content-Length") from exc
+        start = hdr_end + 4
+        if start + length > n:
+            raise WarcFormatError("truncated WARC payload")
+        yield headers, buf[start : start + length]
+        pos = start + length
+
+
+def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
+    """``(status, content_type, body)`` from an HTTP/1.x response
+    payload (the WARC response record body)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise WarcFormatError("no HTTP header/body separator")
+    head = payload[:sep].decode("latin-1", "replace").split("\r\n")
+    parts = head[0].split()
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise WarcFormatError(f"bad HTTP status line: {head[0][:40]!r}")
+    status = int(parts[1])
+    ctype = ""
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip().lower()
+            break
+    return status, ctype, payload[sep + 4 :]
+
+
+def read_warc(paths) -> "ray.data.Dataset":
+    """WARC file(s)/dir → corpus-shaped Dataset (``doc_id, spans,
+    base_url, archetype``) ready for ``build_pipeline``.
+
+    ``doc_id`` is ``<file basename>:<record index>`` (stable and unique
+    per crawl shard); ``base_url`` is the record's WARC-Target-URI, so
+    relative-link absolutization (M4) works exactly as it does for
+    live-fetched pages.  Only 2xx ``text/html`` response records become
+    documents.
+    """
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            if data[:2] == b"\x1f\x8b":
+                # multi-member gzip (the CC convention); checked by magic,
+                # not extension — ray.data.read_binary_files already
+                # auto-decompresses when the extension says .gz
+                data = gzip.decompress(data)
+            base = os.path.basename(path)
+            for i, (hdrs, payload) in enumerate(split_warc_records(data)):
+                if hdrs.get("warc-type") != "response":
+                    continue
+                try:
+                    status, ctype, body = parse_http_response(payload)
+                except WarcFormatError:
+                    continue
+                if not (200 <= status < 300) or "html" not in ctype:
+                    continue
+                rows.append(
+                    _doc_row(
+                        f"{base}:{i}",
+                        body.decode("utf-8", "replace"),
+                        hdrs.get("warc-target-uri", ""),
+                    )
+                )
+        return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_warc(records: list[dict], path: str, gz: bool = False) -> None:
+    """Write WARC response records (test/fixture utility; also the
+    round-trip proof for the parser).  Each record dict:
+    ``{"url": ..., "html": ..., "status": 200, "content_type":
+    "text/html", "warc_type": "response"}``.  With ``gz`` each record
+    becomes its own gzip member (the Common Crawl layout)."""
+    out = b""
+    for rec in records:
+        body = rec["html"].encode("utf-8")
+        http = (
+            f"HTTP/1.1 {rec.get('status', 200)} OK\r\n"
+            f"Content-Type: {rec.get('content_type', 'text/html')}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+        warc = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rec.get('warc_type', 'response')}\r\n"
+            f"WARC-Target-URI: {rec.get('url', '')}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("utf-8") + http + b"\r\n\r\n"
+        out += gzip.compress(warc) if gz else warc
+    with open(path, "wb") as f:
+        f.write(out)

@@ -220,3 +220,46 @@ def test_export_shards_deterministic_and_sql_mirrored(ray_session, tmp_path):
         assert g["shuffle_key"].is_monotonic_increasing
     # every shard non-empty at 500 docs / 4 shards
     assert got.groupby("shard").size().min() > 0
+
+
+def test_warc_reader_roundtrip(ray_session, tmp_path):
+    """WARC ingestion: plain and multi-member-gzip files parse to the
+    corpus schema, non-response / non-HTML / non-2xx records are
+    skipped, base_url carries the target URI, and the documents flow
+    straight through the extraction pipeline."""
+    import gzip
+
+    from fetch_engines_ray.pipelines.extract import build_pipeline
+    from fetch_engines_ray.sources.io import CORPUS_SCHEMA
+    from fetch_engines_ray.sources.warc import read_warc, write_warc
+
+    records = [
+        {"url": "https://ex.com/a", "html": "<html><head><title>A</title></head>"
+         "<body><main><h1>Doc A</h1><p>alpha beta gamma delta content here</p>"
+         "</main></body></html>"},
+        {"url": "https://ex.com/req", "html": "GET / HTTP/1.1", "warc_type": "request"},
+        {"url": "https://ex.com/png", "html": "notanimage", "content_type": "image/png"},
+        {"url": "https://ex.com/404", "html": "<html>gone</html>", "status": 404},
+        {"url": "https://ex.com/b", "html": "<html><body><article><h2>Doc B</h2>"
+         "<p>zeta eta theta iota kappa words</p></article></body></html>"},
+    ]
+    write_warc(records, str(tmp_path / "shard0.warc"))
+    write_warc(records, str(tmp_path / "shard1.warc.gz"), gz=True)
+    # the .gz really is multi-member (one gzip stream per record)
+    raw = (tmp_path / "shard1.warc.gz").read_bytes()
+    assert raw.count(b"\x1f\x8b\x08") >= len(records)
+
+    for fname in ("shard0.warc", "shard1.warc.gz"):
+        ds = read_warc(str(tmp_path / fname))
+        assert ds.schema().names == CORPUS_SCHEMA.names
+        rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+        # only the two 2xx text/html responses survive
+        assert [r["base_url"] for r in rows] == ["https://ex.com/a", "https://ex.com/b"]
+        assert rows[0]["doc_id"] == f"{fname}:0"
+        assert "Doc A" in rows[0]["spans"][0]["text"]
+        # and they extract end-to-end through the flagship pipeline
+        out = build_pipeline(read_warc(str(tmp_path / fname))).take_all()
+        assert len(out) == 2
+        texts = {r["doc_id"]: "".join(s["text"] for s in r["out_spans"]) for r in out}
+        assert "Doc A" in texts[f"{fname}:0"]
+        assert "Doc B" in texts[f"{fname}:4"]
