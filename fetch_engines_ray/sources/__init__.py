@@ -1,3 +1,5 @@
+from .archive import read_archive  # noqa: F401
+from .warc import read_warc, write_warc  # noqa: F401
 from .io import (  # noqa: F401
     CORPUS_SCHEMA,
     INPUT_COLUMNS,

@@ -263,3 +263,47 @@ def test_warc_reader_roundtrip(ray_session, tmp_path):
         texts = {r["doc_id"]: "".join(s["text"] for s in r["out_spans"]) for r in out}
         assert "Doc A" in texts[f"{fname}:0"]
         assert "Doc B" in texts[f"{fname}:4"]
+
+
+def test_archive_reader_zip_and_tar(ray_session, tmp_path):
+    """Archive ingestion: zip and tar.gz bundles of HTML files parse to
+    the corpus schema, non-HTML members are skipped, container format
+    is sniffed by magic, and the documents extract end-to-end."""
+    import io as _io
+    import tarfile
+    import zipfile
+
+    from fetch_engines_ray.pipelines.extract import build_pipeline
+    from fetch_engines_ray.sources.archive import read_archive
+    from fetch_engines_ray.sources.io import CORPUS_SCHEMA
+
+    pages = {
+        "site/a.html": "<html><head><title>A</title></head><body><main>"
+        "<h1>Doc A</h1><p>alpha beta gamma delta content here</p></main></body></html>",
+        "site/b.htm": "<html><body><article><h2>Doc B</h2>"
+        "<p>zeta eta theta iota kappa words</p></article></body></html>",
+        "site/skip.css": "body { color: red }",
+        "site/skip.png": "notanimage",
+    }
+    with zipfile.ZipFile(tmp_path / "bundle.zip", "w") as zf:
+        for name, text in pages.items():
+            zf.writestr(name, text)
+    with tarfile.open(tmp_path / "bundle.tar.gz", "w:gz") as tf:
+        for name, text in pages.items():
+            data = text.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+
+    for fname in ("bundle.zip", "bundle.tar.gz"):
+        ds = read_archive(str(tmp_path / fname))
+        assert ds.schema().names == CORPUS_SCHEMA.names
+        rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in rows] == [
+            f"{fname}:site/a.html",
+            f"{fname}:site/b.htm",
+        ]
+        out = build_pipeline(read_archive(str(tmp_path / fname))).take_all()
+        texts = {r["doc_id"]: "".join(s["text"] for s in r["out_spans"]) for r in out}
+        assert "Doc A" in texts[f"{fname}:site/a.html"]
+        assert "Doc B" in texts[f"{fname}:site/b.htm"]
