@@ -130,7 +130,51 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
             ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         )
 
-    qs = {**qs, "minhash_dedup_pairs": _raw_minhash, "line_dedup": _raw_linededup}
+    def _kmeans(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.clustering import kmeans_assign, kmeans_fit
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        cents = kmeans_fit(emb, n_clusters=16, n_iters=4)
+        return kmeans_assign(emb, cents)
+
+    def _bpe(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.bpe import bpe_encode, bpe_train
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        merges = bpe_train(docs, n_merges=200)
+        return bpe_encode(docs, merges)
+
+    def _logreg(sf: str):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        import ray.data
+
+        from fetch_engines_ray.ops.classifier import logreg_fit, logreg_score
+        from fetch_engines_ray.ops.textstats import text_features_pipeline
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+        feats = text_features_pipeline(docs).map_batches(
+            lambda b: b.append_column(
+                "label", _pc.cast(_pc.equal(b["lang"], _pa.scalar("en")), _pa.int64())
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # tiny feature table; fit re-executes lineage per pass
+        w = logreg_fit(feats, ["punct_ratio", "stopword_ratio", "quality"], n_iters=15)
+        return logreg_score(feats, w, ["punct_ratio", "stopword_ratio", "quality"])
+
+    qs = {
+        **qs,
+        "minhash_dedup_pairs": _raw_minhash,
+        "line_dedup": _raw_linededup,
+        "kmeans_embeddings": _kmeans,
+        "bpe_train_encode": _bpe,
+        "logreg_quality": _logreg,
+    }
     names = [
         "doc_token_counts",
         "exact_dedup_groups",
@@ -145,6 +189,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "top_docs_per_lang",
         "doc_normalized_text",
         "doc_sequence_packing",
+        "kmeans_embeddings",
+        "bpe_train_encode",
+        "logreg_quality",
     ]
     times = {}
     for name in names:
