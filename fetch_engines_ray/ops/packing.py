@@ -34,14 +34,21 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def _pack_batch(batch: pa.Table, max_tokens: int, id_col: str, text_col: str) -> pa.Table:
+def _pack_batch(
+    batch: pa.Table, max_tokens: int, id_col: str, text_col: str, count_col=None
+) -> pa.Table:
     """Greedy first-fit-in-order packing of one batch."""
     ids = batch[id_col].to_pylist()
-    # whitespace token counts, vectorized (same token definition as
-    # textstats.add_token_count)
-    toks = pc.list_value_length(
-        pc.split_pattern_regex(pc.utf8_trim_whitespace(batch[text_col]), r"\s+")
-    ).to_pylist()
+    if count_col is not None:
+        # precomputed token counts (e.g. learned-BPE piece counts from
+        # ops.bpe.bpe_encode) — pack by the trainer's real token budget
+        toks = batch[count_col].to_pylist()
+    else:
+        # whitespace token counts, vectorized (same token definition as
+        # textstats.add_token_count)
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(batch[text_col]), r"\s+")
+        ).to_pylist()
     seq_ids: list[int] = []
     doc_lists: list[list[int]] = []
     totals: list[int] = []
@@ -93,8 +100,13 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_size: int = 4096,
+    count_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Pack ``ds`` rows into sequences of ≤ ``max_tokens`` tokens.
+
+    Token budget source: ``count_col`` when given (a precomputed
+    per-document count column, e.g. learned-BPE piece counts), else
+    whitespace token counts derived from ``text_col``.
 
     Returns a Dataset with schema
     ``(seq_id, doc_ids: list<int64>, n_docs, total_tokens, oversize)``.
@@ -102,7 +114,12 @@ def pack_sequences(
     """
     return ds.map_batches(
         _pack_batch,
-        fn_kwargs={"max_tokens": max_tokens, "id_col": id_col, "text_col": text_col},
+        fn_kwargs={
+            "max_tokens": max_tokens,
+            "id_col": id_col,
+            "text_col": text_col,
+            "count_col": count_col,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
     )

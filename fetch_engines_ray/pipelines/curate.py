@@ -15,6 +15,11 @@ chain.
                             drops docs contaminated by the eval set)
       → quality filter     (Gopher-style integer rules, vectorized)
       → PII redaction      (ordered RE2 replaces)
+      → [tokenizer="bpe"]  (optional: checkpoint the cleaned corpus to
+                            parquet — the artifact real pipelines keep —
+                            train a BPE tokenizer on it, encode, and
+                            pack by LEARNED piece counts instead of
+                            whitespace tokens)
       → sequence packing   (shard-local greedy first-fit)
       → sharded export     (optional: seeded global shuffle, one dir
                             per shard — the layout trainers stream)
@@ -45,12 +50,23 @@ def curate_corpus(
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "whitespace",
+    bpe_merges: int = 200,
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns the packed-sequence Dataset
     (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
     surviving, redacted documents.  With ``export_path`` the packed
     sequences are ALSO shard-exported (seeded shuffle, ``shard=K/``
-    dirs) — the delivery layout a trainer streams."""
+    dirs) — the delivery layout a trainer streams.
+
+    ``tokenizer="bpe"`` trains a real BPE tokenizer on the cleaned
+    corpus and packs by learned piece counts (``total_tokens`` becomes
+    BPE pieces).  The cleaned corpus is checkpointed to parquet first
+    (``FER_CHECKPOINT_DIR``, default /tmp): tokenizer training plus
+    encoding consume it twice, and the checkpoint is the standard
+    kept artifact / resume point between cleaning and tokenization —
+    it is deliberately NOT deleted here because the returned Dataset
+    streams from it lazily."""
     # 1. exact dedup winners — corpus-sized set, so semi-join
     winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
     docs = ds.select_columns([id_col, text_col])
@@ -117,7 +133,20 @@ def curate_corpus(
     )
 
     # 6. shard-local packing (+ optional delivery export)
-    packed = pack_sequences(clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col)
+    if tokenizer == "bpe":
+        from ..ops.bpe import bpe_encode, bpe_train
+        from ..ops.dedup import _checkpoint_parquet
+
+        clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
+        merges = bpe_train(clean_ckpt, n_merges=bpe_merges, text_col=text_col)
+        encoded = bpe_encode(clean_ckpt, merges, text_col=text_col, id_col=id_col)
+        packed = pack_sequences(
+            encoded, max_tokens=max_tokens, id_col=id_col, count_col="n_pieces"
+        )
+    else:
+        packed = pack_sequences(
+            clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col
+        )
     if export_path:
         from ..ops.partitioning import export_shards
 

@@ -359,3 +359,48 @@ def test_curate_corpus_sharded_export(ray_session, tmp_path):
     assert sorted(d for ids in exported["doc_ids"] for d in ids) == sorted(
         d for ids in packed["doc_ids"] for d in ids
     )
+
+
+def test_curate_corpus_bpe_tokenizer_tail(ray_session, monkeypatch, tmp_path):
+    """tokenizer="bpe": the chain trains a real BPE tokenizer on the
+    cleaned corpus and packs by LEARNED piece counts — totals match a
+    driver-side re-encode of the surviving docs, and budgets hold."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.bpe import bpe_train, encode_word
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    monkeypatch.setenv("FER_CHECKPOINT_DIR", str(tmp_path))
+
+    rng = np.random.RandomState(3)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(25)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    packed = curate_corpus(ds, max_tokens=128, tokenizer="bpe", bpe_merges=40).to_pandas()
+
+    docs = sorted(d for ids in packed["doc_ids"] for d in ids)
+    assert docs == list(range(25))  # all quality-passing, no dups planted
+    ok = packed[~packed["oversize"]]
+    assert (ok["total_tokens"] <= 128).all()
+
+    # totals are BPE piece counts: re-derive with the same deterministic
+    # trainer + encoder over the same clean text (no PII/dups -> clean
+    # text == input text)
+    merges = bpe_train(ds, n_merges=40)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    piece_count = {
+        r["doc_id"]: sum(len(encode_word(w, ranks)) for w in r["text"].lower().split())
+        for r in rows
+    }
+    for _, seq in packed.iterrows():
+        assert seq["total_tokens"] == sum(piece_count[d] for d in seq["doc_ids"])
+    # learned packing differs from whitespace packing (pieces > words)
+    ws = curate_corpus(ds, max_tokens=128).to_pandas()
+    assert packed["total_tokens"].sum() > ws["total_tokens"].sum()
