@@ -673,8 +673,10 @@ def _q_clean_corpus(sf_dir: str) -> Any:
         return batch.filter(batch.column("gopher_pass")).select(["doc_id", "n_words"])
 
     docs = _read_documents(sf_dir).map_batches(flags, batch_format="pyarrow", batch_size=4096)
+    # input-scaled shuffle partitions (metadata-cheap count on the raw read)
+    n_parts = max(2, min(64, _read_documents(sf_dir).count() // 200_000 + 1))
     out = docs.join(
-        winners, join_type="inner", num_partitions=2, on=("doc_id",), right_on=("keep_doc_id",)
+        winners, join_type="inner", num_partitions=n_parts, on=("doc_id",), right_on=("keep_doc_id",)
     )
     df = out.to_pandas()[["doc_id", "n_words"]]
     return df.sort_values("doc_id").reset_index(drop=True)

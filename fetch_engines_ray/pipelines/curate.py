@@ -52,6 +52,7 @@ def curate_corpus(
     text_col: str = "text",
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
+    join_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns the packed-sequence Dataset
     (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
@@ -67,13 +68,18 @@ def curate_corpus(
     kept artifact / resume point between cleaning and tokenization —
     it is deliberately NOT deleted here because the returned Dataset
     streams from it lazily."""
-    # 1. exact dedup winners — corpus-sized set, so semi-join
+    # 1. exact dedup winners — corpus-sized set, so semi-join.  The
+    #    shuffle partition count scales with the input (engine-wide
+    #    formula); pass ``join_partitions`` to skip the sizing count
+    #    when the caller already knows the corpus size.
+    if join_partitions is None:
+        join_partitions = max(2, min(64, ds.count() // 200_000 + 1))
     winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
     docs = ds.select_columns([id_col, text_col])
     deduped = docs.join(
         winners,
         join_type="inner",
-        num_partitions=2,
+        num_partitions=join_partitions,
         on=(id_col,),
         right_on=("keep_doc_id",),
     )

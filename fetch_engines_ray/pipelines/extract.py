@@ -284,7 +284,10 @@ def escalate_low_quality(
     packed = read_corpus(input_path, cfg).map_batches(
         pack, batch_format="pyarrow", batch_size=1024
     )
-    matched = packed.join(low, join_type="inner", num_partitions=2, on=("doc_id",))
+    # semi-join shuffles the corpus-sized packed side: scale the
+    # partition count with it (parquet-backed count is metadata-cheap)
+    n_parts = max(2, min(64, read_corpus(input_path, cfg).count() // 200_000 + 1))
+    matched = packed.join(low, join_type="inner", num_partitions=n_parts, on=("doc_id",))
 
     def unpack_force_warm(batch: pa.Table) -> pa.Table:
         spans = pa.array(
