@@ -65,9 +65,35 @@ def split_warc_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer coding (RFC 9112 §7.1).
+    Crawl archives store the raw wire bytes, so chunk framing survives
+    into the WARC payload and must be stripped before HTML parsing."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcFormatError("truncated chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop chunk extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise WarcFormatError(f"bad chunk size: {size_tok[:16]!r}") from exc
+        pos = eol + 2
+        if size == 0:
+            break  # trailer section (if any) is ignored
+        if pos + size > n:
+            raise WarcFormatError("truncated chunk data")
+        out.append(body[pos : pos + size])
+        pos += size + 2  # skip the chunk's trailing CRLF
+    return b"".join(out)
+
+
 def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     """``(status, content_type, body)`` from an HTTP/1.x response
-    payload (the WARC response record body)."""
+    payload (the WARC response record body).  Chunked transfer coding
+    is decoded; gzip/deflate content codings are decompressed (crawlers
+    archive the raw wire form)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         raise WarcFormatError("no HTTP header/body separator")
@@ -77,12 +103,30 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
         raise WarcFormatError(f"bad HTTP status line: {head[0][:40]!r}")
     status = int(parts[1])
     ctype = ""
+    transfer = ""
+    encoding = ""
     for line in head[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        k = k.strip().lower()
+        if k == "content-type":
             ctype = v.strip().lower()
-            break
-    return status, ctype, payload[sep + 4 :]
+        elif k == "transfer-encoding":
+            transfer = v.strip().lower()
+        elif k == "content-encoding":
+            encoding = v.strip().lower()
+    body = payload[sep + 4 :]
+    if "chunked" in transfer:
+        body = _dechunk(body)
+    if encoding in ("gzip", "x-gzip") and body[:2] == b"\x1f\x8b":
+        body = gzip.decompress(body)
+    elif encoding == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:  # raw-deflate servers (no zlib wrapper)
+            body = zlib.decompress(body, -zlib.MAX_WBITS)
+    return status, ctype, body
 
 
 def read_warc(paths) -> "ray.data.Dataset":
@@ -138,9 +182,21 @@ def write_warc(records: list[dict], path: str, gz: bool = False) -> None:
     out = b""
     for rec in records:
         body = rec["html"].encode("utf-8")
+        extra = ""
+        if rec.get("content_encoding") == "gzip":
+            body = gzip.compress(body)
+            extra += "Content-Encoding: gzip\r\n"
+        if rec.get("transfer_encoding") == "chunked":
+            # split into two chunks to exercise reassembly
+            mid = max(1, len(body) // 2)
+            body = b"".join(
+                b"%x\r\n%s\r\n" % (len(c), c) for c in (body[:mid], body[mid:]) if c
+            ) + b"0\r\n\r\n"
+            extra += "Transfer-Encoding: chunked\r\n"
         http = (
             f"HTTP/1.1 {rec.get('status', 200)} OK\r\n"
             f"Content-Type: {rec.get('content_type', 'text/html')}\r\n"
+            f"{extra}"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("latin-1") + body
         warc = (

@@ -307,3 +307,42 @@ def test_archive_reader_zip_and_tar(ray_session, tmp_path):
         texts = {r["doc_id"]: "".join(s["text"] for s in r["out_spans"]) for r in out}
         assert "Doc A" in texts[f"{fname}:site/a.html"]
         assert "Doc B" in texts[f"{fname}:site/b.htm"]
+
+
+def test_warc_wire_codings_decoded(ray_session, tmp_path):
+    """Crawl archives store raw wire bytes: chunked transfer coding and
+    gzip/deflate content codings must be stripped before HTML reaches
+    the corpus. Also covers the pure _dechunk edge cases."""
+    import pytest as _pytest
+
+    from fetch_engines_ray.sources.warc import (
+        WarcFormatError,
+        _dechunk,
+        read_warc,
+        write_warc,
+    )
+
+    html = ("<html><body><main><h1>Wire</h1><p>alpha beta gamma delta epsilon"
+            "</p></main></body></html>")
+    records = [
+        {"url": "https://ex.com/chunked", "html": html,
+         "transfer_encoding": "chunked"},
+        {"url": "https://ex.com/gz", "html": html, "content_encoding": "gzip"},
+        {"url": "https://ex.com/both", "html": html,
+         "transfer_encoding": "chunked", "content_encoding": "gzip"},
+        {"url": "https://ex.com/plain", "html": html},
+    ]
+    write_warc(records, str(tmp_path / "wire.warc"))
+    rows = sorted(
+        read_warc(str(tmp_path / "wire.warc")).take_all(), key=lambda r: r["doc_id"]
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r["spans"][0]["text"] == html  # every coding fully undone
+
+    # chunk extensions are tolerated; truncation and junk raise
+    assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\n\r\n") == b"hello"
+    with _pytest.raises(WarcFormatError):
+        _dechunk(b"5\r\nhel")
+    with _pytest.raises(WarcFormatError):
+        _dechunk(b"zz\r\nhello\r\n0\r\n\r\n")
