@@ -1,0 +1,176 @@
+"""Persistent IVF (inverted-file) vector index: build once, search
+many, READ only what a query probes.
+
+`ops/similarity.ivf_knn` filters probed clusters inside map tasks —
+correct, but every search still streams the whole embedding table off
+storage.  At 100-TB scale the index must prune at the READ: this
+module writes the corpus hive-partitioned by cluster
+(``cluster=K/*.parquet``) so a search lists only its probed
+partitions' files and the object store never sees the rest — the same
+read-pruning contract as `read_parquet(columns=...)`, applied to rows.
+
+Layout under ``path``:
+
+* ``cluster=K/*.parquet`` — the vectors of cluster K (hive dirs; the
+  cluster id ALSO rides as a regular ``cluster_id`` column because
+  parquet drops partition columns from the files themselves);
+* ``_ivf_centroids.parquet`` — the (k x d) centroid matrix (tiny);
+* ``_ivf_meta.json`` — n_clusters, column names, row count.
+
+Centroids come from `ops/clustering.kmeans_fit` (distributed Lloyd's,
+md5-rank init) with ``n_clusters ≈ √N`` by default — the same sizing
+rule the bounded near-dup bucketing uses, keeping expected cluster
+size O(√N).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .clustering import kmeans_fit
+from .similarity import _normalize, _to_matrix
+
+_META = "_ivf_meta.json"
+_CENTROIDS = "_ivf_centroids.parquet"
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    n_clusters: Optional[int] = None,
+    n_iters: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fit centroids, assign, and write the cluster-partitioned layout;
+    returns the number of clusters.  One streaming pass per Lloyd
+    iteration plus one assignment+write pass — nothing corpus-sized on
+    the driver."""
+    n = ds.count()
+    if n_clusters is None:
+        n_clusters = max(4, min(4096, int(math.isqrt(max(n, 1)))))
+    cents = kmeans_fit(
+        ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        batch = batch.append_column("cluster_id", pa.array(best, type=pa.int64()))
+        # string partition key gives stable lexicographic dir names
+        return batch.append_column(
+            "cluster", pa.array([f"{b:05d}" for b in best], type=pa.string())
+        )
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).write_parquet(
+        path, partition_cols=["cluster"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(cents)), type=pa.int64()),
+                "centroid": pa.array([c.tolist() for c in cents], type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(path, _CENTROIDS),
+    )
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(
+            {"n_clusters": int(len(cents)), "id_col": id_col, "vec_col": vec_col, "n": n},
+            f,
+        )
+    return int(len(cents))
+
+
+def probed_partitions(
+    path: str, query_vecs: np.ndarray, nprobe: int
+) -> tuple[list[str], np.ndarray, dict]:
+    """Driver-side probe planning (centroids are tiny): the parquet
+    files of the hive partitions a query set needs, the per-query probe
+    matrix, and the index meta."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    ctab = pq.read_table(os.path.join(path, _CENTROIDS))
+    cents = np.asarray([np.asarray(v) for v in ctab["centroid"].to_pylist()])
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    nprobe = min(nprobe, len(cents))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # [Q, nprobe]
+    files = []
+    for c in sorted(set(probes.reshape(-1).tolist())):
+        d = os.path.join(path, f"cluster={c:05d}")
+        if os.path.isdir(d):  # empty clusters have no dir
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return files, probes, meta
+
+
+def search_ivf_index(
+    path: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Approximate cosine top-k over the persistent index.  Returns
+    (query_idx, neighbor_id, rank) with query_idx the row position in
+    ``query_vecs``; ties break by neighbor_id (deterministic).
+
+    Only the probed ``cluster=K/`` partitions are read — the rest of
+    the corpus never leaves storage."""
+    dirs, probes, meta = probed_partitions(path, query_vecs, nprobe)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if not dirs:
+        return pd.DataFrame(columns=["query_idx", "neighbor_id", "rank"])
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_ref = ray.put((qmat, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qmat_l, probes_l = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        clusters = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        sims = qmat_l @ mat.T  # [Q, n]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qmat_l)):
+            cand = np.nonzero(np.isin(clusters, probes_l[qi]))[0]
+            if len(cand) == 0:
+                continue
+            take = min(k, len(cand))
+            top = cand[np.argpartition(-sims[qi, cand], take - 1)[:take]]
+            out_q.extend([qi] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(sims[qi, top].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = (
+        ray.data.read_parquet(dirs, columns=[id_col, "cluster_id", vec_col])
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    cand.sort_values(
+        ["query_idx", "sim", "neighbor_id"], ascending=[True, False, True], inplace=True
+    )
+    topk = cand.groupby("query_idx", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_idx").cumcount() + 1
+    return topk[["query_idx", "neighbor_id", "rank"]].reset_index(drop=True)
