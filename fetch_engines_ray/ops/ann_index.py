@@ -64,22 +64,8 @@ def build_ivf_index(
     cents = kmeans_fit(
         ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    ref = ray.put(cents)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        mat = _normalize(_to_matrix(batch[vec_col]))
-        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
-        batch = batch.append_column("cluster_id", pa.array(best, type=pa.int64()))
-        # string partition key gives stable lexicographic dir names
-        return batch.append_column(
-            "cluster", pa.array([f"{b:05d}" for b in best], type=pa.string())
-        )
-
     os.makedirs(path, exist_ok=True)
-    ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).write_parquet(
-        path, partition_cols=["cluster"]
-    )
+    _assign_and_write(ds, cents, path, vec_col)
     pq.write_table(
         pa.table(
             {
@@ -95,6 +81,45 @@ def build_ivf_index(
             f,
         )
     return int(len(cents))
+
+
+def _assign_and_write(
+    ds: "ray.data.Dataset", cents: np.ndarray, path: str, vec_col: str
+) -> None:
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        batch = batch.append_column("cluster_id", pa.array(best, type=pa.int64()))
+        # string partition key gives stable lexicographic dir names
+        return batch.append_column(
+            "cluster", pa.array([f"{b:05d}" for b in best], type=pa.string())
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).write_parquet(
+        path, partition_cols=["cluster"]
+    )
+
+
+def append_ivf_index(ds: "ray.data.Dataset", path: str) -> int:
+    """Ingest NEW vectors into an existing index without refitting:
+    assign against the saved centroids and append files into the
+    partition dirs (parquet writes use fresh unique file names, so
+    existing data is never touched).  This is the standard IVF
+    maintenance path — centroids drift only with distribution shift,
+    handled by a periodic rebuild.  Returns the new total count."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    ctab = pq.read_table(os.path.join(path, _CENTROIDS))
+    cents = np.asarray([np.asarray(v) for v in ctab["centroid"].to_pylist()])
+    n_new = ds.count()
+    _assign_and_write(ds, cents, path, meta["vec_col"])
+    meta["n"] = int(meta["n"]) + n_new
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+    return meta["n"]
 
 
 def probed_partitions(

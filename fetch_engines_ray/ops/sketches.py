@@ -412,3 +412,75 @@ def bloom_filter_new(
         return batch.filter(pa.array(~seen))
 
     return ds.map_batches(keep_new, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (point-frequency estimates under memory bound)
+# ---------------------------------------------------------------------------
+
+_CM_MIX = np.uint64(0x9E3779B97F4A7C15)  # public splitmix64 constant
+
+
+def _cm_indices(values, width: int, depth: int) -> np.ndarray:
+    """[depth, n] column indices via Kirsch-Mitzenmacher double hashing
+    (g_j = h1 + j*h2): two base hashes derive all rows, vectorized."""
+    h1 = _hash64(values)
+    h2 = (h1 ^ (h1 >> np.uint64(31))) * _CM_MIX | np.uint64(1)  # odd → full period
+    j = np.arange(depth, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + j * h2[None, :]) % np.uint64(width)).astype(np.int64)
+
+
+class CountMin(AggregateFnV2):
+    """Count-min sketch as a Ray Data aggregation: a depth x width
+    int64 counter matrix; blocks build partial matrices vectorized
+    (np.add.at over double-hashed indices), partials merge by exact
+    element-wise addition — so the distributed build is bit-identical
+    to a single-pass build regardless of partitioning.  Standard
+    guarantee: estimate >= true count, and overshoot <= e/width * N
+    with probability 1 - exp(-depth)."""
+
+    def __init__(
+        self, on: str, width: int = 2048, depth: int = 4, alias_name: str | None = None
+    ):
+        self._w, self._d = int(width), int(depth)
+        super().__init__(
+            alias_name or f"count_min({on})",
+            zero_factory=lambda: np.zeros((self._d, self._w), dtype=np.int64),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> np.ndarray:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        vals = col.drop_null().to_pylist()
+        m = np.zeros((self._d, self._w), dtype=np.int64)
+        if not vals:
+            return m
+        idx = _cm_indices(vals, self._w, self._d)
+        for j in range(self._d):
+            np.add.at(m[j], idx[j], 1)
+        return m
+
+    def combine(self, current_accumulator: np.ndarray, new: np.ndarray) -> np.ndarray:
+        return current_accumulator + new
+
+    def finalize(self, accumulator: np.ndarray) -> np.ndarray:
+        return accumulator
+
+
+def count_min_build(
+    ds: "ray.data.Dataset", column: str, width: int = 2048, depth: int = 4
+) -> np.ndarray:
+    """Build the sketch matrix over a column (one streaming pass)."""
+    return ds.aggregate(CountMin(on=column, width=width, depth=depth, alias_name="cm"))["cm"]
+
+
+def count_min_estimate(sketch: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates (int64, one per queried value)."""
+    depth, width = sketch.shape
+    idx = _cm_indices(list(values), width, depth)
+    return np.min(
+        np.stack([sketch[j, idx[j]] for j in range(depth)], axis=0), axis=0
+    )

@@ -89,3 +89,30 @@ def test_search_empty_probe_set(ray_session, index):
     out = search_ivf_index(path, mat[[3]], k=5, nprobe=1)
     assert set(out.columns) == {"query_idx", "neighbor_id", "rank"}
     assert len(out) == 5
+
+
+def test_append_without_refit(ray_session, tmp_path):
+    """Half-build then append the rest: totals update, appended vectors
+    are searchable, and a clone query finds its appended twin first."""
+    from fetch_engines_ray.ops.ann_index import append_ivf_index
+
+    ids, mat = _vectors(seed=33)
+    half = len(ids) // 2
+
+    def _ds(lo, hi):
+        tbl = pa.table(
+            {"vec_id": pa.array(ids[lo:hi], type=pa.int64()),
+             "embedding": pa.array(mat[lo:hi].tolist(), type=pa.list_(pa.float64()))}
+        )
+        return ray.data.from_arrow(tbl).repartition(3)
+
+    path = str(tmp_path / "index")
+    build_ivf_index(_ds(0, half), path, n_clusters=6, n_iters=3)
+    total = append_ivf_index(_ds(half, len(ids)), path)
+    assert total == len(ids)
+    assert ray.data.read_parquet(path).count() == len(ids)
+
+    # query with an appended vector: it must find ITSELF at rank 1
+    appended_id = int(ids[half + 7])
+    got = search_ivf_index(path, mat[[half + 7]], k=3, nprobe=2)
+    assert int(got.loc[got["rank"] == 1, "neighbor_id"].iloc[0]) == appended_id

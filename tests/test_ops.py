@@ -1059,3 +1059,46 @@ def test_sample_mixture_duckdb_parity(ray_session):
     ).df()
     pd.testing.assert_frame_equal(got3, want3, check_dtype=True)
     assert (got3.groupby("source").size() == 20).all()
+
+
+def test_count_min_sketch(ray_session):
+    """Count-min: never undercounts, exact for heavies at low load
+    factor, distributed build == single-pass build bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import (
+        CountMin,
+        _cm_indices,
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rng = np.random.RandomState(17)
+    heavies = {"alpha": 500, "beta": 200, "gamma": 90}
+    tail = [f"t{i}" for i in range(400)]
+    vals = [v for v, n in heavies.items() for _ in range(n)] + [
+        tail[i] for i in rng.randint(0, len(tail), 800)
+    ]
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+
+    sketch = count_min_build(ds, "v", width=2048, depth=4)
+    assert sketch.shape == (4, 2048)
+    assert sketch[0].sum() == len(vals)  # every row counts every item
+
+    truth = pd.Series(vals).value_counts()
+    q = list(truth.index)
+    est = count_min_estimate(sketch, q)
+    assert (est >= truth[q].to_numpy()).all()  # one-sided error
+    for name, n in heavies.items():
+        assert count_min_estimate(sketch, [name])[0] == n  # low load → exact
+
+    # distributed == driver-side single pass, bit-identical
+    local = np.zeros((4, 2048), dtype=np.int64)
+    idx = _cm_indices(vals, 2048, 4)
+    for j in range(4):
+        np.add.at(local[j], idx[j], 1)
+    np.testing.assert_array_equal(sketch, local)
