@@ -1,0 +1,70 @@
+"""Property-based checks for the session's new pure functions (no Ray
+session needed — driver-side kernels only)."""
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fetch_engines_ray.ops.bpe import (
+    _EOW,
+    decode_pieces,
+    encode_word,
+    learn_merges,
+)
+from fetch_engines_ray.ops.jsonld import extract_jsonld_blocks
+from fetch_engines_ray.ops.urlops import canonicalize_url, registered_domain
+
+WORDS = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=30), st.integers(0, 60))
+def test_bpe_roundtrip_any_vocab(words, n_merges):
+    """decode(encode(w)) == original text for ANY corpus and merge
+    count (losslessness is structural, not data-dependent)."""
+    vocab = [(w, 1) for w in sorted(set(words))]
+    ranks = {tuple(p): i for i, p in enumerate(learn_merges(vocab, n_merges))}
+    text = " ".join(words)
+    pieces = [p for w in words for p in encode_word(w, ranks)]
+    assert decode_pieces(pieces) == text
+    # every piece boundary is sane: pieces of one word concat to word+EOW
+    for w in words:
+        assert "".join(encode_word(w, ranks)) == w + _EOW
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.-_~%",
+        max_size=80,
+    )
+)
+def test_canonicalize_idempotent_and_total(url):
+    """Canonicalization never raises and is idempotent on arbitrary
+    URL-ish strings."""
+    once = canonicalize_url(url)
+    assert canonicalize_url(once) == once
+    assert isinstance(registered_domain(once), str)  # total as well
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(-1000, 1000), st.text(max_size=10)),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(max_size=8), inner, max_size=4),
+    ),
+    max_leaves=10,
+))
+def test_jsonld_extractor_never_raises(payload):
+    """Arbitrary JSON payloads (valid or hostile shapes) never crash
+    the extractor; every returned entity re-parses."""
+    html = (
+        '<html><head><script type="application/ld+json">'
+        + json.dumps(payload)
+        + "</script></head><body>x</body></html>"
+    )
+    for ent in extract_jsonld_blocks(html):
+        assert isinstance(json.loads(ent["payload_json"]), dict)
