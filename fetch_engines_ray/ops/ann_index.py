@@ -58,14 +58,15 @@ def build_ivf_index(
     returns the number of clusters.  One streaming pass per Lloyd
     iteration plus one assignment+write pass — nothing corpus-sized on
     the driver."""
-    n = ds.count()
     if n_clusters is None:
-        n_clusters = max(4, min(4096, int(math.isqrt(max(n, 1)))))
+        # the sizing count is the only extra pass (metadata-cheap on
+        # parquet-backed inputs; pass n_clusters explicitly to skip it)
+        n_clusters = max(4, min(4096, int(math.isqrt(max(ds.count(), 1)))))
     cents = kmeans_fit(
         ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
     os.makedirs(path, exist_ok=True)
-    _assign_and_write(ds, cents, path, vec_col)
+    n = _assign_and_write(ds, cents, path, vec_col)
     pq.write_table(
         pa.table(
             {
@@ -83,9 +84,20 @@ def build_ivf_index(
     return int(len(cents))
 
 
+def _parquet_files(path: str) -> set[str]:
+    out = set()
+    for root, _dirs, names in os.walk(path):
+        out.update(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    return out
+
+
 def _assign_and_write(
     ds: "ray.data.Dataset", cents: np.ndarray, path: str, vec_col: str
-) -> None:
+) -> int:
+    """Assign + write; returns the row count WRITTEN, taken from the
+    new files' parquet footers (metadata only — no second data pass
+    over the input lineage)."""
+    before = _parquet_files(path)
     ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -101,6 +113,9 @@ def _assign_and_write(
     ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).write_parquet(
         path, partition_cols=["cluster"]
     )
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path) - before
+    )
 
 
 def append_ivf_index(ds: "ray.data.Dataset", path: str) -> int:
@@ -114,8 +129,7 @@ def append_ivf_index(ds: "ray.data.Dataset", path: str) -> int:
         meta = json.load(f)
     ctab = pq.read_table(os.path.join(path, _CENTROIDS))
     cents = np.asarray([np.asarray(v) for v in ctab["centroid"].to_pylist()])
-    n_new = ds.count()
-    _assign_and_write(ds, cents, path, meta["vec_col"])
+    n_new = _assign_and_write(ds, cents, path, meta["vec_col"])
     meta["n"] = int(meta["n"]) + n_new
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f)
@@ -175,8 +189,11 @@ def search_ivf_index(
             cand = np.nonzero(np.isin(clusters, probes_l[qi]))[0]
             if len(cand) == 0:
                 continue
-            take = min(k, len(cand))
-            top = cand[np.argpartition(-sims[qi, cand], take - 1)[:take]]
+            # deterministic k-th-boundary ties: (sim desc, id asc) —
+            # argpartition would keep whichever tied candidate lands
+            # first in memory order, varying with file/batch layout
+            order = np.lexsort((ids[cand], -sims[qi, cand]))[: min(k, len(cand))]
+            top = cand[order]
             out_q.extend([qi] * len(top))
             out_n.extend(ids[top].tolist())
             out_s.extend(sims[qi, top].tolist())

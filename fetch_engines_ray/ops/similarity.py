@@ -70,8 +70,10 @@ def knn_bruteforce(
             cand_idx = np.nonzero(mask)[0]
             if len(cand_idx) == 0:
                 continue
-            take = min(k, len(cand_idx))
-            top = cand_idx[np.argpartition(-row[cand_idx], take - 1)[:take]]
+            # deterministic k-th-boundary ties (duplicate vectors tie
+            # exactly): (sim desc, id asc), matching the oracle ORDER BY
+            order = np.lexsort((ids[cand_idx], -row[cand_idx]))
+            top = cand_idx[order[: min(k, len(cand_idx))]]
             out_q.extend([qid] * len(top))
             out_n.extend(ids[top].tolist())
             out_s.extend(row[top].tolist())

@@ -166,19 +166,24 @@ def filter_blocked_domains(
     ds: "ray.data.Dataset",
     blocklist: Iterable[str],
     url_col: str = "base_url",
+    domain_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Drop documents whose registered domain is blocklisted.  The
-    blocklist broadcasts once via ``ray.put``; no shuffle."""
+    blocklist broadcasts once via ``ray.put``; no shuffle.  Pass
+    ``domain_col`` when :func:`add_url_columns` already ran — the
+    filter then is a pure set-membership check instead of re-parsing
+    every URL."""
     ref = ray.put(frozenset(registered_domain(d) for d in blocklist))
 
     def keep(batch: pa.Table) -> pa.Table:
         blocked = ray.get(ref)
-        mask = pa.array(
-            [
-                registered_domain(canonicalize_url(u or "")) not in blocked
+        if domain_col is not None:
+            domains = batch[domain_col].to_pylist()
+        else:
+            domains = [
+                registered_domain(canonicalize_url(u or ""))
                 for u in batch[url_col].to_pylist()
             ]
-        )
-        return batch.filter(mask)
+        return batch.filter(pa.array([d not in blocked for d in domains]))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)

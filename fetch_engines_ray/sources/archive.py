@@ -62,15 +62,21 @@ def read_archive(paths) -> "ray.data.Dataset":
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
             base = os.path.basename(path)
-            members = (
-                _html_members_zip(data)
-                if data[:2] == b"PK"
-                else _html_members_tar(data)
-            )
-            for name, body in members:
-                rows.append(
-                    _doc_row(f"{base}:{name}", body.decode("utf-8", "replace"))
+            # a corrupt/non-archive file (stray README, truncated tar)
+            # skips THAT file, never the batch or the job; a member
+            # failing mid-walk keeps the members read so far
+            try:
+                members = (
+                    _html_members_zip(data)
+                    if data[:2] == b"PK"
+                    else _html_members_tar(data)
                 )
+                for name, body in members:
+                    rows.append(
+                        _doc_row(f"{base}:{name}", body.decode("utf-8", "replace"))
+                    )
+            except (zipfile.BadZipFile, tarfile.TarError, OSError, EOFError):
+                continue
         return pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
 
     files = ray.data.read_binary_files(paths, include_paths=True)

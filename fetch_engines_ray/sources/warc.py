@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import zlib
 from typing import Iterator
 
 import pyarrow as pa
@@ -101,7 +102,10 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     parts = head[0].split()
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):
         raise WarcFormatError(f"bad HTTP status line: {head[0][:40]!r}")
-    status = int(parts[1])
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise WarcFormatError(f"non-numeric HTTP status: {parts[1][:16]!r}") from exc
     ctype = ""
     transfer = ""
     encoding = ""
@@ -120,13 +124,20 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     if encoding in ("gzip", "x-gzip") and body[:2] == b"\x1f\x8b":
         body = gzip.decompress(body)
     elif encoding == "deflate":
-        import zlib
-
         try:
             body = zlib.decompress(body)
         except zlib.error:  # raw-deflate servers (no zlib wrapper)
             body = zlib.decompress(body, -zlib.MAX_WBITS)
     return status, ctype, body
+
+
+def _safe_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """``split_warc_records`` that degrades a mid-file format error into
+    end-of-file instead of aborting the whole distributed read."""
+    try:
+        yield from split_warc_records(data)
+    except WarcFormatError:
+        return
 
 
 def read_warc(paths) -> "ray.data.Dataset":
@@ -145,18 +156,26 @@ def read_warc(paths) -> "ray.data.Dataset":
         for path, data in zip(
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
-            if data[:2] == b"\x1f\x8b":
-                # multi-member gzip (the CC convention); checked by magic,
-                # not extension — ray.data.read_binary_files already
-                # auto-decompresses when the extension says .gz
-                data = gzip.decompress(data)
+            try:
+                if data[:2] == b"\x1f\x8b":
+                    # multi-member gzip (the CC convention); checked by
+                    # magic, not extension — ray.data.read_binary_files
+                    # already auto-decompresses when the extension says .gz
+                    data = gzip.decompress(data)
+            except (OSError, EOFError):  # corrupt shard: skip the file
+                continue
             base = os.path.basename(path)
-            for i, (hdrs, payload) in enumerate(split_warc_records(data)):
+            # a truncated record stops THIS file's walk but keeps the
+            # records parsed so far (and every other file in the batch)
+            for i, (hdrs, payload) in enumerate(_safe_records(data)):
                 if hdrs.get("warc-type") != "response":
                     continue
                 try:
                     status, ctype, body = parse_http_response(payload)
-                except WarcFormatError:
+                except (WarcFormatError, OSError, EOFError, zlib.error):
+                    # malformed record or corrupt compressed body:
+                    # skip the record, never the shard (routine in
+                    # real crawl archives)
                     continue
                 if not (200 <= status < 300) or "html" not in ctype:
                     continue

@@ -346,3 +346,38 @@ def test_warc_wire_codings_decoded(ray_session, tmp_path):
         _dechunk(b"5\r\nhel")
     with _pytest.raises(WarcFormatError):
         _dechunk(b"zz\r\nhello\r\n0\r\n\r\n")
+
+
+def test_warc_and_archive_skip_corrupt_inputs(ray_session, tmp_path):
+    """Real crawl deliveries contain junk: malformed records skip the
+    record, corrupt files skip the file — the job never dies."""
+    import tarfile
+
+    from fetch_engines_ray.sources.archive import read_archive
+    from fetch_engines_ray.sources.warc import read_warc, write_warc
+
+    good = {"url": "https://ex.com/ok", "html": "<html><body><main><h1>OK</h1>"
+            "<p>alpha beta gamma delta content</p></main></body></html>"}
+    bad_status = {"url": "https://ex.com/bad", "html": "<html>x</html>"}
+    write_warc([good, bad_status, good], str(tmp_path / "mixed.warc"))
+    raw = (tmp_path / "mixed.warc").read_bytes()
+    # corrupt the middle record's status to a SAME-LENGTH non-numeric
+    # token (record framing intact -> later records must still parse)
+    raw = raw.replace(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 14",
+                      b"HTTP/1.1 2x0 OK\r\nContent-Type: text/html\r\nContent-Length: 14")
+    (tmp_path / "mixed.warc").write_bytes(raw)
+    # a gzip-magic file that is NOT valid gzip, plus a truncated tail file
+    (tmp_path / "corrupt.warc").write_bytes(b"\x1f\x8b\x08junkjunkjunk")
+    rows = read_warc(str(tmp_path)).take_all()
+    assert [r["base_url"] for r in sorted(rows, key=lambda r: r["doc_id"])] == [
+        "https://ex.com/ok", "https://ex.com/ok"]
+
+    # archives: one good zip + one stray non-archive file in the dir
+    import zipfile
+    with zipfile.ZipFile(tmp_path / "a.zip", "w") as zf:
+        zf.writestr("p.html", good["html"])
+    (tmp_path / "README.txt").write_text("not an archive")
+    (tmp_path / "trunc.tar").write_bytes(b"\x00" * 100)
+    out = read_archive([str(tmp_path / "a.zip"), str(tmp_path / "README.txt"),
+                        str(tmp_path / "trunc.tar")]).take_all()
+    assert len(out) == 1 and out[0]["doc_id"] == "a.zip:p.html"

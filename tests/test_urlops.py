@@ -87,3 +87,13 @@ def test_filter_blocked_domains(url_ds):
     # blocklist entries given as full URLs or subdomains also match
     kept2 = filter_blocked_domains(url_ds, ["https://x.bad-site.com/y"]).to_pandas()
     assert sorted(kept2["doc_id"]) == ["d0", "d1", "d2", "d3"]
+
+
+def test_filter_blocklist_precomputed_domain_col(url_ds):
+    from fetch_engines_ray.ops.urlops import add_url_columns
+
+    with_cols = add_url_columns(url_ds)
+    kept = filter_blocked_domains(
+        with_cols, ["bad-site.com"], domain_col="domain"
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == ["d0", "d1", "d2", "d3"]
