@@ -252,6 +252,34 @@ def add_winnowing_fingerprint(
     return batch.append_column("fp_hashes", pa.array(out, type=pa.list_(pa.int64())))
 
 
+def add_compression_ratio(
+    batch: pa.Table, text_col: str = "text", scale: int = 1000
+) -> pa.Table:
+    """zlib compression ratio as an integer quality signal
+    (``compression_ratio_x1000 = 1000 * compressed / raw``, half-away
+    rounding; empty text → 0).
+
+    The entropy-proxy filter from published curation recipes
+    (MassiveText/Gopher, RedPajama): machine-generated repetition
+    compresses far below natural language (< ~300/1000), while
+    random/encrypted junk stays near or above 1000.  Per-row zlib is
+    C-speed and bounded by document length; no SQL oracle (DuckDB has
+    no zlib) — closed-form pytest instead."""
+    import zlib
+
+    vals = []
+    for t in batch[text_col].to_pylist():
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            vals.append(0)
+            continue
+        comp = len(zlib.compress(raw, 6))
+        vals.append((scale * comp * 2 + len(raw)) // (2 * len(raw)))  # half-away
+    return batch.append_column(
+        "compression_ratio_x1000", pa.array(vals, type=pa.int64())
+    )
+
+
 def add_gopher_quality_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Rule-based document quality filter in the style of the published
     Gopher/MassiveText heuristics (Rae et al. 2021, public paper):

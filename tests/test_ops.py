@@ -1102,3 +1102,40 @@ def test_count_min_sketch(ray_session):
     for j in range(4):
         np.add.at(local[j], idx[j], 1)
     np.testing.assert_array_equal(sketch, local)
+
+
+def test_compression_ratio_signal(ray_session):
+    """zlib-ratio quality signal: repetitive junk compresses hard,
+    natural-ish text sits mid-range, random bytes stay near 1000; the
+    integer form matches the closed formula exactly."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import add_compression_ratio
+
+    rng = np.random.RandomState(8)
+    rand_text = "".join(chr(rng.randint(0x4E00, 0x9FFF)) for _ in range(400))
+    docs = {
+        "rep": "spam " * 200,
+        "nat": " ".join(f"word{i}" for i in rng.randint(0, 200, 150)),
+        "rand": rand_text,
+        "empty": "",
+    }
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    out = (
+        ds.map_batches(add_compression_ratio, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["compression_ratio_x1000"]
+    )
+    assert out["empty"] == 0
+    assert out["rep"] < 100 < out["nat"] < out["rand"]
+    for k, t in docs.items():
+        raw = t.encode()
+        want = 0 if not raw else (1000 * len(zlib.compress(raw, 6)) * 2 + len(raw)) // (2 * len(raw))
+        assert out[k] == want
