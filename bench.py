@@ -4,9 +4,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "throughput_docs_per_sec": ...}
 
-``--scaling`` runs the headline extraction pipeline twice in fresh
-processes (num_cpus=8 then 32) on the same input and reports both
-throughputs plus efficiency = T_N / (4 × T_4N)  (≥ 0.8 target,
+``--scaling`` runs the headline extraction pipeline in fresh processes
+at two parallelism levels (defaults ``--scale-low 4`` / ``--scale-high
+16``; see the DRAM-envelope note in ``main()``) on the same input, in
+interleaved rounds, and reports both throughputs plus efficiency =
+T_low / (4 × T_high) with the MEDIAN round as headline (≥ 0.8 target,
 BASELINE.md).
 """
 
@@ -52,11 +54,25 @@ def synth_corpus_parallel(sf_dir: str) -> tuple[str, int]:
         rows = [make_doc(int(i), 42) for i in batch["idx"].to_pylist()]
         return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
 
+    # crash-safe: generate into a fresh temp dir and rename into place —
+    # a retry after an interrupted run must never APPEND to partial
+    # output (write_parquet adds uniquely-named files, silently
+    # inflating the cached corpus)
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(out) + ".tmp", dir="/tmp")
     ds = ray.data.from_items([{"idx": i} for i in range(n)])
     ds = ds.repartition(64).map_batches(gen, batch_format="pyarrow", batch_size=512)
-    ds.write_parquet(out)
-    with open(marker, "w") as f:
+    ds.write_parquet(tmp)
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok")
+    shutil.rmtree(out, ignore_errors=True)  # clear any partial leftover
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # lost the race to a concurrent bench process: keep the winner
+        shutil.rmtree(tmp, ignore_errors=True)
     return out, n
 
 
@@ -272,8 +288,13 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
             text=True,
             check=False,
         )
-        line = [ln for ln in proc.stdout.strip().split("\n") if ln.startswith("{")][-1]
-        return json.loads(line)
+        lines = [ln for ln in proc.stdout.strip().split("\n") if ln.startswith("{")]
+        if not lines:  # child died before printing JSON: surface ITS error
+            raise RuntimeError(
+                f"scaling child (num_cpus={n}) produced no result; "
+                f"rc={proc.returncode}; stderr tail: {proc.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])
 
     round_results = []
     for _ in range(rounds):
@@ -283,7 +304,11 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
     import statistics
 
     median_eff = statistics.median(e for e, _, _ in round_results)
-    best_eff, r_low, r_high = max(round_results, key=lambda t: t[0])
+    best_eff = max(e for e, _, _ in round_results)
+    # headline legs come from the round CLOSEST to the median headline,
+    # so the printed times reproduce (≈) the printed efficiency; every
+    # round's legs are published in `rounds` for full reconstruction
+    _, r_low, r_high = min(round_results, key=lambda t: abs(t[0] - median_eff))
     return {
         "metric": "scaling_efficiency",
         "value": round(median_eff, 3),
@@ -299,6 +324,10 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
         "throughput_high": r_high["throughput_docs_per_sec"],
         "scaling_factor": high / low,
         "round_efficiencies": [round(e, 3) for e, _, _ in round_results],
+        "rounds": [
+            {"eff": round(e, 3), "low_s": rl["value"], "high_s": rh["value"]}
+            for e, rl, rh in round_results
+        ],
     }
 
 

@@ -17,7 +17,6 @@ sequence flagged ``oversize`` (callers chunk or drop downstream).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -38,10 +38,7 @@ def _registers_for(values, p: int) -> np.ndarray:
     rem = h << np.uint64(p)  # remaining 64-p bits, left-aligned
     # rho = 1 + number of leading zeros in the remaining bits
     # (use bit_length on the left-aligned remainder)
-    nz = np.zeros(len(h), dtype=np.uint8)
     rem_nonzero = rem != 0
-    # leading zeros of a 64-bit left-aligned value v: 64 - bit_length(v)
-    bl = np.zeros(len(h), dtype=np.int64)
     v = rem[rem_nonzero]
     # vectorized bit_length via log2 is float-unsafe near 2^63; use
     # np.frexp on float64 only for exponent-safe values — instead do it
@@ -205,7 +202,9 @@ def quantiles_from_histogram(
         prev = cum[b - 1] if b > 0 else 0.0
         inbin = counts[b]
         frac = (target - prev) / inbin if inbin > 0 else 0.0
-        out.append(lo + (b + frac) * width)
+        # clamp: frac=1 in the overflow bucket would otherwise report
+        # hi + width, a value strictly above every observation
+        out.append(min(lo + (b + frac) * width, hi))
     return out
 
 

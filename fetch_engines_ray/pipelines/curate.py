@@ -93,11 +93,13 @@ def curate_corpus(
     drop_ref = ray.put(dropped)
 
     def keep_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         drop = ray.get(drop_ref)
         if not drop:
             return batch
-        mask = pa.array([v not in drop for v in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+        drop_arr = pa.array(list(drop)).cast(batch[id_col].type)
+        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=drop_arr)))
 
     survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
 
