@@ -1,0 +1,64 @@
+"""`ray job submit` entry script: subprocess smoke + resume contract.
+
+The script owns its own Ray session in a child process (the library
+never calls ray.init), so this test runs it exactly as `ray job
+submit` would on a cluster node."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_corpus(path: str, n: int = 8) -> None:
+    from fetch_engines_ray.corpus.generate import INPUT_SCHEMA, make_doc
+
+    rows = [make_doc(i, 42) for i in range(n)]
+    pq.write_table(pa.Table.from_pylist(rows, schema=INPUT_SCHEMA), path)
+
+
+def _run(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "job_entry.py"), *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, proc.stdout[-500:]
+    return json.loads(lines[-1])
+
+
+def test_job_entry_resumable_run_and_skip(tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _write_corpus(str(corpus / "part0.parquet"), 5)
+    _write_corpus(str(corpus / "part1.parquet"), 5)
+    out = str(tmp_path / "out")
+
+    first = _run(["--input", str(corpus), "--output", out, "--resumable",
+                  "--concurrency", "2"])
+    assert first["fragments"] == {"processed": 2, "skipped": 0, "rows": 10}
+    import pandas as pd
+
+    got = pd.concat(
+        pd.read_parquet(os.path.join(root, f))
+        for root, _d, files in os.walk(out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert len(got) == 10
+    assert "out_spans" in got.columns
+
+    # second submit resumes: every fragment's lineage is complete
+    second = _run(["--input", str(corpus), "--output", out, "--resumable",
+                   "--concurrency", "2"])
+    assert second["fragments"] == {"processed": 0, "skipped": 2, "rows": 0}
