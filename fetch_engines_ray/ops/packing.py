@@ -12,7 +12,8 @@ their first document's id, which is unique corpus-wide regardless of
 how blocks split.
 
 A document longer than ``max_tokens`` on its own becomes a singleton
-sequence flagged ``oversize`` (callers chunk or drop downstream).
+sequence flagged ``oversize`` — or, with ``chunk_oversize=True``, is
+split into full-budget chunks + remainder (trainer semantics).
 """
 
 from __future__ import annotations
@@ -29,12 +30,18 @@ _OUT_SCHEMA = pa.schema(
         ("n_docs", pa.int64()),
         ("total_tokens", pa.int64()),
         ("oversize", pa.bool_()),
+        ("chunk_idx", pa.int64()),       # 0 except for oversize chunks
     ]
 )
 
 
 def _pack_batch(
-    batch: pa.Table, max_tokens: int, id_col: str, text_col: str, count_col=None
+    batch: pa.Table,
+    max_tokens: int,
+    id_col: str,
+    text_col: str,
+    count_col=None,
+    chunk_oversize: bool = False,
 ) -> pa.Table:
     """Greedy first-fit-in-order packing of one batch."""
     ids = batch[id_col].to_pylist()
@@ -52,27 +59,43 @@ def _pack_batch(
     doc_lists: list[list[int]] = []
     totals: list[int] = []
     oversize: list[bool] = []
+    chunk_idx: list[int] = []
     cur: list[int] = []
     cur_tok = 0
-    for doc, n in zip(ids, toks):
-        n = n or 0
-        if n > max_tokens and not cur:
+
+    def emit_oversize(doc: int, n: int) -> None:
+        if not chunk_oversize:
             seq_ids.append(doc)
             doc_lists.append([doc])
             totals.append(n)
             oversize.append(True)
+            chunk_idx.append(0)
+            return
+        # trainer semantics: split an over-budget doc into full-budget
+        # chunks + remainder; (seq_id, chunk_idx) identifies the piece
+        full, rem = divmod(n, max_tokens)
+        sizes = [max_tokens] * full + ([rem] if rem else [])
+        for ci, sz in enumerate(sizes):
+            seq_ids.append(doc)
+            doc_lists.append([doc])
+            totals.append(sz)
+            oversize.append(False)
+            chunk_idx.append(ci)
+
+    for doc, n in zip(ids, toks):
+        n = n or 0
+        if n > max_tokens and not cur:
+            emit_oversize(doc, n)
             continue
         if cur and cur_tok + n > max_tokens:
             seq_ids.append(cur[0])
             doc_lists.append(cur)
             totals.append(cur_tok)
             oversize.append(False)
+            chunk_idx.append(0)
             cur, cur_tok = [], 0
         if n > max_tokens:  # oversize doc arriving with an open sequence
-            seq_ids.append(doc)
-            doc_lists.append([doc])
-            totals.append(n)
-            oversize.append(True)
+            emit_oversize(doc, n)
             continue
         cur.append(doc)
         cur_tok += n
@@ -81,6 +104,7 @@ def _pack_batch(
         doc_lists.append(cur)
         totals.append(cur_tok)
         oversize.append(False)
+        chunk_idx.append(0)
     return pa.table(
         {
             "seq_id": pa.array(seq_ids, type=pa.int64()),
@@ -88,6 +112,7 @@ def _pack_batch(
             "n_docs": pa.array([len(d) for d in doc_lists], type=pa.int64()),
             "total_tokens": pa.array(totals, type=pa.int64()),
             "oversize": pa.array(oversize, type=pa.bool_()),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
         },
         schema=_OUT_SCHEMA,
     )
@@ -100,6 +125,7 @@ def pack_sequences(
     text_col: str = "text",
     batch_size: int = 4096,
     count_col: str | None = None,
+    chunk_oversize: bool = False,
 ) -> "ray.data.Dataset":
     """Pack ``ds`` rows into sequences of ≤ ``max_tokens`` tokens.
 
@@ -107,9 +133,14 @@ def pack_sequences(
     per-document count column, e.g. learned-BPE piece counts), else
     whitespace token counts derived from ``text_col``.
 
-    Returns a Dataset with schema
-    ``(seq_id, doc_ids: list<int64>, n_docs, total_tokens, oversize)``.
-    Every input document appears in exactly one output sequence.
+    ``chunk_oversize=True`` splits an over-budget document into
+    full-budget chunks plus a remainder (the trainer's concat-and-chunk
+    semantics) instead of flagging it: every emitted sequence then fits
+    the budget, and ``(seq_id, chunk_idx)`` identifies each piece.
+
+    Returns a Dataset with schema ``(seq_id, doc_ids: list<int64>,
+    n_docs, total_tokens, oversize, chunk_idx)``.  Every input document
+    appears in exactly one output sequence (or one chunk run).
     """
     return ds.map_batches(
         _pack_batch,
@@ -118,6 +149,7 @@ def pack_sequences(
             "id_col": id_col,
             "text_col": text_col,
             "count_col": count_col,
+            "chunk_oversize": chunk_oversize,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

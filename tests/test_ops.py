@@ -1139,3 +1139,36 @@ def test_compression_ratio_signal(ray_session):
         raw = t.encode()
         want = 0 if not raw else (1000 * len(zlib.compress(raw, 6)) * 2 + len(raw)) // (2 * len(raw))
         assert out[k] == want
+
+
+def test_pack_sequences_chunk_oversize(ray_session):
+    """chunk_oversize=True: over-budget docs split into full chunks +
+    remainder, every sequence fits the budget, token totals conserve,
+    and the default path still flags instead of splitting."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.packing import pack_sequences
+
+    rows = [
+        {"doc_id": 1, "text": "a " * 100},   # 100 tokens -> fits
+        {"doc_id": 2, "text": "b " * 1000},  # 1000 -> 3x300 + 100
+        {"doc_id": 3, "text": "c " * 50},
+        {"doc_id": 4, "text": "d " * 600},   # 600 -> exactly 2x300
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    out = pack_sequences(ds, max_tokens=300, chunk_oversize=True).to_pandas()
+    assert not out["oversize"].any()
+    assert (out["total_tokens"] <= 300).all()
+    assert out["total_tokens"].sum() == 1750  # token conservation
+    d2 = out[out["seq_id"] == 2].sort_values("chunk_idx")
+    assert list(d2["total_tokens"]) == [300, 300, 300, 100]
+    assert list(d2["chunk_idx"]) == [0, 1, 2, 3]
+    d4 = out[out["seq_id"] == 4]
+    assert list(d4.sort_values("chunk_idx")["total_tokens"]) == [300, 300]
+
+    flagged = pack_sequences(ds, max_tokens=300).to_pandas()
+    assert flagged["oversize"].sum() == 2  # default path unchanged
+    assert (flagged["chunk_idx"] == 0).all()
