@@ -183,6 +183,27 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         w = logreg_fit(feats, ["punct_ratio", "stopword_ratio", "quality"], n_iters=15)
         return logreg_score(feats, w, ["punct_ratio", "stopword_ratio", "quality"])
 
+    def _ann_index(sf: str):
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        import ray.data
+
+        from fetch_engines_ray.ops.ann_index import build_ivf_index, search_ivf_index
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        path = tempfile.mkdtemp(prefix="fer_bench_ivf_")
+        try:
+            build_ivf_index(emb, path, n_clusters=16, n_iters=3)
+            queries = np.asarray(
+                [r["embedding"] for r in emb.take(8)], dtype=np.float64
+            )
+            return search_ivf_index(path, queries, k=10, nprobe=4)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
     qs = {
         **qs,
         "minhash_dedup_pairs": _raw_minhash,
@@ -190,6 +211,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "kmeans_embeddings": _kmeans,
         "bpe_train_encode": _bpe,
         "logreg_quality": _logreg,
+        "ann_index_build_search": _ann_index,
     }
     names = [
         "doc_token_counts",
@@ -208,6 +230,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "kmeans_embeddings",
         "bpe_train_encode",
         "logreg_quality",
+        "ann_index_build_search",
     ]
     times = {}
     for name in names:

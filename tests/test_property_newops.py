@@ -68,3 +68,67 @@ def test_jsonld_extractor_never_raises(payload):
     )
     for ent in extract_jsonld_blocks(html):
         assert isinstance(json.loads(ent["payload_json"]), dict)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    records=st.lists(
+        st.fixed_dictionaries(
+            {
+                "url": st.text(alphabet=string.ascii_lowercase + ":/._", max_size=30),
+                "html": st.text(
+                    alphabet=string.printable, min_size=0, max_size=200
+                ),
+                "status": st.sampled_from([200, 204, 301, 404, 500]),
+                "content_type": st.sampled_from(
+                    ["text/html", "text/html; charset=utf-8", "image/png", "text/plain"]
+                ),
+                "warc_type": st.sampled_from(["response", "request", "metadata"]),
+            }
+        ),
+        max_size=6,
+    ),
+    chunked=st.booleans(),
+)
+def test_warc_roundtrip_property(records, chunked):
+    """write_warc → split/parse roundtrip for arbitrary record content:
+    every record parses back, bodies survive byte-exact, and the HTML
+    gate keeps exactly the 2xx text/html responses."""
+    import os
+
+    from fetch_engines_ray.ops  import jsonld  # noqa: F401  (import sanity under fuzz)
+    from fetch_engines_ray.sources.warc import (
+        parse_http_response,
+        split_warc_records,
+        write_warc,
+    )
+
+    import tempfile
+
+    if chunked:
+        records = [dict(r, transfer_encoding="chunked") for r in records]
+    path = os.path.join(tempfile.mkdtemp(prefix="warcfuzz"), "f.warc")
+    write_warc(records, path)
+    with open(path, "rb") as f:
+        buf = f.read()
+    parsed = list(split_warc_records(buf))
+    assert len(parsed) == len(records)
+    kept = 0
+    for rec, (hdrs, payload) in zip(records, parsed):
+        assert hdrs.get("warc-type") == rec["warc_type"]
+        status, ctype, body = parse_http_response(payload)
+        assert status == rec["status"]
+        assert body.decode("utf-8") == rec["html"]  # codings fully undone
+        if (
+            hdrs.get("warc-type") == "response"
+            and 200 <= status < 300
+            and "html" in ctype
+        ):
+            kept += 1
+    assert kept == sum(
+        1
+        for r in records
+        if r["warc_type"] == "response"
+        and 200 <= r["status"] < 300
+        and "html" in r["content_type"]
+    )
