@@ -87,8 +87,19 @@ def curate_corpus(
     # 2. near-dedup drop set — bounded by the near-dup PAIR count
     #    (tiny), so a ray.put broadcast + batch filter is the right
     #    shape (a sparse-key anti-join would also trip Ray's
-    #    schema-less empty join partitions)
-    decisions = minhash_dedup(ds, threshold=near_dup_threshold)
+    #    schema-less empty join partitions).  The dedup module keys on
+    #    its canonical (doc_id, text) names — rename the view so the
+    #    decisions carry THIS chain's id column (a silent column
+    #    mismatch here once no-opped the near-dup drop entirely)
+    dedup_view = ds.select_columns([id_col, text_col])
+    renames = {
+        old: new
+        for old, new in ((id_col, "doc_id"), (text_col, "text"))
+        if old != new
+    }
+    if renames:
+        dedup_view = dedup_view.rename_columns(renames)
+    decisions = minhash_dedup(dedup_view, threshold=near_dup_threshold)
     dropped = frozenset(decisions.loc[~decisions["is_kept"], "doc_id"].tolist())
     drop_ref = ray.put(dropped)
 

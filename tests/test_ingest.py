@@ -36,6 +36,9 @@ def test_warc_to_packed_sequences(ray_session, tmp_path):
     # an exact duplicate page (same URL: M22's injected Source line is
     # part of the text, so only a true re-crawl is an exact dup)
     recs.append(dict(recs[0]))
+    # and a NEAR duplicate (same URL, one word changed) — exercises the
+    # near-dup drop keyed on the bridge's doc_int_id column
+    recs.append(dict(recs[1], html=recs[1]["html"].replace("word", "ward", 1)))
     write_warc(recs, str(tmp_path / "crawl.warc"))
 
     docs = ingest_corpus(read_warc(str(tmp_path / "crawl.warc")))
@@ -53,9 +56,13 @@ def test_warc_to_packed_sequences(ray_session, tmp_path):
         docs, max_tokens=128, id_col="doc_int_id", join_partitions=2
     ).to_pandas()
     packed_ids = sorted(d for ids in packed["doc_ids"] for d in ids)
-    # the duplicate page collapsed: one of the two clones survives
-    assert len(packed_ids) == len(recs) - 1
+    # exact clone collapsed AND near-dup dropped: two docs gone
+    assert len(packed_ids) == len(recs) - 2
     assert len(set(packed_ids)) == len(packed_ids)
+    # exactly one of the near-dup pair survives
+    iid = table.set_index("doc_id")["doc_int_id"]
+    near_pair = {iid["crawl.warc:1"], iid[f"crawl.warc:{len(recs) - 1}"]}
+    assert len(near_pair & set(packed_ids)) == 1
     ok = packed[~packed["oversize"]]
     assert (ok["total_tokens"] <= 128).all()
 
