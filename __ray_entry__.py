@@ -509,21 +509,16 @@ def _read_embeddings(sf_dir: str):
 
 
 def _q_knn_bruteforce(sf_dir: str) -> Any:
-    from fetch_engines_ray.ops.similarity import knn_bruteforce
-
-    return knn_bruteforce(_read_embeddings(sf_dir), query_ids=list(range(8)), k=10)
-
-
-def _q_ivf_knn(sf_dir: str) -> Any:
-    """IVF approximate kNN (no SQL oracle — probe-limited search is
-    approximate by design).  Self-check on every sweep: mean recall@10
-    against the exact brute-force result must clear 0.5 with
-    nprobe=4/16 clusters (the pytest bound, enforced at every sf)."""
+    """Exact brute-force kNN (SQL-oracled) PLUS the every-sweep IVF
+    recall self-check that used to live in the retired ``ivf_knn``
+    rows-only slot: the approximate probe-limited search must keep mean
+    recall@10 >= 0.5 vs this exact result (the pytest bound, enforced at
+    every sf).  The oracled return value is the exact result only."""
     from fetch_engines_ray.ops.similarity import ivf_knn, knn_bruteforce
 
     qids = list(range(8))
-    approx = ivf_knn(_read_embeddings(sf_dir), query_ids=qids, k=10)
     exact = knn_bruteforce(_read_embeddings(sf_dir), query_ids=qids, k=10)
+    approx = ivf_knn(_read_embeddings(sf_dir), query_ids=qids, k=10)
     recalls = []
     for q in qids:
         e = set(exact[exact["query_id"] == q]["neighbor_id"])
@@ -532,7 +527,34 @@ def _q_ivf_knn(sf_dir: str) -> Any:
             recalls.append(len(e & a) / len(e))
     mean_recall = sum(recalls) / max(1, len(recalls))
     assert mean_recall >= 0.5, f"IVF recall degraded: {mean_recall:.3f}"
-    return approx
+    return exact
+
+
+# micro-nat cut points on (-lm_logprob_micro) // lm_token_count for the
+# synthetic documents corpus (~1/3 head, ~55% middle, ~10% tail at every
+# sf); corpus-specific cut points come from ops.lm.mean_neg_quantiles
+_LM_BUCKETS = (3_400_000, 3_410_000)
+
+
+def _q_doc_lm_perplexity(sf_dir: str) -> Any:
+    """CCNet-style unigram-LM perplexity scoring + head/middle/tail
+    bucketing (Wenzek et al. 2020).  Train = one distributed word-count
+    shuffle; score = broadcast LM + vectorized searchsorted per batch.
+    Exact-integer contract (per-word micro-nat constants quantized once
+    at train time) makes the whole thing value-hash SQL-oracleable."""
+    import ray.data
+
+    from fetch_engines_ray.ops.lm import score_perplexity, train_unigram_lm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lm = train_unigram_lm(ds)
+    scored = score_perplexity(ds, lm, buckets=_LM_BUCKETS)
+    return (
+        scored.select_columns(["doc_id", "lm_token_count", "lm_logprob_micro", "ppl_bucket"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_embedding_near_dups(sf_dir: str) -> Any:
@@ -811,9 +833,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "doc_decontamination": _q_doc_decontamination,
         "embedding_near_dup_pairs": _q_embedding_near_dups,
-        # similarity search
+        # similarity search (the rows-only ivf_knn slot was retired for
+        # the oracled doc_lm_perplexity under the 50-query cap; its
+        # recall self-assert now runs inside knn_bruteforce every sweep
+        # and its pytest bound lives in tests/test_ops.py)
         "knn_bruteforce": _q_knn_bruteforce,
-        "ivf_knn": _q_ivf_knn,
+        "doc_lm_perplexity": _q_doc_lm_perplexity,
         # relational operator parity (SQL oracles)
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
         "orders_by_status": rel.orders_by_status,
@@ -1079,6 +1104,32 @@ def oracle_sql() -> dict[str, str]:
             " SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rank FROM ("
             "   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk"
             "   FROM s) WHERE rnk <= 10 ORDER BY query_id, rank"
+        ),
+        # mirrors ops/lm.py exactly: same tokenizer, same add-0.5
+        # smoothing over V+1 types, per-word floor(ln(p)*1e6) quantized
+        # BEFORE the per-doc sum (int64 — block-order independent; libm
+        # ln verified bit-identical between DuckDB and Python math.log)
+        "doc_lm_perplexity": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(list_filter("
+            "    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w"
+            "  FROM documents),"
+            " counts AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY w),"
+            " tot AS (SELECT sum(n) AS total, count(*) AS v FROM counts),"
+            " lp AS (SELECT w, CAST(floor(ln((n + 0.5) / (total + 0.5 * (v + 1)))"
+            "                 * 1000000) AS BIGINT) AS lp FROM counts, tot),"
+            " scored AS ("
+            "  SELECT t.doc_id, count(*)::BIGINT AS lm_token_count,"
+            "         sum(lp.lp)::BIGINT AS lm_logprob_micro"
+            "  FROM toks t JOIN lp ON t.w = lp.w GROUP BY t.doc_id)"
+            " SELECT d.doc_id,"
+            "  coalesce(s.lm_token_count, 0) AS lm_token_count,"
+            "  coalesce(s.lm_logprob_micro, 0) AS lm_logprob_micro,"
+            "  CASE WHEN coalesce(s.lm_token_count, 0) = 0 THEN 'empty'"
+            f"      WHEN (-s.lm_logprob_micro) // s.lm_token_count < {_LM_BUCKETS[0]} THEN 'head'"
+            f"      WHEN (-s.lm_logprob_micro) // s.lm_token_count < {_LM_BUCKETS[1]} THEN 'middle'"
+            "       ELSE 'tail' END AS ppl_bucket"
+            " FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus,"
