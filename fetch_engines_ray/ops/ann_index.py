@@ -216,3 +216,180 @@ def search_ivf_index(
     topk = cand.groupby("query_idx", sort=True).head(k).copy()
     topk["rank"] = topk.groupby("query_idx").cumcount() + 1
     return topk[["query_idx", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: the compressed variant (Jégou et al. 2011; FAISS IndexIVFPQ
+# analog with by_residual=False).  The partition files store ONLY
+# (id, cluster_id, pq_code) — m bytes per vector instead of the full
+# embedding — so at 100 TB the index itself shrinks ~32x and a probe
+# reads kilobytes per cluster.  Search is ADC over the probed
+# partitions; the exactness oracle stays `similarity.knn_bruteforce`.
+# ---------------------------------------------------------------------------
+
+_PQ_CODEBOOKS = "_ivf_pq_codebooks.parquet"
+
+
+def build_ivfpq_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    n_clusters: Optional[int] = None,
+    pq_m: int = 8,
+    pq_ksub: int = 256,
+    n_iters: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Build the compressed index: distributed coarse centroids, PQ
+    codebooks from a seeded sample, then ONE assign+encode+write pass.
+    Returns the number of coarse clusters."""
+    from .pq import pq_train
+
+    if n_clusters is None:
+        n_clusters = max(4, min(4096, int(math.isqrt(max(ds.count(), 1)))))
+    cents = kmeans_fit(
+        ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    codebooks = pq_train(ds, m=pq_m, ksub=pq_ksub, seed=seed, vec_col=vec_col)
+    os.makedirs(path, exist_ok=True)
+    before = _parquet_files(path)
+    ref = ray.put((cents, codebooks))
+    m, ksub, dsub = codebooks.shape
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        c, cb = ray.get(ref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
+            codes[:, j] = d.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": pa.array(best, type=pa.int64()),
+                "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
+                "cluster": pa.array([f"{b:05d}" for b in best], type=pa.string()),
+            }
+        )
+
+    ds.map_batches(assign_encode, batch_format="pyarrow", batch_size=8192).write_parquet(
+        path, partition_cols=["cluster"]
+    )
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path) - before)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(cents)), type=pa.int64()),
+                "centroid": pa.array([c.tolist() for c in cents], type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(path, _CENTROIDS),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(
+                    np.repeat(np.arange(m), ksub), type=pa.int64()
+                ),
+                "code": pa.array(np.tile(np.arange(ksub), m), type=pa.int64()),
+                "centroid": pa.array(
+                    [codebooks[j, i].tolist() for j in range(m) for i in range(ksub)],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(path, _PQ_CODEBOOKS),
+    )
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(
+            {
+                "n_clusters": int(len(cents)),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "n": n,
+                "pq_m": int(m),
+                "pq_ksub": int(ksub),
+                "pq_dsub": int(dsub),
+            },
+            f,
+        )
+    return int(len(cents))
+
+
+def _load_pq_codebooks(path: str, meta: dict) -> np.ndarray:
+    tab = pq.read_table(os.path.join(path, _PQ_CODEBOOKS))
+    m, ksub, dsub = meta["pq_m"], meta["pq_ksub"], meta["pq_dsub"]
+    cb = np.empty((m, ksub, dsub), dtype=np.float64)
+    subs = tab["subspace"].to_numpy()
+    codes = tab["code"].to_numpy()
+    for row, vec in enumerate(tab["centroid"].to_pylist()):
+        cb[subs[row], codes[row]] = vec
+    return cb
+
+
+def search_ivfpq_index(
+    path: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """ADC top-k over the compressed index: probed partitions only,
+    m-byte codes scored with a broadcast per-query lookup table.
+    Returns (query_idx, neighbor_id, rank) like `search_ivf_index`."""
+    dirs, probes, meta = probed_partitions(path, query_vecs, nprobe)
+    if "pq_m" not in meta:
+        raise ValueError(f"{path} is not an IVFPQ index (no pq meta)")
+    if not dirs:
+        return pd.DataFrame(columns=["query_idx", "neighbor_id", "rank"])
+    id_col = meta["id_col"]
+    m, dsub = meta["pq_m"], meta["pq_dsub"]
+    codebooks = _load_pq_codebooks(path, meta)
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    luts = np.stack(
+        [
+            np.stack([qv[j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)])
+            for qv in qmat
+        ]
+    )
+    q_ref = ray.put((luts, probes))
+    cols = np.arange(m)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        luts_l, probes_l = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        clusters = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        raw = b"".join(batch["pq_code"].to_pylist())
+        codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), m)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(luts_l)):
+            cand = np.nonzero(np.isin(clusters, probes_l[qi]))[0]
+            if len(cand) == 0:
+                continue
+            sims = luts_l[qi][cols, codes[cand]].sum(axis=1)
+            order = np.lexsort((ids[cand], -sims))[: min(k, len(cand))]
+            top = cand[order]
+            out_q.extend([qi] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = (
+        ray.data.read_parquet(dirs, columns=[id_col, "cluster_id", "pq_code"])
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    cand.sort_values(
+        ["query_idx", "sim", "neighbor_id"], ascending=[True, False, True], inplace=True
+    )
+    topk = cand.groupby("query_idx", sort=True).head(k).copy()
+    topk["rank"] = topk.groupby("query_idx").cumcount() + 1
+    return topk[["query_idx", "neighbor_id", "rank"]].reset_index(drop=True)

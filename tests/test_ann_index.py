@@ -116,3 +116,109 @@ def test_append_without_refit(ray_session, tmp_path):
     appended_id = int(ids[half + 7])
     got = search_ivf_index(path, mat[[half + 7]], k=3, nprobe=2)
     assert int(got.loc[got["rank"] == 1, "neighbor_id"].iloc[0]) == appended_id
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (compressed codes-only index)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_index(ray_session, tmp_path_factory):
+    from fetch_engines_ray.ops.ann_index import build_ivfpq_index
+
+    ids, mat = _vectors()
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64()))}
+    )
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    n_clusters = build_ivfpq_index(
+        ray.data.from_arrow(tbl).repartition(5), path,
+        n_clusters=8, pq_m=4, pq_ksub=32, n_iters=4,
+    )
+    return path, n_clusters, ids, mat
+
+
+def test_ivfpq_stores_codes_not_vectors(pq_index):
+    path, _, ids, _ = pq_index
+    ds = ray.data.read_parquet(path)
+    cols = set(ds.schema().names)
+    assert "pq_code" in cols and "embedding" not in cols
+    rows = ds.take(3)
+    for r in rows:
+        assert len(r["pq_code"]) == 4  # m bytes per vector
+    assert ds.count() == len(ids)
+
+
+def test_ivfpq_finds_the_right_coarse_cluster(pq_index):
+    """This fixture's blobs are adversarial for PQ resolution (80
+    near-identical points per blob; WHICH ten of them rank top-10 is
+    below code resolution by design), so the correctness bar here is
+    coarse: every returned neighbor must come from the query's own
+    generating blob.  Fine-grained ADC recall on spread-out vectors is
+    pinned in tests/test_pq.py against exact brute force."""
+    from fetch_engines_ray.ops.ann_index import search_ivfpq_index
+
+    path, _, ids, mat = pq_index
+    qpos = [0, 100, 250, 400]
+    out = search_ivfpq_index(path, mat[qpos], k=10, nprobe=3)
+    for qi, p in enumerate(qpos):
+        blob = p // 80
+        got = out[out["query_idx"] == qi]["neighbor_id"].to_numpy()
+        assert len(got) == 10
+        assert (got // 80 == blob).all()
+
+
+def test_ivfpq_full_probe_equals_flat_pq(pq_index, ray_session):
+    """With nprobe = n_clusters the candidate set is the whole corpus,
+    so the partitioned ADC search must rank EXACTLY like the flat
+    pq_search path over the same codebooks (plumbing equivalence:
+    hive round-trip, code bytes, LUTs, tie rules)."""
+    from fetch_engines_ray.ops.ann_index import search_ivfpq_index
+    from fetch_engines_ray.ops.pq import pq_encode, pq_search, pq_train
+
+    path, n_clusters, ids, mat = pq_index
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    # same training call as build_ivfpq_index -> identical codebooks
+    cb = pq_train(ds, m=4, ksub=32, seed=13)
+    codes = pq_encode(ds, cb)
+    qpos = [0, 130, 333]
+    flat = pq_search(codes, cb, mat[qpos], [int(ids[p]) for p in qpos], k=8)
+    part = search_ivfpq_index(path, mat[qpos], k=8, nprobe=n_clusters)
+    for qi, p in enumerate(qpos):
+        a = part[part["query_idx"] == qi]["neighbor_id"].tolist()
+        b = flat[flat["query_id"] == ids[p]]["neighbor_id"].tolist()
+        # pq_search excludes the self id; the index search has no id
+        # notion — drop self from the partitioned result for compare
+        a = [x for x in a if x != ids[p]]
+        n = min(len(a), len(b))
+        assert n >= 7 and a[:n] == b[:n]
+
+
+def test_ivfpq_search_on_plain_ivf_raises(index):
+    from fetch_engines_ray.ops.ann_index import search_ivfpq_index
+
+    path, _, _, mat = index
+    with pytest.raises(ValueError, match="not an IVFPQ index"):
+        search_ivfpq_index(path, mat[[0]], k=5)
+
+
+def test_ivfpq_deterministic_rebuild(ray_session, tmp_path):
+    from fetch_engines_ray.ops.ann_index import build_ivfpq_index, search_ivfpq_index
+
+    ids, mat = _vectors(seed=33, n_per=40, centers=4)
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64()))}
+    )
+    outs = []
+    for sub in ("a", "b"):
+        p = str(tmp_path / sub)
+        build_ivfpq_index(ray.data.from_arrow(tbl), p, n_clusters=4, pq_m=4, pq_ksub=16)
+        outs.append(search_ivfpq_index(p, mat[[0, 50]], k=5, nprobe=2))
+    assert outs[0].equals(outs[1])
