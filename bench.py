@@ -137,6 +137,17 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         return minhash_lsh_pairs(ray.data.read_parquet(f"{sf}/documents.parquet"))
 
+    def _raw_knn(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.similarity import knn_bruteforce
+
+        return knn_bruteforce(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            query_ids=list(range(8)),
+            k=10,
+        )
+
     def _raw_linededup(sf: str):
         import ray.data
 
@@ -204,14 +215,66 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         finally:
             shutil.rmtree(path, ignore_errors=True)
 
+    def _semdedup(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.semdedup import semdedup
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return semdedup(emb, eps=0.95)
+
+    def _dsir(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.dsir import (
+            dsir_resample,
+            dsir_weights,
+            log_importance_ratio,
+            raw_bucket_counts,
+            target_bucket_counts,
+        )
+
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        target = [r["text"] for r in docs.take(64)]
+        lr = log_importance_ratio(target_bucket_counts(target), raw_bucket_counts(docs))
+        return dsir_resample(dsir_weights(docs, lr), n=100, seed=0)
+
+    def _ivfpq(sf: str):
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        import ray.data
+
+        from fetch_engines_ray.ops.ann_index import build_ivfpq_index, search_ivfpq_index
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        path = tempfile.mkdtemp(prefix="fer_bench_ivfpq_")
+        try:
+            build_ivfpq_index(emb, path, n_clusters=16, pq_m=8, pq_ksub=64, n_iters=3)
+            queries = np.asarray(
+                [r["embedding"] for r in emb.take(8)], dtype=np.float64
+            )
+            return search_ivfpq_index(path, queries, k=10, nprobe=4)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
     qs = {
         **qs,
         "minhash_dedup_pairs": _raw_minhash,
+        # the registry query now ALSO runs IVF + recall instrumentation
+        # every sweep; bench the raw exact operator for cross-round
+        # comparability (same rationale as _raw_minhash above)
+        "knn_bruteforce": _raw_knn,
         "line_dedup": _raw_linededup,
         "kmeans_embeddings": _kmeans,
         "bpe_train_encode": _bpe,
         "logreg_quality": _logreg,
         "ann_index_build_search": _ann_index,
+        "semdedup_embeddings": _semdedup,
+        "dsir_select": _dsir,
+        "ivfpq_build_search": _ivfpq,
     }
     names = [
         "doc_token_counts",
@@ -231,6 +294,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "bpe_train_encode",
         "logreg_quality",
         "ann_index_build_search",
+        "doc_lm_perplexity",
+        "semdedup_embeddings",
+        "dsir_select",
+        "ivfpq_build_search",
     ]
     times = {}
     for name in names:
