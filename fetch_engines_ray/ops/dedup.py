@@ -362,6 +362,31 @@ def _minhash_pairs_from_sigs(
     return _verify_minhash_pairs(cand, sigs, n_parts, threshold)
 
 
+def _consume_pairs(consume, cand: "ray.data.Dataset", empty: pd.DataFrame) -> pd.DataFrame:
+    """Consume a candidate-pair plan, mapping the schema-less-empty-
+    stream failure modes to the typed empty frame.
+
+    When an LSH pass finds ZERO colliding buckets (a corpus with no
+    near-dups), Ray's hash shuffle emits schema-less empty blocks and a
+    downstream join/groupby dies with ``ArrowInvalid: No match ... for
+    key field FieldRef`` (wrapped in RayTaskError) or ``ValueError`` at
+    pandas conversion.  Only a VERIFIED-empty candidate set maps to the
+    empty result — the count re-executes the candidate plan, but only on
+    this rare error path — anything else re-raises."""
+    try:
+        return consume()
+    except (ValueError, ray.exceptions.RayTaskError):
+        try:
+            n = cand.count()
+        except (ValueError, ray.exceptions.RayTaskError):
+            # the candidate plan itself dies on the schema-less empty
+            # stream — same zero-collision condition
+            n = 0
+        if n == 0:
+            return empty
+        raise
+
+
 def _verify_minhash_pairs(
     cand: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
@@ -405,12 +430,11 @@ def _verify_minhash_pairs(
             }
         )
 
-    try:
-        pairs = both.map_batches(estimate, batch_format="pyarrow", batch_size=4096).to_pandas()
-    except ValueError:
-        # zero colliding buckets: grouped/join stages see an empty
-        # schema-less stream
-        return empty
+    pairs = _consume_pairs(
+        lambda: both.map_batches(estimate, batch_format="pyarrow", batch_size=4096).to_pandas(),
+        cand,
+        empty,
+    )
     if pairs.empty:
         return empty
     return (
@@ -633,7 +657,11 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pd.DataFrame:
         )
 
     empty = pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    pairs = cand.map_batches(verify, batch_format="pyarrow", batch_size=8192).to_pandas()
+    pairs = _consume_pairs(
+        lambda: cand.map_batches(verify, batch_format="pyarrow", batch_size=8192).to_pandas(),
+        cand,
+        empty,
+    )
     if pairs.empty:
         return empty
     return (
@@ -752,10 +780,11 @@ def _ngram_pairs_from_sigs(
             ),
         )
 
-    try:
-        pairs = both.map_batches(verify, batch_format="pyarrow", batch_size=2048).to_pandas()
-    except ValueError:
-        return empty  # zero colliding buckets
+    pairs = _consume_pairs(
+        lambda: both.map_batches(verify, batch_format="pyarrow", batch_size=2048).to_pandas(),
+        cand,
+        empty,
+    )
     if pairs.empty:
         return empty
     return (

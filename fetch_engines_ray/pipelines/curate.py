@@ -10,11 +10,20 @@ chain.
                             via ray.put and filters inside map_batches;
                             contrast clean_corpus, whose winner set is
                             corpus-sized and therefore semi-JOINS)
+      → semantic dedup     (optional: SemDeDup over an embeddings
+                            table — cluster-bucketed cosine groups,
+                            one keeper per group; the corpus-sized
+                            keep set semi-joins like exact dedup)
       → decontamination    (optional: benchmark n-gram hash set
                             broadcast once, vectorized overlap check —
                             drops docs contaminated by the eval set)
       → quality filter     (Gopher-style integer rules, vectorized)
       → PII redaction      (ordered RE2 replaces)
+      → DSIR selection     (optional: hashed-n-gram importance
+                            weights vs a target sample; select by
+                            Gumbel top-k (driver-sized id set,
+                            broadcast filter) or by a pure streaming
+                            log-weight threshold)
       → [tokenizer="bpe"]  (optional: checkpoint the cleaned corpus to
                             parquet — the artifact real pipelines keep —
                             train a BPE tokenizer on it, encode, and
@@ -46,6 +55,13 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     benchmark_texts: list[str] | None = None,
     decontam_ngram: int = 13,
+    embeddings: "ray.data.Dataset | None" = None,
+    semdedup_eps: float = 0.95,
+    emb_id_col: str = "vec_id",
+    dsir_target_texts: list[str] | None = None,
+    dsir_n: int | None = None,
+    dsir_min_logw: float | None = None,
+    dsir_seed: int = 0,
     export_path: str | None = None,
     n_shards: int = 16,
     id_col: str = "doc_id",
@@ -114,6 +130,44 @@ def curate_corpus(
 
     survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
 
+    # 2b. optional semantic dedup (SemDeDup) over a parallel embeddings
+    #     table keyed by the same document ids: the keep set is
+    #     corpus-sized, so it SEMI-JOINS exactly like the exact-dedup
+    #     winners (ray.put of a corpus-sized set is the round-1 pitfall
+    #     this chain already engineered out)
+    if embeddings is not None:
+        from ..ops.semdedup import semdedup
+
+        sem_flags = semdedup(
+            embeddings, eps=semdedup_eps, id_col=emb_id_col
+        ).select_columns([emb_id_col, "semdedup_keep"])
+        if emb_id_col == id_col:
+            # a same-named join key raises "multiple matches" in Ray's
+            # hash join — rename the build side
+            sem_flags = sem_flags.rename_columns({emb_id_col: "__sem_id"})
+            right_key = "__sem_id"
+        else:
+            right_key = emb_id_col
+        joined = survived.join(
+            sem_flags,
+            join_type="left_outer",
+            num_partitions=join_partitions,
+            on=(id_col,),
+            right_on=(right_key,),
+        )
+
+        def sem_filter(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # docs with no embedding row carry a null flag: KEEP them
+            # (no duplicate evidence) — only an explicit False drops
+            mask = pc.fill_null(batch["semdedup_keep"], True)
+            return batch.filter(mask).drop_columns(
+                [c for c in ("semdedup_keep", right_key) if c in batch.column_names]
+            )
+
+        survived = joined.map_batches(sem_filter, batch_format="pyarrow", batch_size=4096)
+
     # 3. optional decontamination: drop docs whose n-grams overlap the
     #    benchmark/eval set (GPT-3-style); the benchmark hash set is
     #    broadcast once inside flag_contaminated — no shuffle
@@ -150,6 +204,44 @@ def curate_corpus(
     clean = survived.map_batches(
         quality_and_redact, batch_format="pyarrow", batch_size=4096
     )
+
+    # 5b. optional DSIR selection toward a target sample (Xie et al.
+    #     2023): importance weights stream; selection is either Gumbel
+    #     top-k (the selected id set is dsir_n-sized — driver-resident
+    #     by construction, broadcast back as a filter) or a pure
+    #     streaming log-weight threshold for when n itself would be too
+    #     big to hold (the 100-TB path)
+    if dsir_target_texts and (dsir_n or dsir_min_logw is not None):
+        from ..ops.dsir import (
+            dsir_resample,
+            dsir_weights,
+            log_importance_ratio,
+            raw_bucket_counts,
+            target_bucket_counts,
+        )
+
+        lr = log_importance_ratio(
+            target_bucket_counts(dsir_target_texts), raw_bucket_counts(clean, text_col)
+        )
+        weighted = dsir_weights(clean, lr, text_col=text_col)
+        if dsir_min_logw is not None:
+            clean = weighted.filter(expr=f"dsir_logw >= {float(dsir_min_logw)}").drop_columns(
+                ["dsir_logw"]
+            )
+        else:
+            sel = dsir_resample(weighted, n=dsir_n, seed=dsir_seed, id_col=id_col)
+            sel_ref = ray.put(frozenset(sel[id_col].tolist()))
+
+            def keep_selected(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                keep = ray.get(sel_ref)
+                keep_arr = pa.array(list(keep)).cast(batch[id_col].type)
+                return batch.filter(pc.is_in(batch[id_col], value_set=keep_arr))
+
+            clean = weighted.map_batches(
+                keep_selected, batch_format="pyarrow", batch_size=4096
+            ).drop_columns(["dsir_logw"])
 
     # 6. shard-local packing (+ optional delivery export)
     if tokenizer == "bpe":

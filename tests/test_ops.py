@@ -1172,3 +1172,32 @@ def test_pack_sequences_chunk_oversize(ray_session):
     flagged = pack_sequences(ds, max_tokens=300).to_pandas()
     assert flagged["oversize"].sum() == 2  # default path unchanged
     assert (flagged["chunk_idx"] == 0).all()
+
+
+def test_dedup_families_on_corpus_with_zero_near_dups(ray_session):
+    """A corpus of fully-distinct docs (no shared shingles, so ZERO LSH
+    bucket collisions) must yield empty pair frames, not the
+    schema-less-empty-stream join crash it used to (ArrowInvalid:
+    FieldRef doc_a, surfaced through curate_corpus on clean corpora)."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import (
+        minhash_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    rows = [
+        {"doc_id": i, "text": " ".join(f"tok{i}x{j}" for j in range(30))}
+        for i in range(24)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    assert minhash_lsh_pairs(ds).empty
+    assert ngram_jaccard_pairs(ds).empty
+    sim = simhash_pairs(ds)
+    # simhash buckets are 16-bit quarters — spurious collisions possible
+    # but must be hamming-verified; fully-distinct docs produce none
+    assert sim.empty
+    decisions = minhash_dedup(ds)
+    assert decisions.empty or decisions["is_kept"].all()

@@ -404,3 +404,63 @@ def test_curate_corpus_bpe_tokenizer_tail(ray_session, monkeypatch, tmp_path):
     # learned packing differs from whitespace packing (pieces > words)
     ws = curate_corpus(ds, max_tokens=128).to_pandas()
     assert packed["total_tokens"].sum() > ws["total_tokens"].sum()
+
+
+def test_curate_corpus_semdedup_and_dsir_stages(ray_session):
+    """The optional semantic-dedup and DSIR-selection stages: a planted
+    embedding clone drops (keeper = lower id), docs WITHOUT an embedding
+    row survive (null flag = no evidence), and DSIR selection keeps the
+    target-dialect docs only — in both the top-k and threshold forms."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(9)
+    stop = "the be to of and that have with".split()
+    formal = stop + [f"formal{i:03d}xx" for i in range(30)]
+    slang = stop + [f"slang{i:03d}yy" for i in range(30)]
+    rows = []
+    for i in range(30):
+        words = formal if i % 2 == 0 else slang
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    # embeddings: docs 0..19 only (10 docs have NO embedding row);
+    # docs 4 and 6 share a vector -> semantic dupes, 6 must drop
+    vecs = rng.randn(20, 32)
+    vecs[6] = vecs[4]
+    emb = ray.data.from_pandas(
+        pd.DataFrame(
+            {"vec_id": list(range(20)), "embedding": [v.tolist() for v in (vecs / np.linalg.norm(vecs, axis=1, keepdims=True))]}
+        )
+    )
+    packed = curate_corpus(ds, max_tokens=512, embeddings=emb, semdedup_eps=0.95).to_pandas()
+    docs = sorted(d for ids in packed["doc_ids"] for d in ids)
+    assert 6 not in docs  # planted semantic dupe dropped
+    assert 4 in docs  # its keeper survives
+    assert all(i in docs for i in range(20, 30))  # no-embedding docs kept
+
+    # DSIR top-k selection toward the formal dialect
+    target = [" ".join(rng.choice(formal, size=70)) for _ in range(10)]
+    packed2 = curate_corpus(
+        ds, max_tokens=512, dsir_target_texts=target, dsir_n=10
+    ).to_pandas()
+    docs2 = sorted(d for ids in packed2["doc_ids"] for d in ids)
+    assert len(docs2) == 10
+    assert all(d % 2 == 0 for d in docs2)  # formal docs only
+
+    # DSIR streaming threshold form: the dialects separate cleanly
+    # (formal logw >= -72, slang <= -232 on this corpus — absolute
+    # levels are negative because the 10-doc target only covers part of
+    # the formal n-gram space), so a mid-gap threshold keeps exactly
+    # the formal docs
+    packed3 = curate_corpus(
+        ds, max_tokens=512, dsir_target_texts=target, dsir_min_logw=-150.0
+    ).to_pandas()
+    docs3 = sorted(d for ids in packed3["doc_ids"] for d in ids)
+    # >= 13 of the 15 formal docs survive (the upstream Gopher gate or
+    # a below-gap weight can eat the odd one) and NO slang doc passes
+    assert len(docs3) >= 13 and all(d % 2 == 0 for d in docs3)
