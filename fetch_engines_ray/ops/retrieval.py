@@ -179,3 +179,38 @@ def bm25_reference(
     out = out.head(k).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def rrf_fuse(
+    ranked: Sequence[pd.DataFrame],
+    id_cols: Optional[Sequence[str]] = None,
+    k: int = 60,
+    topk: Optional[int] = None,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion of ranked result lists (Cormack, Clarke &
+    Buettcher, SIGIR 2009): ``score = sum_lists 1 / (k + rank)`` — the
+    standard way to combine BM25 and vector-search results without score
+    calibration.
+
+    Each input frame needs an id column (default ``doc_id``,
+    ``neighbor_id`` accepted for the kNN family's output) and a ``rank``
+    column.  Driver-side by design: inputs are k-sized result lists.
+    Scores ride as integer nano-units summed in list order —
+    deterministic, ties break by id."""
+    if id_cols is None:
+        id_cols = [
+            "doc_id" if "doc_id" in f.columns else "neighbor_id" for f in ranked
+        ]
+    acc: dict = {}
+    for f, idc in zip(ranked, id_cols):
+        for did, rank in zip(f[idc], f["rank"]):
+            acc[did] = acc.get(did, 0) + round(1e9 / (k + int(rank)))
+    out = pd.DataFrame(
+        sorted(acc.items(), key=lambda kv: (-kv[1], kv[0])),
+        columns=["doc_id", "rrf_score_x1e9"],
+    )
+    if topk is not None:
+        out = out.head(topk)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -79,3 +79,29 @@ def test_bm25_rare_term_beats_common(ray_session):
     docs.append((50, "rareterm a b c"))
     top = bm25_topk(_ds(docs), "common rareterm", k=3)
     assert top.iloc[0]["doc_id"] == 50
+
+
+def test_rrf_fusion_combines_keyword_and_vector(ray_session):
+    """Hybrid retrieval: a doc ranked mid-list by BOTH systems outranks
+    docs ranked top by only one (the RRF property), and the fusion of
+    the engine's own bm25_topk + knn_bruteforce outputs runs end to
+    end on the real testdata tables."""
+    import ray.data
+
+    from fetch_engines_ray.ops.retrieval import bm25_topk, rrf_fuse
+    from fetch_engines_ray.ops.similarity import knn_bruteforce
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "rank": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [4, 2, 5], "rank": [1, 2, 3]})
+    fused = rrf_fuse([a, b])
+    assert fused.iloc[0]["doc_id"] == 2  # in both lists at rank 2
+    assert int(fused.iloc[0]["rrf_score_x1e9"]) == 2 * round(1e9 / 62)
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = bm25_topk(docs, "the fast key", k=10)
+    vec = knn_bruteforce(emb, query_ids=[0], k=10)
+    fused2 = rrf_fuse([kw, vec])
+    assert len(fused2) >= 10 and fused2["rank"].tolist() == list(range(1, len(fused2) + 1))
