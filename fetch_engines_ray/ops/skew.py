@@ -1,0 +1,105 @@
+"""Hot-key skew mitigation: salted two-stage aggregation.
+
+A plain ``groupby(key).aggregate(...)`` routes EVERY row of a hot key
+through one shuffle partition / one aggregator — on a web corpus where
+one domain holds 20% of all documents, that single aggregator becomes
+the pipeline's wall clock.  The standard fix (public knowledge in every
+distributed-SQL engine) is salting: split each key into ``n_salts``
+sub-keys, pre-aggregate the ``(key, salt)`` partials (stage 1 spreads
+the hot key across ``n_salts`` aggregators), then combine the partials
+with a second, tiny groupby on the bare key.
+
+Correct for any DECOMPOSABLE aggregate; this module implements
+sum / count / min / max directly and mean via its sum+count
+decomposition.  Salt assignment is an arbitrary row partition — results
+are independent of it (exactly for integer columns; float sums are
+block-order dependent in a plain groupby too).
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray
+
+# (column, op, output_name); op in {"sum","count","min","max","mean"}
+AggSpec = tuple[str, str, str]
+
+_PARTIAL = {"sum": "Sum", "count": "Count", "min": "Min", "max": "Max"}
+# how stage 2 combines stage-1 partials
+_COMBINE = {"sum": "Sum", "count": "Sum", "min": "Min", "max": "Max"}
+
+
+def salted_aggregate(
+    ds: "ray.data.Dataset",
+    key: Union[str, Sequence[str]],
+    aggs: Sequence[AggSpec],
+    n_salts: int = 16,
+) -> "ray.data.Dataset":
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` is a list of ``(column, op, out_name)``; ``op`` one of
+    sum / count / min / max / mean ("count" ignores its column).  The
+    hot key's rows fan out over ``n_salts`` stage-1 aggregators; stage 2
+    moves one row per (key, salt) — bounded by ``n_salts`` per key no
+    matter how hot the key is."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    classes = {"Sum": Sum, "Count": Count, "Min": Min, "Max": Max}
+    keys = [key] if isinstance(key, str) else list(key)
+
+    # expand mean -> sum + count partials; dedupe identical partials
+    partial_specs: dict[str, tuple[str, str]] = {}  # alias -> (col, op)
+    finals: list[tuple[str, str, str]] = []  # (out_name, kind, alias/aliases)
+    for col, op, out in aggs:
+        if op == "mean":
+            s_alias, c_alias = f"__{col}_sum", "__rows_count"
+            partial_specs[s_alias] = (col, "sum")
+            partial_specs[c_alias] = (col, "count")
+            finals.append((out, "mean", f"{s_alias}|{c_alias}"))
+        elif op in _PARTIAL:
+            alias = f"__{col}_{op}" if op != "count" else "__rows_count"
+            partial_specs[alias] = (col, op)
+            finals.append((out, op, alias))
+        else:
+            raise ValueError(f"unsupported op: {op}")
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+        return batch.append_column("__salt", pa.array(salt, type=pa.int64()))
+
+    stage1_aggs = []
+    for alias, (col, op) in partial_specs.items():
+        cls = classes[_PARTIAL[op]]
+        stage1_aggs.append(cls(alias_name=alias) if op == "count" else cls(col, alias_name=alias))
+    stage1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow", batch_size=8192)
+        .groupby(keys + ["__salt"])
+        .aggregate(*stage1_aggs)
+    )
+
+    stage2_aggs = []
+    for alias, (col, op) in partial_specs.items():
+        cls = classes[_COMBINE[op]]
+        stage2_aggs.append(cls(alias, alias_name=alias))
+    combined = stage1.groupby(keys).aggregate(*stage2_aggs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {k: batch[k] for k in keys}
+        for out, kind, alias in finals:
+            if kind == "mean":
+                s_alias, c_alias = alias.split("|")
+                cols[out] = pc.divide(
+                    pc.cast(batch[s_alias], pa.float64()),
+                    pc.cast(batch[c_alias], pa.float64()),
+                )
+            else:
+                cols[out] = batch[alias]
+        return pa.table(cols)
+
+    return combined.map_batches(finish, batch_format="pyarrow", batch_size=8192)

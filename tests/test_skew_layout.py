@@ -1,0 +1,131 @@
+"""Salted aggregation (ops/skew.py) and zone-map layout (ops/layout.py):
+salting matches the plain groupby exactly while bounding per-key fanout,
+and sorted writes let key-range reads skip files/row groups from footer
+metadata alone."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skewed_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(31)
+    # one hot key holds 80% of rows
+    keys = np.where(rng.rand(20_000) < 0.8, 7, rng.randint(0, 50, size=20_000))
+    vals = rng.randint(0, 1000, size=20_000)
+    return ray.data.from_pandas(
+        pd.DataFrame({"k": keys.astype(np.int64), "v": vals.astype(np.int64)})
+    ).repartition(8)
+
+
+def test_salted_aggregate_matches_plain_groupby(skewed_ds):
+    from fetch_engines_ray.ops.skew import salted_aggregate
+
+    got = (
+        salted_aggregate(
+            skewed_ds,
+            "k",
+            [
+                ("v", "sum", "v_sum"),
+                ("v", "count", "n"),
+                ("v", "min", "v_min"),
+                ("v", "max", "v_max"),
+                ("v", "mean", "v_mean"),
+            ],
+            n_salts=16,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pdf = skewed_ds.to_pandas()
+    want = (
+        pdf.groupby("k")["v"]
+        .agg(v_sum="sum", n="count", v_min="min", v_max="max", v_mean="mean")
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for c in ("v_sum", "n", "v_min", "v_max"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    assert np.allclose(got["v_mean"], want["v_mean"])
+
+
+def test_stage_one_bounds_hot_key_fanout(skewed_ds):
+    """Stage 2 moves at most n_salts rows per key regardless of key
+    heat — the skew guarantee itself."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as pa
+
+    n_salts = 8
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+        return batch.append_column("__salt", pa.array(salt))
+
+    stage1 = (
+        skewed_ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["k", "__salt"])
+        .aggregate(Sum("v", alias_name="s"), Count(alias_name="c"))
+        .to_pandas()
+    )
+    per_key = stage1.groupby("k").size()
+    assert per_key.max() <= n_salts
+    # the hot key's 16k rows fanned out across all salts
+    assert per_key[7] == n_salts
+
+
+def test_sorted_layout_prunes_files_and_row_groups(ray_session, tmp_path):
+    import ray.data
+
+    from fetch_engines_ray.ops.layout import plan_key_range, pruned_read, write_sorted
+
+    rng = np.random.RandomState(5)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "key": rng.randint(0, 1_000_000, size=n).astype(np.int64),
+            "payload": rng.randint(0, 100, size=n).astype(np.int64),
+        }
+    )
+    path = str(tmp_path / "sorted")
+    n_files = write_sorted(
+        ray.data.from_pandas(df).repartition(6),
+        path,
+        "key",
+        target_rows_per_file=10_000,
+        row_group_rows=2_048,
+    )
+    assert n_files >= 4
+
+    lo, hi = 100_000, 150_000
+    _, stats = plan_key_range(path, "key", lo, hi)
+    # a 5% key range over a sorted layout reads a small fraction
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["row_groups_read"] <= stats["row_groups_total"] * 0.25
+
+    ds_out, stats2 = pruned_read(path, "key", lo, hi)
+    got = ds_out.to_pandas().sort_values(["key", "payload"]).reset_index(drop=True)
+    want = (
+        df[(df["key"] >= lo) & (df["key"] <= hi)]
+        .sort_values(["key", "payload"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["key", "payload"]], want)
+
+
+def test_pruned_read_empty_range(ray_session, tmp_path):
+    import ray.data
+
+    from fetch_engines_ray.ops.layout import pruned_read, write_sorted
+
+    df = pd.DataFrame({"key": np.arange(1000, dtype=np.int64), "v": np.ones(1000, dtype=np.int64)})
+    path = str(tmp_path / "s2")
+    write_sorted(ray.data.from_pandas(df), path, "key", target_rows_per_file=500)
+    out, stats = pruned_read(path, "key", 10_000, 20_000)
+    assert out.count() == 0
+    assert stats["files_read"] == 0
