@@ -1201,3 +1201,30 @@ def test_dedup_families_on_corpus_with_zero_near_dups(ray_session):
     assert sim.empty
     decisions = minhash_dedup(ds)
     assert decisions.empty or decisions["is_kept"].all()
+
+
+def test_incremental_dedup_with_zero_collisions(ray_session, tmp_path):
+    """The incremental path inherits the zero-candidate guard: a new
+    batch sharing nothing with the checkpoint (or itself) yields an
+    empty pair frame, not a join crash."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import (
+        build_minhash_checkpoint,
+        minhash_incremental_pairs,
+    )
+
+    base = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": range(10), "text": [" ".join(f"a{i}b{j}" for j in range(25)) for i in range(10)]}
+        )
+    )
+    ckpt = str(tmp_path / "sigs")
+    build_minhash_checkpoint(base, ckpt)
+    new = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": range(100, 108), "text": [" ".join(f"z{i}q{j}" for j in range(25)) for i in range(100, 108)]}
+        )
+    )
+    pairs = minhash_incremental_pairs(new, ckpt, persist_new=False)
+    assert pairs.empty
