@@ -17,7 +17,7 @@ block-order dependent in a plain groupby too).
 """
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Sequence, Union
+from typing import TYPE_CHECKING, Optional, Sequence, Union
 
 import numpy as np
 import pyarrow as pa
@@ -103,3 +103,54 @@ def salted_aggregate(
         return pa.table(cols)
 
     return combined.map_batches(finish, batch_format="pyarrow", batch_size=8192)
+
+
+def salted_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    n_salts: int = 8,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Skew-safe inner join for a hot LEFT key against a SMALL right
+    side: the right side is replicated ``n_salts`` times (once per
+    salt), each left row picks one salt, and the join runs on the
+    composite ``(key, salt)`` — the hot key's rows spread over
+    ``n_salts`` join partitions instead of funnelling through one.
+
+    The replication factor prices the trade explicitly: right-side rows
+    cross the exchange ``n_salts`` times, so this is for build sides
+    that are small (dimension tables, winner sets) against skewed fact
+    sides — the exact case where a plain hash join stalls on one
+    aggregator.  Salts ride as int64 ``__lsalt``/``__rsalt`` columns;
+    the output drops them and matches the plain join's columns."""
+    right_on = right_on or on
+
+    def left_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % n_salts
+        return batch.append_column("__lsalt", pa.array(salt, type=pa.int64()))
+
+    def right_replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_salts))
+        rep = batch.take(idx)
+        salt = np.tile(np.arange(n_salts, dtype=np.int64), n)
+        return rep.append_column("__rsalt", pa.array(salt, type=pa.int64()))
+
+    lsalted = left.map_batches(left_salt, batch_format="pyarrow", batch_size=8192)
+    rsalted = right.map_batches(right_replicate, batch_format="pyarrow", batch_size=8192)
+    joined = lsalted.join(
+        rsalted,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "__lsalt"),
+        right_on=(right_on, "__rsalt"),
+    )
+
+    def drop_salts(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(
+            [c for c in ("__lsalt", "__rsalt") if c in batch.column_names]
+        )
+
+    return joined.map_batches(drop_salts, batch_format="pyarrow", batch_size=8192)

@@ -129,3 +129,29 @@ def test_pruned_read_empty_range(ray_session, tmp_path):
     out, stats = pruned_read(path, "key", 10_000, 20_000)
     assert out.count() == 0
     assert stats["files_read"] == 0
+
+
+def test_salted_join_matches_plain_join(skewed_ds, ray_session):
+    """The replicated-right salted join returns exactly the plain
+    pandas merge on a hot-key fact table x small dimension table."""
+    import ray.data
+
+    from fetch_engines_ray.ops.skew import salted_join
+
+    dim = pd.DataFrame({"dk": np.arange(50, dtype=np.int64), "name": [f"n{i}" for i in range(50)]})
+    out = (
+        salted_join(skewed_ds, ray.data.from_pandas(dim), on="k", right_on="dk", n_salts=8)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        skewed_ds.to_pandas()
+        .merge(dim, left_on="k", right_on="dk")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    assert out["k"].tolist() == want["k"].tolist()
+    assert out["v"].tolist() == want["v"].tolist()
+    assert out["name"].tolist() == want["name"].tolist()
