@@ -1,0 +1,94 @@
+"""Generic partitioned window functions: lag / lead / rolling aggregates.
+
+SQL's ``LAG(x) OVER (PARTITION BY k ORDER BY t)`` family.  The engine
+already ships special-cases (sessionize's per-user deltas, tumbling /
+hopping windows, top-k per group); this module is the GENERIC form a
+reference user reaches for when their window isn't one of those.
+
+Ray-Data shape (the line-dedup lesson, BASELINE.md): never
+``map_groups`` per partition key — Ray dispatches ~2 ms per group, so a
+per-user window over 10^9 users would burn CPU-days on dispatch alone.
+Instead hash-partition the PARTITION KEY into a bounded number of parts
+(keys never straddle parts) and run ONE vectorized pandas pass per
+part: ``sort_values`` + ``groupby(...).shift/rolling`` are C-level over
+the whole part.
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray
+
+
+def _with_part(ds: "ray.data.Dataset", partition_by: str, n_parts: int) -> "ray.data.Dataset":
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[partition_by].to_pylist(), dtype=object)
+        part = (pd.util.hash_array(keys) % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("__part", pa.array(part))
+
+    return ds.map_batches(add_part, batch_format="pyarrow", batch_size=8192)
+
+
+def lag_lead(
+    ds: "ray.data.Dataset",
+    partition_by: str,
+    order_by: str,
+    value_col: str,
+    n: int = 1,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Adds ``<value_col>_lag`` and ``<value_col>_lead`` (nulls at
+    partition edges), ordering each partition by ``(order_by, value_col)``
+    — the deterministic tie rule a hash-comparable result needs."""
+
+    def window_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([partition_by, order_by, value_col], kind="mergesort")
+        grp = g.groupby(partition_by, sort=False)[value_col]
+        g[f"{value_col}_lag"] = grp.shift(n)
+        g[f"{value_col}_lead"] = grp.shift(-n)
+        return g.drop(columns=["__part"])
+
+    return (
+        _with_part(ds, partition_by, n_parts)
+        .groupby("__part")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
+def rolling_agg(
+    ds: "ray.data.Dataset",
+    partition_by: str,
+    order_by: str,
+    value_col: str,
+    window: int = 3,
+    agg: str = "sum",
+    n_parts: int = 64,
+    out_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Adds a trailing-window aggregate (``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``) per partition; ``agg`` in
+    sum / mean / min / max / count.  Same deterministic ordering rule
+    as :func:`lag_lead`."""
+    if agg not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(f"unsupported agg: {agg}")
+    out_col = out_col or f"{value_col}_rolling_{agg}"
+
+    def window_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([partition_by, order_by, value_col], kind="mergesort")
+        roll = g.groupby(partition_by, sort=False)[value_col].rolling(
+            window=window, min_periods=1
+        )
+        vals = getattr(roll, agg)().reset_index(level=0, drop=True)
+        g[out_col] = vals
+        return g.drop(columns=["__part"])
+
+    return (
+        _with_part(ds, partition_by, n_parts)
+        .groupby("__part")
+        .map_groups(window_part, batch_format="pandas")
+    )
