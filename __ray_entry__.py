@@ -627,6 +627,41 @@ def _q_doc_winnowing_fingerprints(sf_dir: str) -> Any:
     return out
 
 
+def _q_events_value_lag(sf_dir: str) -> Any:
+    """Generic SQL window-function parity: LAG/LEAD of each user's event
+    value ordered by time (ops/window.py — hash-partitioned vectorized
+    pandas windows, no per-key map_groups).  Values ride as integer
+    cents with -1 sentinels at partition edges and timestamps as epoch
+    micros, so the row set is null-free and value-hash exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from fetch_engines_ray.ops.window import lag_lead
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def to_exact(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts_us": ts_us, "value_cents": cents})
+
+    exact = ev.map_batches(to_exact, batch_format="pyarrow", batch_size=8192)
+    out = (
+        lag_lead(exact, "user_id", "ts_us", "value_cents")
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "value_cents"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for c in ("value_cents_lag", "value_cents_lead"):
+        out[c] = out[c].fillna(-1).astype("int64")
+    return out
+
+
 def _q_parts_in_supplier_band(sf_dir: str) -> Any:
     """Range (interval) join: parts whose retail price falls inside each
     supplier's account-balance ±50 band — grid-bucketed interval join."""
@@ -824,7 +859,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": _q_doc_gopher_quality,
         "clean_corpus": _q_clean_corpus,
         "text_features": _q_text_features,
-        "doc_winnowing_fingerprints": _q_doc_winnowing_fingerprints,
+        # (the rows-only doc_winnowing_fingerprints slot was retired for
+        # the oracled events_value_lag under the 50-query cap: the
+        # winnowing kernel stays pinned by tests/test_ops.py and the
+        # positioned-winnowing consistency property test, and its
+        # planted-clone assert lives on in test_ops)
+        "events_value_lag": _q_events_value_lag,
         "structured_extract": _q_structured_extract,
         # dedup family
         "exact_dedup_groups": _q_exact_dedup,
@@ -1130,6 +1170,19 @@ def oracle_sql() -> dict[str, str]:
             f"      WHEN (-s.lm_logprob_micro) // s.lm_token_count < {_LM_BUCKETS[1]} THEN 'middle'"
             "       ELSE 'tail' END AS ppl_bucket"
             " FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id"
+        ),
+        # mirrors ops/window.py lag_lead exactly: same (partition,
+        # order, value) tie rule, integer cents, -1 edge sentinels,
+        # epoch-microsecond timestamps (null-free, value-hash exact)
+        "events_value_lag": (
+            "WITH cents AS (SELECT user_id, epoch_us(ts) AS ts_us,"
+            "  CAST(round(value * 100) AS BIGINT) AS value_cents FROM events)"
+            " SELECT user_id, ts_us, value_cents,"
+            "  coalesce(lag(value_cents) OVER w, -1) AS value_cents_lag,"
+            "  coalesce(lead(value_cents) OVER w, -1) AS value_cents_lead"
+            " FROM cents"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, value_cents)"
+            " ORDER BY user_id, ts_us, value_cents"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus,"

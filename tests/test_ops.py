@@ -343,6 +343,12 @@ def test_winnowing_fingerprint_position_robust():
     # short-text edge: fewer tokens than k → empty fingerprint, no crash
     short = add_winnowing_fingerprint(pa.table({"text": ["tiny doc"]}))
     assert short["fp_hashes"].to_pylist() == [[]]
+    # exact clones produce byte-identical fingerprint lists (the assert
+    # the retired doc_winnowing_fingerprints registry query ran per
+    # sweep; the dedup consumer relies on it)
+    clones = add_winnowing_fingerprint(pa.table({"text": [passage, passage]}))
+    a, b = clones["fp_hashes"].to_pylist()
+    assert a == b and len(a) >= 3
 
 
 def test_gopher_quality_flags():
