@@ -298,6 +298,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "semdedup_embeddings",
         "dsir_select",
         "ivfpq_build_search",
+        "events_value_lag",
     ]
     times = {}
     for name in names:
