@@ -393,3 +393,52 @@ def search_ivfpq_index(
     topk = cand.groupby("query_idx", sort=True).head(k).copy()
     topk["rank"] = topk.groupby("query_idx").cumcount() + 1
     return topk[["query_idx", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def append_ivfpq_index(ds: "ray.data.Dataset", path: str) -> int:
+    """Ingest NEW vectors into an existing IVFPQ index without refit:
+    assign against the saved coarse centroids, encode with the saved
+    codebooks, append code files into the partition dirs (unique file
+    names — existing data untouched).  Same maintenance contract as
+    `append_ivf_index`; centroid/codebook drift is handled by a
+    periodic rebuild.  Returns the new total count."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    if "pq_m" not in meta:
+        raise ValueError(f"{path} is not an IVFPQ index (no pq meta)")
+    ctab = pq.read_table(os.path.join(path, _CENTROIDS))
+    cents = np.asarray([np.asarray(v) for v in ctab["centroid"].to_pylist()])
+    codebooks = _load_pq_codebooks(path, meta)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, ksub, dsub = codebooks.shape
+    before = _parquet_files(path)
+    ref = ray.put((cents, codebooks))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        c, cb = ray.get(ref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
+            codes[:, j] = d.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": pa.array(best, type=pa.int64()),
+                "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
+                "cluster": pa.array([f"{b:05d}" for b in best], type=pa.string()),
+            }
+        )
+
+    ds.map_batches(assign_encode, batch_format="pyarrow", batch_size=8192).write_parquet(
+        path, partition_cols=["cluster"]
+    )
+    n_new = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path) - before
+    )
+    meta["n"] = int(meta["n"]) + n_new
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+    return meta["n"]
