@@ -387,34 +387,155 @@ def _consume_pairs(consume, cand: "ray.data.Dataset", empty: pd.DataFrame) -> pd
         raise
 
 
+def _mix_mod(key: np.ndarray, n_parts: int) -> np.ndarray:
+    """Splitmix-style mix before the modulus so structured id spaces
+    (sequential, strided) still spread evenly across parts."""
+    k = key.astype(np.uint64, copy=True)
+    k *= np.uint64(0x9E3779B97F4A7C15)
+    k ^= k >> np.uint64(31)
+    return (k % np.uint64(n_parts)).astype(np.int64)
+
+
+def _partitioned_attach(
+    pairs: "ray.data.Dataset",
+    lookup: "ray.data.Dataset",
+    key_col: str,
+    carry: list[tuple[str, "pa.DataType"]],
+    value_col: str,
+    value_type: "pa.DataType",
+    out_col: str,
+    n_parts: int = 64,
+    how: str = "inner",
+    lookup_key: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Attach ``lookup[value_col]`` onto ``pairs`` rows matching
+    ``pairs[key_col] == lookup.doc_id`` WITHOUT a Ray hash join
+    (``how="left"`` keeps unmatched pair rows with a null value).
+
+    Ray's hash-join aggregator synthesizes a SCHEMA-LESS empty table for
+    any partition that receives zero blocks from one side and then dies
+    with ``ArrowInvalid: No match for FieldRef`` — guaranteed to trigger
+    when the candidate-pair side is sparse (few pairs, or one hot doc
+    owning every pair), which is the NORMAL case for near-dup
+    verification.  This helper is the engine's standard alternative
+    (see BASELINE.md line-dedup lessons): union both sides under one
+    conformed schema, hash-partition the join key into ``n_parts`` int64
+    parts (a key never straddles parts; empty parts simply don't
+    exist), and run ONE vectorized pandas merge per part.  Exchange
+    volume is the same as the hash join's (lookup rows cross once)."""
+    import pyarrow.compute as pc
+
+    carry_fields = [(c, t) for c, t in carry]
+
+    def conform_pairs(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = _mix_mod(key, n_parts)
+        cols = {
+            "part": pa.array(part, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "role": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "value": pa.nulls(len(key), type=value_type),
+        }
+        for c, t in carry_fields:
+            cols[c] = pc.cast(batch[c], t)
+        return pa.table(cols)
+
+    def conform_lookup(batch: pa.Table) -> pa.Table:
+        key = batch[lookup_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = _mix_mod(key, n_parts)
+        cols = {
+            "part": pa.array(part, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "role": pa.array(np.ones(len(key), dtype=np.int8)),
+            "value": pc.cast(batch[value_col], value_type),
+        }
+        for c, t in carry_fields:
+            # integer carries pad with a 0 SENTINEL, not null: an int64
+            # column with nulls lands in pandas as float64, and float64
+            # cannot represent full-range ids (blake2b int64 doc ids
+            # corrupt silently).  Lookup rows are filtered out by role
+            # before the carries are read, so the sentinel is never seen.
+            if pa.types.is_integer(t):
+                cols[c] = pa.array(np.zeros(len(key), dtype=np.int64), type=t)
+            else:
+                cols[c] = pa.nulls(len(key), type=t)
+        return pa.table(cols)
+
+    unioned = pairs.map_batches(
+        conform_pairs, batch_format="pyarrow", batch_size=8192
+    ).union(lookup.map_batches(conform_lookup, batch_format="pyarrow", batch_size=8192))
+
+    def merge_part(group: pd.DataFrame) -> pd.DataFrame:
+        look = group[group["role"] == 1]
+        prs = group[group["role"] == 0]
+        if prs.empty or (look.empty and how == "inner"):
+            out = prs.iloc[0:0].copy()
+        elif look.empty:  # left: every pair row keeps a null value
+            out = prs.copy()
+            out["value"] = None
+        else:
+            out = prs.merge(
+                look[["key", "value"]].rename(columns={"value": "__v"}),
+                on="key",
+                how=how,
+            )
+            out["value"] = out["__v"] if "__v" in out.columns else None
+        cols = {}
+        for c, t in carry_fields:
+            # the union null-pads carry columns on lookup rows, which
+            # floats pandas int64 carries (NaN-able) — cast back after
+            # the lookup rows are gone or ids silently become floats
+            cols[c] = out[c].astype("int64") if pa.types.is_integer(t) else out[c]
+        cols[out_col] = out["value"]
+        return pd.DataFrame(cols)
+
+    return unioned.groupby("part").map_groups(merge_part, batch_format="pandas")
+
+
 def _verify_minhash_pairs(
     cand: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
     n_parts: int,
     threshold: float,
 ) -> pd.DataFrame:
-    """Attach signatures to candidate pairs (two hash joins) and keep
-    pairs whose signature agreement >= threshold."""
+    """Attach signatures to candidate pairs (two partitioned-attach
+    passes — NOT Ray hash joins: a sparse candidate side leaves join
+    partitions block-less and the aggregator dies on a schema-less
+    empty table; see :func:`_partitioned_attach`) and keep pairs whose
+    signature agreement >= threshold."""
     empty = pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-    left = cand.join(
-        sigs, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",)
+    attach_parts = max(64, n_parts * 8)
+    left = _partitioned_attach(
+        cand,
+        sigs,
+        key_col="doc_a",
+        carry=[("doc_a", pa.int64()), ("doc_b", pa.int64())],
+        value_col="minhash_sig",
+        value_type=pa.binary(),
+        out_col="minhash_sig",
+        n_parts=attach_parts,
     )
-    both = left.join(
-        sigs.map_batches(
-            lambda b: b.rename_columns(["doc_id", "minhash_sig_b"]), batch_format="pyarrow"
-        ),
-        join_type="inner",
-        num_partitions=n_parts,
-        on=("doc_b",),
-        right_on=("doc_id",),
+    both = _partitioned_attach(
+        left,
+        sigs,
+        key_col="doc_b",
+        carry=[
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("minhash_sig", pa.binary()),
+        ],
+        value_col="minhash_sig",
+        value_type=pa.binary(),
+        out_col="minhash_sig_b",
+        n_parts=attach_parts,
     )
 
     def estimate(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "doc_a": pa.array([], type=batch.column("doc_a").type),
-                    "doc_b": pa.array([], type=batch.column("doc_b").type),
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
                     "est_jaccard": pa.array([], type=pa.float64()),
                 }
             )
@@ -745,13 +866,28 @@ def _ngram_pairs_from_sigs(
     texts = ds.map_batches(
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow", batch_size=4096
     )
-    left = cand.join(texts, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",))
-    both = left.join(
-        texts.map_batches(lambda b: b.rename_columns(["doc_id", "text_b"]), batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=n_parts,
-        on=("doc_b",),
-        right_on=("doc_id",),
+    # partitioned attach, not hash joins: the sparse candidate side
+    # leaves join partitions block-less (see _partitioned_attach)
+    attach_parts = max(64, n_parts * 8)
+    left = _partitioned_attach(
+        cand,
+        texts,
+        key_col="doc_a",
+        carry=[("doc_a", pa.int64()), ("doc_b", pa.int64())],
+        value_col="text",
+        value_type=pa.string(),
+        out_col="text",
+        n_parts=attach_parts,
+    )
+    both = _partitioned_attach(
+        left,
+        texts,
+        key_col="doc_b",
+        carry=[("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text", pa.string())],
+        value_col="text",
+        value_type=pa.string(),
+        out_col="text_b",
+        n_parts=attach_parts,
     )
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -136,24 +136,27 @@ def curate_corpus(
     #     winners (ray.put of a corpus-sized set is the round-1 pitfall
     #     this chain already engineered out)
     if embeddings is not None:
+        from ..ops.dedup import _partitioned_attach
         from ..ops.semdedup import semdedup
 
+        # a partitioned LEFT attach, not a Ray left_outer join: a SPARSE
+        # embeddings table (few docs embedded) leaves join partitions
+        # block-less on the flag side and the hash-join aggregator dies
+        # on the schema-less empty table (see ops/dedup._partitioned_attach)
         sem_flags = semdedup(
             embeddings, eps=semdedup_eps, id_col=emb_id_col
         ).select_columns([emb_id_col, "semdedup_keep"])
-        if emb_id_col == id_col:
-            # a same-named join key raises "multiple matches" in Ray's
-            # hash join — rename the build side
-            sem_flags = sem_flags.rename_columns({emb_id_col: "__sem_id"})
-            right_key = "__sem_id"
-        else:
-            right_key = emb_id_col
-        joined = survived.join(
+        joined = _partitioned_attach(
+            survived,
             sem_flags,
-            join_type="left_outer",
-            num_partitions=join_partitions,
-            on=(id_col,),
-            right_on=(right_key,),
+            key_col=id_col,
+            carry=[(id_col, pa.int64()), (text_col, pa.string())],
+            value_col="semdedup_keep",
+            value_type=pa.bool_(),
+            out_col="semdedup_keep",
+            n_parts=max(64, join_partitions * 8),
+            how="left",
+            lookup_key=emb_id_col,
         )
 
         def sem_filter(batch: pa.Table) -> pa.Table:
@@ -162,9 +165,7 @@ def curate_corpus(
             # docs with no embedding row carry a null flag: KEEP them
             # (no duplicate evidence) — only an explicit False drops
             mask = pc.fill_null(batch["semdedup_keep"], True)
-            return batch.filter(mask).drop_columns(
-                [c for c in ("semdedup_keep", right_key) if c in batch.column_names]
-            )
+            return batch.filter(mask).drop_columns(["semdedup_keep"])
 
         survived = joined.map_batches(sem_filter, batch_format="pyarrow", batch_size=4096)
 

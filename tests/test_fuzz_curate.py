@@ -1,0 +1,78 @@
+"""Composition fuzz: curate_corpus must never crash and must hold its
+invariants on arbitrary small corpora x option combinations (the
+zero-near-dup join crash lived exactly in this composition space)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# corpus shapes: word pools from tiny (everything collides) to disjoint
+# (nothing collides), doc counts crossing the packing/dedup edges
+CORPUS = st.fixed_dictionaries(
+    {
+        "n_docs": st.integers(3, 18),
+        "vocab": st.sampled_from(["tiny", "mixed", "disjoint"]),
+        "seed": st.integers(0, 10_000),
+        "plant_exact_dup": st.booleans(),
+        "with_decontam": st.booleans(),
+        "with_dsir": st.booleans(),
+    }
+)
+
+
+def _build(cfg) -> tuple[pd.DataFrame, list, list]:
+    rng = np.random.RandomState(cfg["seed"])
+    stop = "the be to of and that have with".split()
+    if cfg["vocab"] == "tiny":
+        words = stop + ["alpha", "beta"]
+    elif cfg["vocab"] == "mixed":
+        words = stop + [f"w{i:02d}xx" for i in range(20)]
+    else:
+        words = None  # per-doc disjoint vocab
+    rows = []
+    for i in range(cfg["n_docs"]):
+        pool = words if words is not None else [f"d{i}t{j}" for j in range(30)] + stop
+        rows.append(
+            {"doc_id": i, "text": " ".join(rng.choice(pool, size=rng.randint(55, 90)))}
+        )
+    if cfg["plant_exact_dup"]:
+        rows.append({"doc_id": 500, "text": rows[0]["text"]})
+    bench = [" ".join(rows[1]["text"].split()[:15])] if cfg["with_decontam"] else None
+    target = [rows[0]["text"]] if cfg["with_dsir"] else None
+    return pd.DataFrame(rows), bench, target
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(CORPUS)
+def test_curate_never_crashes_and_holds_invariants(ray_session, cfg):
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    df, bench, target = _build(cfg)
+    ds = ray.data.from_pandas(df)
+    kwargs = dict(max_tokens=128, join_partitions=2)
+    if bench:
+        kwargs["benchmark_texts"] = bench
+    if target:
+        kwargs["dsir_target_texts"] = target
+        kwargs["dsir_n"] = max(1, cfg["n_docs"] // 2)
+    packed = curate_corpus(ds, **kwargs).to_pandas()
+    if packed.empty:
+        return  # everything filtered: a legal outcome, not a crash
+    docs = [d for ids in packed["doc_ids"] for d in ids]
+    # no doc packed twice; every packed doc came from the input
+    assert len(docs) == len(set(docs))
+    assert set(docs) <= set(df["doc_id"])
+    # budget invariant on non-oversize sequences
+    ok = packed[~packed["oversize"]]
+    assert (ok["total_tokens"] <= 128).all()
+    # planted exact dup never survives alongside its twin
+    if cfg["plant_exact_dup"]:
+        assert not ({0, 500} <= set(docs))
