@@ -498,71 +498,61 @@ def _verify_minhash_pairs(
     n_parts: int,
     threshold: float,
 ) -> pd.DataFrame:
-    """Attach signatures to candidate pairs (two partitioned-attach
-    passes — NOT Ray hash joins: a sparse candidate side leaves join
-    partitions block-less and the aggregator dies on a schema-less
-    empty table; see :func:`_partitioned_attach`) and keep pairs whose
-    signature agreement >= threshold."""
+    """Verify candidate pairs against their signatures WITHOUT any
+    post-LSH shuffle.
+
+    The verified pair frame is this function's RETURN VALUE and has
+    been driver-resident by contract since round 1; the unverified
+    candidate list is the same size class (true pairs + spurious band
+    collisions), so it lands on the driver first, its key set
+    broadcasts via ``ray.put``, and ONE streaming filter pass over the
+    signature table brings back only the candidates' signatures
+    (0.5 KB x 2 x pairs).  Estimation is one vectorized numpy
+    comparison.  This replaced two re-attach hash joins: Ray's join
+    aggregator dies on sparse candidate sides (schema-less empty
+    partitions — see :func:`_partitioned_attach`), and join/groupby
+    aggregator fixed costs made verification SLOWER at higher CPU
+    counts at bench scale."""
+    import pyarrow.compute as pc
+
     empty = pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-    attach_parts = max(64, n_parts * 8)
-    left = _partitioned_attach(
-        cand,
-        sigs,
-        key_col="doc_a",
-        carry=[("doc_a", pa.int64()), ("doc_b", pa.int64())],
-        value_col="minhash_sig",
-        value_type=pa.binary(),
-        out_col="minhash_sig",
-        n_parts=attach_parts,
-    )
-    both = _partitioned_attach(
-        left,
-        sigs,
-        key_col="doc_b",
-        carry=[
-            ("doc_a", pa.int64()),
-            ("doc_b", pa.int64()),
-            ("minhash_sig", pa.binary()),
-        ],
-        value_col="minhash_sig",
-        value_type=pa.binary(),
-        out_col="minhash_sig_b",
-        n_parts=attach_parts,
-    )
-
-    def estimate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
-                    "est_jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-        a = _decode_sigs(batch.column("minhash_sig"))
-        b = _decode_sigs(batch.column("minhash_sig_b"))
-        est = (a == b).mean(axis=1)
-        keep = est >= threshold
-        return pa.table(
-            {
-                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
-                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-                "est_jaccard": pa.array(est[keep], type=pa.float64()),
-            }
-        )
-
-    pairs = _consume_pairs(
-        lambda: both.map_batches(estimate, batch_format="pyarrow", batch_size=4096).to_pandas(),
-        cand,
-        empty,
-    )
-    if pairs.empty:
+    cand_pd = _consume_pairs(lambda: cand.to_pandas(), cand, empty)
+    if cand_pd.empty:
         return empty
-    return (
-        pairs.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+    cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"])
+    keys_ref = ray.put(
+        pa.array(
+            np.union1d(cand_pd["doc_a"].to_numpy(), cand_pd["doc_b"].to_numpy())
+        )
     )
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=keys.cast(batch["doc_id"].type)))
+
+    sig_pd = sigs.map_batches(
+        only_candidates, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    if sig_pd.empty:
+        return empty
+    sig_ix = {int(d): i for i, d in enumerate(sig_pd["doc_id"])}
+    mat = _decode_sigs(pa.array(sig_pd["minhash_sig"]))
+    ia = cand_pd["doc_a"].map(sig_ix)
+    ib = cand_pd["doc_b"].map(sig_ix)
+    ok = ia.notna() & ib.notna()  # keys absent from sigs (incremental old-old) drop
+    cand_pd = cand_pd[ok]
+    est = (mat[ia[ok].astype(int).to_numpy()] == mat[ib[ok].astype(int).to_numpy()]).mean(axis=1)
+    keep = est >= threshold
+    out = pd.DataFrame(
+        {
+            "doc_a": cand_pd["doc_a"].to_numpy()[keep],
+            "doc_b": cand_pd["doc_b"].to_numpy()[keep],
+            "est_jaccard": est[keep],
+        }
+    )
+    if out.empty:
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def build_minhash_checkpoint(
