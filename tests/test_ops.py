@@ -1234,3 +1234,51 @@ def test_incremental_dedup_with_zero_collisions(ray_session, tmp_path):
     )
     pairs = minhash_incremental_pairs(new, ckpt, persist_new=False)
     assert pairs.empty
+
+
+def test_partitioned_attach_inner_left_and_extreme_ids(ray_session):
+    """The join-replacement helper: inner and left forms match pandas
+    merge exactly, including full-range negative int64 ids (the float64
+    corruption trap) and keys missing from the lookup."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import _partitioned_attach
+
+    big = -(2**62) - 12345  # cannot round-trip float64
+    pairs = pd.DataFrame(
+        {
+            "doc_a": np.array([1, 2, big, 7], dtype=np.int64),
+            "doc_b": np.array([5, 6, 8, big], dtype=np.int64),
+        }
+    )
+    lookup = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, big], dtype=np.int64),
+            "text": ["t1", "t2", "tbig"],
+        }
+    )
+    for how, expect_rows in (("inner", 3), ("left", 4)):
+        out = (
+            _partitioned_attach(
+                ray.data.from_pandas(pairs).repartition(3),
+                ray.data.from_pandas(lookup),
+                key_col="doc_a",
+                carry=[("doc_a", pa.int64()), ("doc_b", pa.int64())],
+                value_col="text",
+                value_type=pa.string(),
+                out_col="text",
+                n_parts=16,
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == expect_rows, how
+        assert out["doc_a"].dtype == np.int64
+        by = dict(zip(out["doc_a"], out["text"]))
+        assert by[1] == "t1" and by[2] == "t2" and by[big] == "tbig"
+        if how == "left":
+            assert by[7] is None or (isinstance(by[7], float) and np.isnan(by[7]))
