@@ -17,6 +17,11 @@ chain.
       → decontamination    (optional: benchmark n-gram hash set
                             broadcast once, vectorized overlap check —
                             drops docs contaminated by the eval set)
+      → LM perplexity gate (optional, CCNet-style: train a unigram LM
+                            on the surviving corpus in one word-count
+                            shuffle, score with the broadcast table,
+                            drop the worst tail by per-token mean
+                            negative log-probability)
       → quality filter     (Gopher-style integer rules, vectorized)
       → PII redaction      (ordered RE2 replaces)
       → DSIR selection     (optional: hashed-n-gram importance
@@ -62,6 +67,8 @@ def curate_corpus(
     dsir_n: int | None = None,
     dsir_min_logw: float | None = None,
     dsir_seed: int = 0,
+    ppl_tail_quantile: float | None = None,
+    lm_max_vocab: int | None = 65536,
     export_path: str | None = None,
     n_shards: int = 16,
     id_col: str = "doc_id",
@@ -201,6 +208,32 @@ def curate_corpus(
                 text_col: batch["redacted_text"],
             }
         )
+
+    # 4b. optional CCNet-style perplexity gate BEFORE redaction (the LM
+    #     should see natural text): train on the survivors (one
+    #     word-count shuffle, vocab-bounded driver finalize), score with
+    #     the broadcast table, cut the worst ``ppl_tail_quantile`` by
+    #     per-token mean negative log-probability (exact distributed
+    #     quantile — one int64 sort)
+    if ppl_tail_quantile is not None:
+        from ..ops.lm import mean_neg_quantiles, score_perplexity, train_unigram_lm
+
+        lm = train_unigram_lm(survived, text_col=text_col, max_vocab=lm_max_vocab)
+        scored = score_perplexity(survived, lm, text_col=text_col)
+        (cut,) = mean_neg_quantiles(scored, qs=(1.0 - ppl_tail_quantile,))
+
+        def ppl_gate(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            tc = batch["lm_token_count"].to_numpy(zero_copy_only=False)
+            s = batch["lm_logprob_micro"].to_numpy(zero_copy_only=False)
+            mean_neg = np.where(tc > 0, (-s) // np.maximum(tc, 1), 0)
+            keep = pa.array(mean_neg <= cut)
+            return batch.filter(keep).drop_columns(
+                ["lm_token_count", "lm_logprob_micro", "ppl_bucket"]
+            )
+
+        survived = scored.map_batches(ppl_gate, batch_format="pyarrow", batch_size=4096)
 
     clean = survived.map_batches(
         quality_and_redact, batch_format="pyarrow", batch_size=4096

@@ -464,3 +464,40 @@ def test_curate_corpus_semdedup_and_dsir_stages(ray_session):
     # >= 13 of the 15 formal docs survive (the upstream Gopher gate or
     # a below-gap weight can eat the odd one) and NO slang doc passes
     assert len(docs3) >= 13 and all(d % 2 == 0 for d in docs3)
+
+
+def test_curate_corpus_perplexity_gate(ray_session):
+    """The optional CCNet-style stage: a repetitive-gibberish doc (high
+    per-token surprise under the corpus LM... actually LOW surprise when
+    repetitive — the planted doc here uses words absent from the rest of
+    the corpus, making its tokens rare and its mean negative logprob the
+    corpus maximum) is exactly what the tail cut removes."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(13)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(30)]
+    rows = []
+    for i in range(24):
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))})
+    # quality-passing doc made of words seen nowhere else -> rarest
+    # tokens in the corpus -> worst (highest) mean negative logprob
+    rare = [f"zq{i:03d}vv" for i in range(30)]
+    rows.append(
+        {"doc_id": 99, "text": " ".join(list(rng.choice(rare, size=40)) + list(rng.choice(stop, size=20)))}
+    )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    gated = curate_corpus(ds, max_tokens=512, ppl_tail_quantile=0.05).to_pandas()
+    docs = sorted(d for ids in gated["doc_ids"] for d in ids)
+    assert 99 not in docs  # the tail cut removed the outlier
+    assert len(docs) >= 22  # and little else
+
+    ungated = curate_corpus(ds, max_tokens=512).to_pandas()
+    docs_u = sorted(d for ids in ungated["doc_ids"] for d in ids)
+    assert 99 in docs_u  # without the gate it survives (Gopher-passing)
