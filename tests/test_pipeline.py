@@ -501,3 +501,68 @@ def test_curate_corpus_perplexity_gate(ray_session):
     ungated = curate_corpus(ds, max_tokens=512).to_pandas()
     docs_u = sorted(d for ids in ungated["doc_ids"] for d in ids)
     assert 99 in docs_u  # without the gate it survives (Gopher-passing)
+
+
+def test_curate_corpus_all_stages_compose(ray_session, tmp_path):
+    """Kitchen-sink composability: every optional curation stage ON at
+    once (near-dup + semantic dedup + decontamination + perplexity gate
+    + DSIR selection + BPE packing + sharded export) runs end to end
+    and each stage's planted victim is gone from the delivery."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(21)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(30)]
+    rows = []
+    for i in range(26):
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))})
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    rare = [f"zz{i:03d}qq" for i in range(30)]
+    rows.append({"doc_id": 101, "text": " ".join(list(rng.choice(rare, size=40)) + list(rng.choice(stop, size=20)))})  # ppl outlier
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+
+    # embeddings for ids 0..19; 4 and 6 share a vector (semantic dup)
+    vecs = rng.randn(20, 16)
+    vecs[6] = vecs[4]
+    emb = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": list(range(20)),
+                      "embedding": [v.tolist() for v in (vecs / np.linalg.norm(vecs, axis=1, keepdims=True))]})
+    )
+    bench = [" ".join(rows[2]["text"].split()[:20])]  # contaminates doc 2
+    target = [rows[0]["text"], rows[8]["text"]]
+    out = str(tmp_path / "delivery")
+
+    packed = curate_corpus(
+        ds,
+        max_tokens=256,
+        benchmark_texts=bench,
+        embeddings=emb,
+        semdedup_eps=0.95,
+        dsir_target_texts=target,
+        dsir_n=12,
+        ppl_tail_quantile=0.05,
+        tokenizer="bpe",
+        bpe_merges=30,
+        export_path=out,
+        n_shards=2,
+        join_partitions=2,
+    ).to_pandas()
+    docs = sorted(d for ids in packed["doc_ids"] for d in ids)
+    assert docs and len(docs) == len(set(docs)) <= 12  # DSIR cap holds
+    assert 100 not in docs  # exact dup
+    assert 101 not in docs  # perplexity outlier
+    assert 6 not in docs  # semantic dup (keeper is 4)
+    assert 2 not in docs  # contaminated
+    # the sharded delivery exists and unions to the packed output
+    import os
+
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert 1 <= len(shard_dirs) <= 2
+    exported = ray.data.read_parquet(out).count()
+    assert exported == len(packed)
