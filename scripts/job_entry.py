@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--resumable", action="store_true", help="partition-atomic lineage run")
     ap.add_argument("--concurrency", type=int, default=8)
     ap.add_argument("--max-content-length", type=int, default=None)
+    ap.add_argument(
+        "--datacard",
+        default=None,
+        metavar="PATH",
+        help="also write a markdown corpus datacard (profile + basic "
+        "gates) over the extraction output to PATH",
+    )
     args = ap.parse_args()
 
     import ray
@@ -53,7 +60,27 @@ def main() -> None:
         ds.write_parquet(args.output)
         n = None
     wall = time.perf_counter() - t0
-    print(json.dumps({"output": args.output, "wall_sec": round(wall, 3), "fragments": n}))
+    card = None
+    if args.datacard:
+        import ray.data
+
+        from fetch_engines_ray.ops import expectations as ex
+        from fetch_engines_ray.ops.datacard import write_datacard
+
+        out_ds = ray.data.read_parquet(args.output)
+        write_datacard(
+            args.datacard,
+            out_ds,
+            name=os.path.basename(args.output.rstrip("/")) or args.output,
+            columns=["doc_id", "title", "route", "quality_score"],
+            checks=[ex.not_null("doc_id"), ex.unique("doc_id"), ex.row_count(1, 10**15)],
+        )
+        card = args.datacard
+    print(
+        json.dumps(
+            {"output": args.output, "wall_sec": round(wall, 3), "fragments": n, "datacard": card}
+        )
+    )
     ray.shutdown()
 
 

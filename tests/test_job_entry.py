@@ -62,3 +62,16 @@ def test_job_entry_resumable_run_and_skip(tmp_path):
     second = _run(["--input", str(corpus), "--output", out, "--resumable",
                    "--concurrency", "2"])
     assert second["fragments"] == {"processed": 0, "skipped": 2, "rows": 0}
+
+
+def test_job_entry_writes_datacard(tmp_path):
+    corpus = str(tmp_path / "c.parquet")
+    _write_corpus(corpus, n=6)
+    out = str(tmp_path / "out")
+    card = str(tmp_path / "card.md")
+    res = _run(["--input", corpus, "--output", out, "--concurrency", "2", "--datacard", card])
+    assert res["datacard"] == card
+    text = open(card).read()
+    assert text.startswith("# Datacard:")
+    assert "## Column profile" in text and "## Quality gates" in text
+    assert "3/3 gates pass." in text
