@@ -419,6 +419,14 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
             {"eff": round(e, 3), "low_s": rl["value"], "high_s": rh["value"]}
             for e, rl, rh in round_results
         ],
+        # host-phase self-documentation: this box swings 2.5x+ between
+        # noise phases (BASELINE.md); the per-leg UDF-CPU cost is the
+        # phase-independent signal a reader needs to judge the run
+        # (quiet ~4 ms/doc, mid ~5-6, bad 7+)
+        "phase_udf_ms_per_doc": [
+            {"low": rl.get("udf_cpu_ms_per_doc"), "high": rh.get("udf_cpu_ms_per_doc")}
+            for _, rl, rh in round_results
+        ],
     }
 
 
