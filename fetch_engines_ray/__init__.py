@@ -8,13 +8,19 @@ Public surface (reference analog: /root/reference/src/index.ts:1-9):
 * :func:`run_resumable` — partition-atomic runner with lineage resume.
 * :func:`convert` — the pure per-document converter (M1-M22 chain).
 * :func:`pipelines.curate.curate_corpus` — the composed training-data
-  chain (dedup → decontamination → quality → PII → packing →
-  sharded export).
+  chain (dedup → semantic dedup → decontamination → perplexity gate →
+  quality → PII → DSIR selection → packing → sharded export; every
+  stage optional past the dedup core).
+* :func:`pipelines.search.build_search_index` / ``hybrid_search`` —
+  persisted IVFPQ + BM25 hybrid retrieval, hard-negative mining.
 * ``sources`` / ``ops`` submodules — readers/sinks and the
   training-data operator families (dedup incl. line-level +
-  incremental, similarity, text stats incl. decontamination + mixture
-  sampling, sketches incl. Bloom, profiling, partitioning incl.
-  sharded export, multimodal codecs).
+  incremental + substring + SemDeDup, similarity incl. PQ/IVFPQ,
+  retrieval (BM25/RRF), LM perplexity, DSIR, text stats incl.
+  decontamination + mixture sampling, windows, skew (salting), layout
+  (zone maps), graph (PageRank), expectations, drift, datacard,
+  sketches incl. Bloom, profiling, partitioning incl. sharded export,
+  multimodal codecs).
 """
 
 from .functions.converter import convert  # noqa: F401
