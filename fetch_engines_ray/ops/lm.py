@@ -62,21 +62,60 @@ def train_unigram_lm(
     """Distributed word counts -> finalized unigram LM table.
 
     Returns an Arrow table ``(word, n, logp_micro)`` sorted by word, one
-    extra OOV row (``word=OOV``) carrying the aggregate tail mass.  The
-    table is vocabulary-sized (``max_vocab + 1`` rows at most) — the only
-    thing that ever lands on the driver.
+    extra OOV row (``word=OOV``) carrying the aggregate tail mass.
+
+    With ``max_vocab`` set the driver NEVER sees the full distinct
+    vocabulary: each post-groupby batch keeps only its local top-N by
+    ``(n desc, word asc)`` and collapses everything it drops into one
+    sentinel row carrying the dropped mass (the same bounded-candidate
+    shape as :func:`fetch_engines_ray.ops.bpe.bpe_train`).  After the
+    groupby every word lives in exactly one batch, so the union of
+    local top-Ns is a superset of the global top-N — the kept vocab is
+    identical to a full-table cut, and the OOV mass is exact
+    (per-batch dropped mass + globally-cut candidate mass).  Driver
+    memory is O(max_vocab × num_batches), not O(distinct words).
+
+    With ``max_vocab=None`` the full vocab table IS the return value,
+    so the driver pull equals the contract — use ``max_vocab`` on
+    open-vocabulary web corpora.
     """
     from fetch_engines_ray.ops.textstats import word_counts
 
-    counts = word_counts(ds, text_col=text_col).to_pandas()
-    counts = counts.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
-    if max_vocab is not None and len(counts) > max_vocab:
+    wc = word_counts(ds, text_col=text_col)
+    if max_vocab is not None:
+        def local_top(batch: pa.Table) -> pa.Table:
+            n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = np.asarray(batch["word"].to_pylist(), dtype=object)
+            order = np.lexsort((w, -n))
+            keep, drop = order[:max_vocab], order[max_vocab:]
+            tail = np.zeros(len(keep) + 1, dtype=np.int64)
+            tail[-1] = int(n[drop].sum())
+            return pa.table(
+                {
+                    "word": pa.array(w[keep].tolist() + [None], type=pa.string()),
+                    "n": pa.array(np.concatenate([n[keep], [0]]), type=pa.int64()),
+                    "tail_n": pa.array(tail, type=pa.int64()),
+                }
+            )
+
+        cand = wc.map_batches(
+            local_top, batch_format="pyarrow", batch_size=max(2 * max_vocab, 8192)
+        ).to_pandas()
+        tail_total = int(cand["tail_n"].sum())
+        counts = (
+            cand[cand["word"].notna()][["word", "n"]]
+            .sort_values(["n", "word"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
         kept = counts.iloc[:max_vocab]
-        oov_n = int(counts.iloc[max_vocab:]["n"].sum())
+        oov_n = tail_total + int(counts.iloc[max_vocab:]["n"].sum())
+        total = oov_n + int(kept["n"].sum())
     else:
+        counts = wc.to_pandas()
+        counts = counts.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
         kept = counts
         oov_n = 0
-    total = int(counts["n"].sum())
+        total = int(counts["n"].sum())
     v = len(kept)
     denom = total + alpha * (v + 1)
     words = kept["word"].tolist() + [OOV]

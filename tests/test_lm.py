@@ -74,6 +74,40 @@ def test_max_vocab_truncation_matches_reference(lm_docs):
     assert min(by_id[i] for i in rare_docs) > max(by_id[i] for i in plain_docs)
 
 
+def test_bounded_train_matches_full_table_cut(ray_session):
+    """vocab >> max_vocab: the bounded (per-batch top-N + tail sentinel)
+    train path must keep the IDENTICAL vocabulary and exact OOV mass as
+    cutting the full count table — pinned row-for-row on the LM table."""
+    import ray.data
+
+    from fetch_engines_ray.ops.lm import OOV, train_unigram_lm
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(64):
+        # zipf-ish: low word ids appear in many docs, high ids are rare
+        toks = [f"w{int(v)}" for v in rng.zipf(1.3, size=40) if v < 5000]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(8)
+
+    full = train_unigram_lm(ds, max_vocab=None)
+    assert full.num_rows > 33  # corpus vocab genuinely exceeds the cap
+    bounded = train_unigram_lm(ds, max_vocab=32)
+    assert bounded.num_rows == 33
+
+    # reproduce the cut on the full table in-process
+    pdf = full.to_pandas()
+    pdf = pdf[pdf["word"] != OOV]
+    pdf = pdf.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
+    kept, dropped = pdf.iloc[:32], pdf.iloc[32:]
+    want_words = sorted(kept["word"].tolist() + [OOV])
+    assert bounded["word"].to_pylist() == want_words
+    got = dict(zip(bounded["word"].to_pylist(), bounded["n"].to_pylist()))
+    assert got[OOV] == int(dropped["n"].sum())  # exact OOV tail mass
+    for w, n in zip(kept["word"], kept["n"]):
+        assert got[w] == int(n)
+
+
 def test_empty_docs_bucket_empty(lm_docs):
     _, out = _ray_scored(lm_docs)
     empty = out[out["doc_id"] >= 900]
