@@ -34,27 +34,21 @@ _EPS = 1e-6  # add-epsilon smoothing for empty buckets (standard PSI practice)
 
 
 def numeric_edges(
-    ds: "ray.data.Dataset", col: str, n_buckets: int = 10
+    ds: "ray.data.Dataset", col: str, n_buckets: int = 10, bins: int = 4096
 ) -> np.ndarray:
-    """Reference-snapshot bucket edges: quantiles of ``col`` via one
-    distributed sort (exact, like ops.lm.mean_neg_quantiles but over a
-    numeric column).  Returns ``n_buckets - 1`` interior edges."""
+    """Reference-snapshot bucket edges: approximate quantiles of ``col``
+    from the mergeable fixed-width histogram sketch
+    (:func:`fetch_engines_ray.ops.sketches.approx_quantiles`) — two
+    streaming aggregate passes moving O(bins) bytes per block, NO sort
+    and nothing row-scaled through the driver.  Per-edge error is
+    bounded by one sketch-bucket width, (max-min)/bins, which is far
+    inside what PSI bucketing can distinguish.  Returns ``n_buckets-1``
+    interior edges."""
+    from fetch_engines_ray.ops.sketches import approx_quantiles
+
     qs = [(i + 1) / n_buckets for i in range(n_buckets - 1)]
-    vals = ds.select_columns([col])
-    n = vals.count()
-    ranks = sorted(min(n - 1, int(q * n)) for q in qs)
-    picked: list[float] = []
-    offset = 0
-    for b in vals.sort(col).iter_batches(batch_format="pandas", batch_size=65536):
-        for r in ranks[len(picked):]:
-            if r < offset + len(b):
-                picked.append(float(b[col].iloc[r - offset]))
-            else:
-                break
-        offset += len(b)
-        if len(picked) == len(ranks):
-            break
-    return np.asarray(picked)
+    picked = approx_quantiles(ds.select_columns([col]), col, qs, bins=bins)
+    return np.asarray(picked, dtype=np.float64)
 
 
 def numeric_histogram(
