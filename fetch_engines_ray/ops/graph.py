@@ -19,8 +19,10 @@ posture as ``ops/clustering.kmeans_fit``):
   ``groupby(dst).sum`` shuffle builds the next vector;
 - dangling-node mass and the teleport term are folded in driver-side
   (scalars).  The rank table is the only driver-resident state —
-  ``O(nodes)``, with the documented handoff to a join-based rank table
-  when even that outgrows the driver.
+  ``O(nodes)``; :func:`pagerank_distributed` is the handoff for graphs
+  whose node set outgrows the driver (ranks live as a Dataset, each
+  iteration is a partitioned attach + groupby-sum, driver state is
+  three scalars).
 
 Determinism: ranks are float64; per-iteration sums run through Ray's
 Sum aggregate (block-order dependent at the ULP level, like every
@@ -123,6 +125,159 @@ def pagerank(
         if delta < tol:
             break
     return pd.DataFrame({"node": node_ids, "rank": rank})
+
+
+def pagerank_distributed(
+    edges: "ray.data.Dataset",
+    damping: float = 0.85,
+    n_iters: int = 20,
+    tol: float = 1e-9,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """PageRank with the rank table as a DATASET — the documented
+    handoff for graphs whose node set outgrows the driver (a 100-TB
+    link graph has 10^9-10^10 nodes; :func:`pagerank`'s broadcast
+    vector is the small-graph fast path).
+
+    Shape per iteration (the ``dedup_clusters_distributed`` posture —
+    ops/dedup.py — applied to power iteration):
+
+    - per-edge contributions: ``edges ⋈ ranks`` on ``src`` via
+      ``_partitioned_attach`` (Ray's hash join dies on partitions that
+      receive zero blocks from one side — guaranteed here, because
+      dangling nodes hold rank rows but never appear as ``src``), then
+      per-batch pre-aggregation by ``dst`` and ONE ``groupby(dst).sum``;
+    - new ranks: contributions left-attached back onto the node table
+      the same way; teleport + dangling mass folded in per batch;
+    - driver-side state per iteration is three SCALARS (node count,
+      dangling mass, max |delta|); the rank table is materialized per
+      iteration so the plan does not deepen.
+
+    Returns a ``(node:int64, rank:float64)`` Dataset summing to 1.0.
+    The pytest pins parity with :func:`pagerank` at 1e-9.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from fetch_engines_ray.ops.dedup import _partitioned_attach
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(u, type=pa.int64())})
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pyarrow", batch_size=8192)
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    n = nodes.count()
+    if n == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], type=pa.int64()), "rank": pa.array([], type=pa.float64())})
+        )
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    with_deg = _partitioned_attach(
+        nodes,
+        deg,
+        key_col="node",
+        carry=[("node", pa.int64())],
+        value_col="deg",
+        value_type=pa.int64(),
+        out_col="deg",
+        n_parts=n_parts,
+        how="left",
+        lookup_key="src",
+    )
+
+    def init_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        # left-attach null-pads deg (pandas float64) — counts are small,
+        # exact in float64, cast back before anything else sees them
+        return pd.DataFrame(
+            {
+                "node": batch["node"].astype("int64"),
+                "deg": batch["deg"].fillna(0).astype("int64"),
+                "rank": np.full(len(batch), 1.0 / n),
+            }
+        )
+
+    ranks = with_deg.map_batches(init_rank, batch_format="pandas").materialize()
+
+    def to_contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": batch["node"],
+                "cpe": batch["rank"].to_numpy() / np.maximum(batch["deg"].to_numpy(), 1),
+            }
+        )
+
+    def preagg_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        d_u, inv = np.unique(batch["dst"].to_numpy(), return_inverse=True)
+        acc = np.zeros(len(d_u))
+        np.add.at(acc, inv, batch["c"].to_numpy())
+        return pd.DataFrame({"dst": d_u.astype("int64"), "c": acc})
+
+    for _ in range(n_iters):
+        dangling = ranks.filter(expr="deg == 0").sum("rank") or 0.0
+        attached = _partitioned_attach(
+            edges,
+            ranks.map_batches(to_contrib, batch_format="pandas"),
+            key_col="src",
+            carry=[("dst", pa.int64())],
+            value_col="cpe",
+            value_type=pa.float64(),
+            out_col="c",
+            n_parts=n_parts,
+            how="inner",
+            lookup_key="node",
+        )
+        sums = (
+            attached.map_batches(preagg_dst, batch_format="pandas")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        joined = _partitioned_attach(
+            ranks,
+            sums,
+            key_col="node",
+            carry=[("node", pa.int64()), ("deg", pa.int64()), ("rank", pa.float64())],
+            value_col="c",
+            value_type=pa.float64(),
+            out_col="c",
+            n_parts=n_parts,
+            how="left",
+            lookup_key="dst",
+        )
+
+        def step(batch: pd.DataFrame, dang=dangling) -> pd.DataFrame:
+            old = batch["rank"].to_numpy()
+            new = (1.0 - damping) / n + damping * (
+                batch["c"].fillna(0.0).to_numpy() + dang / n
+            )
+            return pd.DataFrame(
+                {
+                    "node": batch["node"].astype("int64"),
+                    "deg": batch["deg"].astype("int64"),
+                    "rank": new,
+                    "delta": np.abs(new - old),
+                }
+            )
+
+        stepped = joined.map_batches(step, batch_format="pandas").materialize()
+        delta = stepped.max("delta")
+        ranks = stepped.drop_columns(["delta"])  # lazy projection over the materialized base
+        if delta < tol:
+            break
+    return ranks.drop_columns(["deg"])
 
 
 def pagerank_reference(

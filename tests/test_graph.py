@@ -55,6 +55,63 @@ def test_pagerank_larger_random_graph_parity(ray_session):
     assert np.allclose(got["rank"], want["rank"], atol=1e-9)
 
 
+def test_pagerank_distributed_matches_broadcast(ray_session):
+    """The join-based rank-table form must match the broadcast-vector
+    fast path at 1e-9 — hub fixture (dangling node, authority) AND a
+    random graph; early-stop convergence behaves the same."""
+    from fetch_engines_ray.ops.graph import pagerank, pagerank_distributed
+
+    # fixed iteration count on both forms: parity is per-iteration, so
+    # it pins the whole update rule without waiting for convergence
+    for edges, iters in (
+        (_hub_graph(), 12),
+        (
+            list(
+                {
+                    (int(a), int(b))
+                    for a, b in np.random.RandomState(43).randint(0, 150, size=(2000, 2))
+                    if a != b
+                }
+            ),
+            6,
+        ),
+    ):
+        got = (
+            pagerank_distributed(_ds(edges), n_iters=iters)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = pagerank(_ds(edges), n_iters=iters).sort_values("node").reset_index(drop=True)
+        assert got["node"].tolist() == want["node"].tolist()
+        assert np.allclose(got["rank"], want["rank"], atol=1e-9)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_single_pair(ray_session):
+    """Tiny sparse graph (1 edge, 1 dangling node) — exactly the shape
+    that kills Ray's hash join with schema-less empty partitions; the
+    partitioned-attach path must survive it."""
+    from fetch_engines_ray.ops.graph import pagerank, pagerank_distributed
+
+    edges = [(7, 13)]
+    got = pagerank_distributed(_ds(edges), n_iters=4).to_pandas().sort_values("node")
+    want = pagerank(_ds(edges), n_iters=4).sort_values("node")
+    assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(), atol=1e-9)
+
+
+def test_pagerank_distributed_empty_graph(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.graph import pagerank_distributed
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+    )
+    out = pagerank_distributed(empty)
+    assert out.count() == 0
+
+
 def test_pagerank_empty_graph(ray_session):
     import ray.data
 
