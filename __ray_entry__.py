@@ -15,6 +15,8 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+from fetch_engines_ray.arrowclean import read_parquet_clean
+
 _SYNTH_DOCS = {"0.001": 300, "0.01": 1500, "0.1": 6000}
 
 
@@ -229,7 +231,7 @@ def _q_gif_decode(sf_dir: str) -> Any:
 def _read_documents(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _q_doc_token_counts(sf_dir: str) -> Any:
@@ -505,7 +507,7 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
 def _read_embeddings(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_knn_bruteforce(sf_dir: str) -> Any:
@@ -546,7 +548,7 @@ def _q_doc_lm_perplexity(sf_dir: str) -> Any:
 
     from fetch_engines_ray.ops.lm import score_perplexity, train_unigram_lm
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     lm = train_unigram_lm(ds)
     scored = score_perplexity(ds, lm, buckets=_LM_BUCKETS)
     return (
@@ -640,7 +642,7 @@ def _q_events_value_lag(sf_dir: str) -> Any:
 
     from fetch_engines_ray.ops.window import lag_lead
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
 
     def to_exact(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -672,7 +674,7 @@ def _q_parts_in_supplier_band(sf_dir: str) -> Any:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    supplier = ray.data.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    supplier = read_parquet_clean(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
 
     def to_interval(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -684,7 +686,7 @@ def _q_parts_in_supplier_band(sf_dir: str) -> Any:
         )
 
     intervals = supplier.map_batches(to_interval, batch_format="pyarrow", batch_size=8192)
-    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    parts = read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
     out = interval_join_counts(
         parts, intervals,
         point_val="p_retailprice", point_id="p_partkey",

@@ -22,6 +22,8 @@ import subprocess
 import sys
 import time
 
+from fetch_engines_ray.arrowclean import read_parquet_clean
+
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
 
 # Headline corpus sizes per sf level (synthetic interleaved docs;
@@ -135,7 +137,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
 
-        return minhash_lsh_pairs(ray.data.read_parquet(f"{sf}/documents.parquet"))
+        return minhash_lsh_pairs(read_parquet_clean(f"{sf}/documents.parquet"))
 
     def _raw_knn(sf: str):
         import ray.data
@@ -143,7 +145,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         from fetch_engines_ray.ops.similarity import knn_bruteforce
 
         return knn_bruteforce(
-            ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
             query_ids=list(range(8)),
             k=10,
         )
@@ -154,7 +156,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         from fetch_engines_ray.ops.dedup import line_dedup
 
         return line_dedup(
-            ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         )
 
     def _kmeans(sf: str):
@@ -162,7 +164,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         from fetch_engines_ray.ops.clustering import kmeans_assign, kmeans_fit
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        emb = read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         cents = kmeans_fit(emb, n_clusters=16, n_iters=4)
         return kmeans_assign(emb, cents)
 
@@ -171,7 +173,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         from fetch_engines_ray.ops.bpe import bpe_encode, bpe_train
 
-        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        docs = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         merges = bpe_train(docs, n_merges=200)
         return bpe_encode(docs, merges)
 
@@ -184,7 +186,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         from fetch_engines_ray.ops.classifier import logreg_fit, logreg_score
         from fetch_engines_ray.ops.textstats import text_features_pipeline
 
-        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+        docs = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
         feats = text_features_pipeline(docs).map_batches(
             lambda b: b.append_column(
                 "label", _pc.cast(_pc.equal(b["lang"], _pa.scalar("en")), _pa.int64())
@@ -204,7 +206,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         from fetch_engines_ray.ops.ann_index import build_ivf_index, search_ivf_index
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        emb = read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         path = tempfile.mkdtemp(prefix="fer_bench_ivf_")
         try:
             build_ivf_index(emb, path, n_clusters=16, n_iters=3)
@@ -220,7 +222,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         from fetch_engines_ray.ops.semdedup import semdedup
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        emb = read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return semdedup(emb, eps=0.95)
 
     def _dsir(sf: str):
@@ -234,7 +236,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
             target_bucket_counts,
         )
 
-        docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        docs = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         target = [r["text"] for r in docs.take(64)]
         lr = log_importance_ratio(target_bucket_counts(target), raw_bucket_counts(docs))
         return dsir_resample(dsir_weights(docs, lr), n=100, seed=0)
@@ -249,7 +251,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
         from fetch_engines_ray.ops.ann_index import build_ivfpq_index, search_ivfpq_index
 
-        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        emb = read_parquet_clean(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         path = tempfile.mkdtemp(prefix="fer_bench_ivfpq_")
         try:
             build_ivfpq_index(emb, path, n_clusters=16, pq_m=8, pq_ksub=64, n_iters=3)

@@ -38,6 +38,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from fetch_engines_ray.arrowclean import read_parquet_clean
+
 from .clustering import kmeans_fit
 from .similarity import _normalize, _to_matrix
 
@@ -206,7 +208,7 @@ def search_ivf_index(
         )
 
     cand = (
-        ray.data.read_parquet(dirs, columns=[id_col, "cluster_id", vec_col])
+        read_parquet_clean(dirs, columns=[id_col, "cluster_id", vec_col])
         .map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
         .to_pandas()
     )
@@ -383,7 +385,7 @@ def search_ivfpq_index(
         )
 
     cand = (
-        ray.data.read_parquet(dirs, columns=[id_col, "cluster_id", "pq_code"])
+        read_parquet_clean(dirs, columns=[id_col, "cluster_id", "pq_code"])
         .map_batches(local_topk, batch_format="pyarrow", batch_size=8192)
         .to_pandas()
     )

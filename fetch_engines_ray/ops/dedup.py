@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+from fetch_engines_ray.arrowclean import read_parquet_clean
 from ray.data.aggregate import Count, Min
 
 _MERSENNE = (1 << 61) - 1
@@ -304,7 +306,7 @@ def _checkpoint_parquet(
     os.makedirs(root, exist_ok=True)
     path = tempfile.mkdtemp(prefix=f"fer_{tag}_", dir=root)
     ds.write_parquet(path)
-    return ray.data.read_parquet(path), path
+    return read_parquet_clean(path), path
 
 
 def _cleanup_checkpoint(path: str) -> None:
@@ -610,7 +612,7 @@ def minhash_incremental_pairs(
     # optional persist — checkpoint once, stream back per consumer
     new_sigs, tmp = _checkpoint_parquet(new_sigs_stream, "minhash_new")
     try:
-        base_sigs = ray.data.read_parquet(checkpoint_path)
+        base_sigs = read_parquet_clean(checkpoint_path)
         all_sigs = base_sigs.union(new_sigs)
         band = lambda b: _band_rows(b, num_bands)  # noqa: E731
         new_banded = new_sigs.map_batches(band, batch_format="pyarrow", batch_size=1024)

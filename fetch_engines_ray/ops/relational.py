@@ -24,11 +24,13 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from fetch_engines_ray.arrowclean import read_parquet_clean
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _add_int_scaled(ds, col: str, out_col: str, scale: float = 100.0):

@@ -36,6 +36,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from fetch_engines_ray.arrowclean import read_parquet_clean
+
 from ..stages.extract import (
     OUTPUT_SCHEMA,
     DocumentExtractor,
@@ -100,7 +102,7 @@ def safe_pool_size(num_cpus: Optional[int] = None, headroom: int = 2) -> tuple:
 
 def read_corpus(path: str, cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
     cfg = cfg or PipelineConfig()
-    return ray.data.read_parquet(path, columns=list(cfg.read_columns))
+    return read_parquet_clean(path, columns=list(cfg.read_columns))
 
 
 def build_pipeline(ds: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":

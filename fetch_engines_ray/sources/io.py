@@ -31,6 +31,8 @@ import pyarrow as pa
 
 import ray.data
 
+from fetch_engines_ray.arrowclean import read_parquet_clean
+
 from ..stages.extract import RAW_SPAN_TYPE
 
 INPUT_COLUMNS = ("doc_id", "spans", "archetype", "base_url")
@@ -48,7 +50,7 @@ CORPUS_SCHEMA = pa.schema(
 def read_corpus_parquet(path: str, columns: Optional[Iterable[str]] = None) -> "ray.data.Dataset":
     """Column-pruned parquet corpus reader (only requested columns leave
     storage)."""
-    return ray.data.read_parquet(path, columns=list(columns or INPUT_COLUMNS))
+    return read_parquet_clean(path, columns=list(columns or INPUT_COLUMNS))
 
 
 def read_corpus_lance(path: str, columns: Optional[Iterable[str]] = None) -> "ray.data.Dataset":
