@@ -69,26 +69,55 @@ def validate_schema(fields: list[FieldSpec]) -> None:
         )
 
 
-class StructuredExtractor:
-    """``map_batches`` callable: text batches in → typed field table out.
+@dataclass(frozen=True)
+class ProviderSpec:
+    """Backend-selection config, mirroring the reference's
+    ``StructuredContentOptions``/``ApiConfig`` surface
+    (/root/reference/src/StructuredContentEngine.ts:23-44 — required
+    model name, OpenAI-compatible ``baseURL`` override, custom headers,
+    API key from an environment variable — and the per-model knobs of
+    ``getModelConfig``, ts:389-404) plus a token-budget cap over the
+    ``usage`` accounting the reference returns per result (ts:49-64).
 
-    Stateless beyond the validated schema, so it runs as a task-pool
-    stage by default; pass it as a callable CLASS with ``concurrency=``
-    when a future extractor holds expensive state (an LLM client, a
-    compiled grammar) — the contract stays the same.
+    The default backend is deterministic (the per-field RE2 extractor),
+    so the engine stays network-free; an LLM-backed
+    ``backend_factory`` reads this spec in the actor's ``__init__``.
+    The API key itself is never stored here — only the env-var NAME —
+    so specs serialize safely into actor constructors.
     """
 
-    def __init__(
-        self, fields: list[FieldSpec], text_col: str = "text", id_col: str = "doc_id"
-    ) -> None:
-        validate_schema(fields)
-        self.fields = fields
-        self.text_col = text_col
-        self.id_col = id_col
+    model: str = "deterministic/regex-v1"
+    base_url: Optional[str] = None
+    api_key_env: str = "OPENAI_API_KEY"
+    # tuple-of-pairs, not dict: frozen dataclass + hashable + picklable
+    headers: tuple = ()
+    custom_prompt: Optional[str] = None
+    # cumulative per-actor cap on usage.total_tokens; None = unmetered
+    max_total_tokens: Optional[int] = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch[self.text_col]
-        cols: dict = {self.id_col: batch[self.id_col]}
+    def model_options(self) -> dict:
+        """Per-model request knobs (``getModelConfig`` analog,
+        StructuredContentEngine.ts:389-404)."""
+        if self.model.startswith("gpt-5"):
+            return {"reasoning_effort": "low"}
+        if self.model.startswith("gpt-4.1"):
+            return {"temperature": 0}
+        return {}
+
+
+class DeterministicRegexBackend:
+    """Default backend: per-field vectorized RE2 extraction (one
+    ``extract_regex`` + ``cast`` per field per batch, no per-row
+    Python).  Usage accounting is deterministic — prompt tokens =
+    whitespace token count of the batch texts, completion tokens = 0 —
+    so budget caps are testable without a network."""
+
+    def __init__(self, spec: ProviderSpec, fields: list[FieldSpec]) -> None:
+        self.spec = spec
+        self.fields = fields
+
+    def extract(self, text: "pa.ChunkedArray") -> tuple[dict, tuple[int, int]]:
+        cols: dict = {}
         for f in self.fields:
             # extract_regex yields a struct with one field per capture
             # group; a non-match yields null → filled with the default
@@ -99,6 +128,78 @@ class StructuredExtractor:
             if f.default is not None:
                 val = pcompute.fill_null(val, pa.scalar(f.default, type=f.dtype))
             cols[f.name] = val
+        prompt_tokens = int(
+            pcompute.sum(
+                pcompute.list_value_length(
+                    pcompute.split_pattern_regex(
+                        pcompute.utf8_trim_whitespace(pcompute.fill_null(text, "")), r"\s+"
+                    )
+                )
+            ).as_py()
+            or 0
+        )
+        return cols, (prompt_tokens, 0)
+
+
+def _default_backend_factory(spec: ProviderSpec, fields: list[FieldSpec]):
+    return DeterministicRegexBackend(spec, fields)
+
+
+class StructuredExtractor:
+    """``map_batches`` callable: text batches in → typed field table out.
+
+    Stateless beyond the validated schema with the default backend, so
+    it runs as a task-pool stage by default; pass it as a callable
+    CLASS with ``concurrency=`` when the backend holds expensive state
+    (an LLM client, a compiled grammar) — the contract stays the same.
+
+    ``provider``/``backend_factory`` is where a real LLM provider plugs
+    in: the factory is called once per actor in ``__init__`` with the
+    :class:`ProviderSpec` and field list, and must return an object
+    with ``extract(text_array) -> (per-field column dict,
+    (prompt_tokens, completion_tokens))``.  ``emit_usage=True`` adds the
+    reference's usage columns to every output row;
+    ``spec.max_total_tokens`` enforces a cumulative per-worker budget
+    (exhaustion raises, mirroring a provider quota error surfacing).
+    """
+
+    def __init__(
+        self,
+        fields: list[FieldSpec],
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        provider: Optional[ProviderSpec] = None,
+        backend_factory=None,
+        emit_usage: bool = False,
+    ) -> None:
+        validate_schema(fields)
+        self.fields = fields
+        self.text_col = text_col
+        self.id_col = id_col
+        self.provider = provider or ProviderSpec()
+        self.backend = (backend_factory or _default_backend_factory)(self.provider, self.fields)
+        self.emit_usage = emit_usage
+        self._spent_tokens = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        values, (p_tok, c_tok) = self.backend.extract(text)
+        total = p_tok + c_tok
+        cap = self.provider.max_total_tokens
+        if cap is not None:
+            self._spent_tokens += total
+            if self._spent_tokens > cap:
+                raise RuntimeError(
+                    f"provider token budget exhausted: spent {self._spent_tokens} "
+                    f"of max_total_tokens={cap} (model={self.provider.model})"
+                )
+        cols: dict = {self.id_col: batch[self.id_col]}
+        cols.update(values)
+        if self.emit_usage:
+            n = batch.num_rows
+            cols["usage_prompt_tokens"] = pa.array([p_tok] * n, type=pa.int64())
+            cols["usage_completion_tokens"] = pa.array([c_tok] * n, type=pa.int64())
+            cols["usage_total_tokens"] = pa.array([total] * n, type=pa.int64())
         return pa.table(cols)
 
 
@@ -110,6 +211,9 @@ def structured_extract(
     batch_size: Optional[int] = 4096,
     concurrency: Optional[int] = None,
     extractor_cls: type = StructuredExtractor,
+    provider: Optional[ProviderSpec] = None,
+    backend_factory=None,
+    emit_usage: bool = False,
 ) -> "ray.data.Dataset":
     """Run schema-driven extraction over a document Dataset; returns a
     Dataset of (id, <field>...) with the declared Arrow types.
@@ -122,12 +226,21 @@ def structured_extract(
     StructuredContentEngine.ts:366-384) and the output contract is
     identical; ``tests/test_structured.py`` pins task-pool == actor-pool
     equality."""
+    kwargs = {"fields": fields, "text_col": text_col, "id_col": id_col}
+    # only forward provider kwargs when set, so custom extractor classes
+    # with the original three-kwarg signature keep working
+    if provider is not None:
+        kwargs["provider"] = provider
+    if backend_factory is not None:
+        kwargs["backend_factory"] = backend_factory
+    if emit_usage:
+        kwargs["emit_usage"] = emit_usage
     if concurrency is None:
-        ex = extractor_cls(fields, text_col=text_col, id_col=id_col)
+        ex = extractor_cls(**kwargs)
         return ds.map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(
         extractor_cls,
-        fn_constructor_kwargs={"fields": fields, "text_col": text_col, "id_col": id_col},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
