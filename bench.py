@@ -122,6 +122,55 @@ def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def bench_curate(sf_dir: str) -> dict:
+    """The composed curation chain a real user runs at 100 TB — exact +
+    minhash near-dedup, SemDeDup over the parallel embeddings table,
+    benchmark decontamination, gopher quality gate + PII redaction,
+    CCNet perplexity tail cut, DSIR selection, sequence packing — timed
+    end-to-end over the documents table.
+
+    ``udf_cpu_ms_per_doc`` here covers the returned packed Dataset's
+    lineage (the full lazy chain re-executed at the final consume); the
+    eager side-computations inside the chain (minhash pair
+    verification, LM quantile cut) are in the wall time but not the UDF
+    sum — it is the phase guard, not a complete CPU account."""
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n_docs = docs.count()
+    bench_texts = [r["text"] for r in docs.take(4)]
+    dsir_target = [r["text"] for r in docs.take(32)]
+
+    t0 = time.perf_counter()
+    packed = curate_corpus(
+        docs,
+        max_tokens=512,
+        benchmark_texts=bench_texts,
+        embeddings=emb,
+        semdedup_eps=0.95,
+        dsir_target_texts=dsir_target,
+        dsir_n=max(256, n_docs // 2),
+        ppl_tail_quantile=0.05,
+    )
+    # materialize, not count(): count() routes through an internal
+    # AggregateNumRows dataset and leaves .stats() empty; the packed
+    # output is sequence-scale tiny
+    packed = packed.materialize()
+    n_seqs = packed.count()
+    dt = time.perf_counter() - t0
+    udf_s = _udf_cpu_seconds(packed.stats())
+    return {
+        "sec": dt,
+        "docs": n_docs,
+        "sequences": n_seqs,
+        "docs_per_sec": n_docs / dt,
+        "udf_cpu_ms_per_doc": round(1000.0 * udf_s / n_docs, 3),
+    }
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     """Secondary pipelines (agg / dedup / knn / relational)."""
     import __ray_entry__ as entrymod
@@ -344,8 +393,11 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
     ext = bench_extraction(sf_dir, num_cpus)
     ctx.op_resource_reservation_enabled = True
     queries = {"extraction": round(ext["sec"], 3)}
+    curate = None
     if include_queries:
         queries.update(bench_queries(sf_dir))
+        curate = bench_curate(sf_dir)
+        queries["curate_corpus"] = round(curate["sec"], 3)
     result = {
         "metric": "end_to_end_extraction_wall_time",
         "value": round(ext["sec"], 3),
@@ -359,6 +411,14 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
         # with host noise; UDF CPU per doc stays flat for unchanged code)
         "udf_cpu_ms_per_doc": ext["udf_cpu_ms_per_doc"],
     }
+    if curate is not None:
+        result["curate"] = {
+            "sec": round(curate["sec"], 3),
+            "docs": curate["docs"],
+            "sequences": curate["sequences"],
+            "docs_per_sec": round(curate["docs_per_sec"], 1),
+            "udf_cpu_ms_per_doc": curate["udf_cpu_ms_per_doc"],
+        }
     ray.shutdown()
     return result
 
