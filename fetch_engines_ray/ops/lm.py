@@ -226,9 +226,13 @@ def perplexity_reference(
 def mean_neg_quantiles(
     scored: "ray.data.Dataset", qs: Sequence[float] = (1 / 3, 2 / 3)
 ) -> list[int]:
-    """Corpus-specific bucket cut points: exact quantiles of the
-    per-token mean negative log-probability (one distributed sort over
-    an int64 column; the result is ``len(qs)`` scalars)."""
+    """Corpus-specific bucket cut points: EXACT quantiles of the
+    per-token mean negative log-probability via iterative histogram
+    narrowing (:func:`fetch_engines_ray.ops.sketches.exact_int_quantiles`
+    — streaming aggregate passes with O(bins) driver state; the
+    previous form sorted the column and streamed it through the driver
+    up to the last rank, ~95 % of all rows for a 0.95 tail cut)."""
+    from fetch_engines_ray.ops.sketches import exact_int_quantiles
 
     def mean_neg(batch: pa.Table) -> pa.Table:
         tc = batch["lm_token_count"].to_numpy(zero_copy_only=False)
@@ -238,17 +242,4 @@ def mean_neg_quantiles(
     vals = scored.map_batches(mean_neg, batch_format="pyarrow")
     n = vals.count()
     ranks = sorted(min(n - 1, int(q * n)) for q in qs)
-    # sort + per-block offset scan: only the `len(qs)` hit rows move
-    sorted_ds = vals.sort("mean_neg")
-    picked = []
-    offset = 0
-    for b in sorted_ds.iter_batches(batch_format="pandas", batch_size=65536):
-        for r in ranks[len(picked):]:
-            if r < offset + len(b):
-                picked.append(int(b["mean_neg"].iloc[r - offset]))
-            else:
-                break
-        offset += len(b)
-        if len(picked) == len(ranks):
-            break
-    return picked
+    return exact_int_quantiles(vals, "mean_neg", ranks)

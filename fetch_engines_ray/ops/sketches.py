@@ -227,6 +227,89 @@ def approx_quantiles(
     return quantiles_from_histogram(blob, lo, hi, qs)
 
 
+class IntHistogram(AggregateFnV2):
+    """Integer-bucketed histogram over ``[lo, hi]`` (inclusive): bucket
+    ``b`` covers the integer interval ``[lo + b*width, lo + (b+1)*width)``
+    with an integer ``width``, so bucket membership is exact — the
+    building block for :func:`exact_int_quantiles`."""
+
+    def __init__(self, on: str, lo: int, hi: int, width: int, nbuckets: int, alias_name=None):
+        self._lo, self._width, self._n = int(lo), int(width), int(nbuckets)
+        super().__init__(
+            alias_name or f"int_histogram({on})",
+            zero_factory=lambda: bytes(8 * nbuckets),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.zeros(self._n, dtype=np.int64)
+        if len(v):
+            idx = np.clip((v - self._lo) // self._width, 0, self._n - 1)
+            np.add.at(counts, idx, 1)
+        return counts.tobytes()
+
+    def combine(self, a: bytes, b: bytes) -> bytes:
+        return (np.frombuffer(a, dtype=np.int64) + np.frombuffer(b, dtype=np.int64)).tobytes()
+
+    def finalize(self, accumulator: bytes) -> bytes:
+        return accumulator
+
+
+def exact_int_quantiles(
+    ds: "ray.data.Dataset", column: str, ranks: list[int], bins: int = 4096
+) -> list[int]:
+    """EXACT order statistics of an int64 column at the given 0-indexed
+    ``ranks`` — without sorting and without streaming rows through the
+    driver (the scale-killer the sorted-scan form had: picking the 0.95
+    quantile pulled ~95 % of all rows through one process).
+
+    Iterative histogram narrowing: each level is ONE streaming
+    ``IntHistogram`` aggregate over the (range-filtered) column; the
+    bucket containing the rank becomes the next level's range.  Integer
+    widths shrink the range ≥ ``bins``× per level, so full-int64 data
+    resolves in ≤ 5 levels and typical bounded scores in 1-2; driver
+    state is O(bins) per level.  Exactness: buckets partition the
+    integers, so the rank's bucket — and, once ``width == 1``, the
+    rank's exact value — follows from the counts alone.
+    """
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(column, alias_name="lo"), Max(column, alias_name="hi"))
+    if mm["lo"] is None:
+        return []
+    g_lo, g_hi = int(mm["lo"]), int(mm["hi"])
+
+    def histogram(level, lo, hi):
+        span = hi - lo + 1
+        width = -(-span // bins)  # ceil: integer bucket width >= 1
+        n_b = -(-span // width)
+        blob = level.aggregate(IntHistogram(column, lo, hi, width, n_b, alias_name="h"))["h"]
+        return np.cumsum(np.frombuffer(blob, dtype=np.int64)), width
+
+    # the first level covers the full range for every rank — one pass
+    first_cum, first_width = (histogram(ds, g_lo, g_hi)) if g_hi > g_lo else (None, 1)
+
+    out: list[int] = []
+    for rank in ranks:
+        lo, hi, r = g_lo, g_hi, int(rank)
+        level, cum, width = ds, first_cum, first_width
+        while hi > lo:
+            b = int(np.searchsorted(cum, r + 1, side="left"))
+            r -= int(cum[b - 1]) if b > 0 else 0
+            lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+            if width == 1:
+                break
+            level = level.filter(expr=f"{column} >= {lo} and {column} <= {hi}")
+            cum, width = histogram(level, lo, hi)
+        out.append(lo)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters: mergeable Misra-Gries summary
 # ---------------------------------------------------------------------------

@@ -598,6 +598,30 @@ def test_approx_quantiles_vs_numpy(ray_session):
     assert approx_quantiles(one, "v", [0.5]) == [7.0]
 
 
+def test_exact_int_quantiles_vs_numpy(ray_session):
+    """EXACT order statistics by histogram narrowing: must equal the
+    sorted-array pick bit-for-bit, across skew, negatives, duplicates,
+    wide ranges (multi-level narrowing) and constants."""
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import exact_int_quantiles
+
+    rng = np.random.RandomState(17)
+    cases = [
+        rng.randint(-50, 50, 5000),                          # narrow: width==1 first level
+        (rng.lognormal(10, 3, 8000)).astype(np.int64),       # wide + skew: multi-level
+        np.concatenate([np.full(7000, 42), rng.randint(0, 10**12, 1000)]),  # hot value
+        np.full(500, -9),                                    # constant
+    ]
+    for vals in cases:
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals.astype(np.int64)})).repartition(6)
+        n = len(vals)
+        ranks = sorted({0, n // 3, n // 2, (19 * n) // 20, n - 1})
+        got = exact_int_quantiles(ds, "v", ranks)
+        want = [int(np.sort(vals)[r]) for r in ranks]
+        assert got == want, (got, want)
+
+
 def test_heavy_hitters_finds_planted(ray_session):
     import ray.data
 
