@@ -32,7 +32,46 @@ def strip_schema_metadata(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(_strip_meta, batch_format="pyarrow", batch_size=None)
 
 
+def _clean_read_schema(paths, columns):
+    """A metadata-free, column-projected schema for ``read_parquet``'s
+    ``schema=`` argument, derived from the first local parquet file —
+    this kills the unhashable-metadata problem INSIDE the read operator
+    (``ReadParquet->SplitBlocks`` unify-hashes block schemas before any
+    downstream stage can strip them).  Returns None when it cannot be
+    derived safely (remote paths, hive-partition columns not present in
+    the file), in which case the strip stage still covers every stage
+    after the read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            if not files:
+                return None
+            path = files[0]
+        schema = pq.read_schema(path)
+    except Exception:
+        return None
+    if columns is not None:
+        if any(c not in schema.names for c in columns):
+            return None  # e.g. hive partition columns live in the path
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema.remove_metadata()
+
+
 def read_parquet_clean(paths, **kwargs) -> "ray.data.Dataset":
-    """``ray.data.read_parquet`` + schema-metadata strip — the engine's
-    standard parquet entry point (see module docstring)."""
+    """``ray.data.read_parquet`` + schema-metadata hygiene — the
+    engine's standard parquet entry point (see module docstring)."""
+    if "schema" not in kwargs:
+        schema = _clean_read_schema(paths, kwargs.get("columns"))
+        if schema is not None:
+            kwargs["schema"] = schema
     return strip_schema_metadata(ray.data.read_parquet(paths, **kwargs))
