@@ -487,9 +487,17 @@ def _partitioned_attach(
             # the union null-pads carry columns on lookup rows, which
             # floats pandas int64 carries (NaN-able) — cast back after
             # the lookup rows are gone or ids silently become floats
-            cols[c] = out[c].astype("int64") if pa.types.is_integer(t) else out[c]
-        cols[out_col] = out["value"]
-        return pd.DataFrame(cols)
+            cols[c] = (
+                pa.array(out[c].astype("int64"), type=t)
+                if pa.types.is_integer(t)
+                else pa.array(out[c], type=t, from_pandas=True)
+            )
+        cols[out_col] = pa.array(out["value"], type=value_type, from_pandas=True)
+        # return Arrow, not pandas: Ray's pandas→Arrow block conversion
+        # attaches a `pandas` schema-metadata blob, which makes
+        # hash(schema) raise and defeats block-schema deduplication in
+        # every downstream operator (see fetch_engines_ray/arrowclean.py)
+        return pa.table(cols)
 
     return unioned.groupby("part").map_groups(merge_part, batch_format="pandas")
 

@@ -196,6 +196,23 @@ def curate_corpus(
             drop_contaminated, batch_format="pyarrow", batch_size=4096
         )
 
+    # 3b. multi-consumer checkpoint: the perplexity gate (LM word-count
+    #     train, score count, quantile histogram passes) and DSIR
+    #     (bucket counts + weight passes) each re-execute the whole
+    #     lineage above — including the exact-dedup JOIN — once per
+    #     pass.  Spill the survivor table to parquet ONCE so every
+    #     downstream pass streams a plain columnar read instead of
+    #     re-running the shuffle chain.  This is the standard kept
+    #     artifact between dedup and gating (same posture as the
+    #     cleaned-corpus checkpoint in the BPE tail below); deliberately
+    #     not deleted here — the returned Dataset streams from it.
+    if ppl_tail_quantile is not None or (
+        dsir_target_texts and (dsir_n or dsir_min_logw is not None)
+    ):
+        from ..ops.dedup import _checkpoint_parquet
+
+        survived, _surv_ckpt = _checkpoint_parquet(survived, "curate_survivors")
+
     # 4 + 5. quality gate then PII redaction, fused into one map stage
     def quality_and_redact(batch: pa.Table) -> pa.Table:
         batch = add_gopher_quality_flags(batch, text_col=text_col)
