@@ -199,38 +199,47 @@ def pagerank_distributed(
         lookup_key="src",
     )
 
-    def init_rank(batch: pd.DataFrame) -> pd.DataFrame:
+    def init_rank(batch: pd.DataFrame) -> pa.Table:
         # left-attach null-pads deg (pandas float64) — counts are small,
-        # exact in float64, cast back before anything else sees them
-        return pd.DataFrame(
+        # exact in float64, cast back before anything else sees them.
+        # Arrow outputs throughout: Ray's pandas→Arrow block conversion
+        # attaches schema metadata that defeats block-schema dedup
+        return pa.table(
             {
-                "node": batch["node"].astype("int64"),
-                "deg": batch["deg"].fillna(0).astype("int64"),
-                "rank": np.full(len(batch), 1.0 / n),
+                "node": pa.array(batch["node"].astype("int64"), type=pa.int64()),
+                "deg": pa.array(batch["deg"].fillna(0).astype("int64"), type=pa.int64()),
+                "rank": pa.array(np.full(len(batch), 1.0 / n), type=pa.float64()),
             }
         )
 
     ranks = with_deg.map_batches(init_rank, batch_format="pandas").materialize()
 
-    def to_contrib(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def to_contrib(batch: pa.Table) -> pa.Table:
+        deg = batch["deg"].to_numpy(zero_copy_only=False)
+        rank = batch["rank"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "node": batch["node"],
-                "cpe": batch["rank"].to_numpy() / np.maximum(batch["deg"].to_numpy(), 1),
+                "cpe": pa.array(rank / np.maximum(deg, 1), type=pa.float64()),
             }
         )
 
-    def preagg_dst(batch: pd.DataFrame) -> pd.DataFrame:
+    def preagg_dst(batch: pd.DataFrame) -> pa.Table:
         d_u, inv = np.unique(batch["dst"].to_numpy(), return_inverse=True)
         acc = np.zeros(len(d_u))
         np.add.at(acc, inv, batch["c"].to_numpy())
-        return pd.DataFrame({"dst": d_u.astype("int64"), "c": acc})
+        return pa.table(
+            {
+                "dst": pa.array(d_u.astype("int64"), type=pa.int64()),
+                "c": pa.array(acc, type=pa.float64()),
+            }
+        )
 
     for _ in range(n_iters):
         dangling = ranks.filter(expr="deg == 0").sum("rank") or 0.0
         attached = _partitioned_attach(
             edges,
-            ranks.map_batches(to_contrib, batch_format="pandas"),
+            ranks.map_batches(to_contrib, batch_format="pyarrow"),
             key_col="src",
             carry=[("dst", pa.int64())],
             value_col="cpe",
@@ -258,17 +267,17 @@ def pagerank_distributed(
             lookup_key="dst",
         )
 
-        def step(batch: pd.DataFrame, dang=dangling) -> pd.DataFrame:
+        def step(batch: pd.DataFrame, dang=dangling) -> pa.Table:
             old = batch["rank"].to_numpy()
             new = (1.0 - damping) / n + damping * (
                 batch["c"].fillna(0.0).to_numpy() + dang / n
             )
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "node": batch["node"].astype("int64"),
-                    "deg": batch["deg"].astype("int64"),
-                    "rank": new,
-                    "delta": np.abs(new - old),
+                    "node": pa.array(batch["node"].astype("int64"), type=pa.int64()),
+                    "deg": pa.array(batch["deg"].astype("int64"), type=pa.int64()),
+                    "rank": pa.array(new, type=pa.float64()),
+                    "delta": pa.array(np.abs(new - old), type=pa.float64()),
                 }
             )
 
