@@ -97,7 +97,9 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> pd.DataFrame:
-    """BM25 top-k documents for one query string.
+    """BM25 top-k documents for one query string (stats computed in one
+    corpus pass per call — see :func:`build_bm25_stats` +
+    :func:`bm25_topk_indexed` for repeated-query workloads).
 
     Returns ``(doc_id, score_x1e6, rank)`` — the score rides as integer
     micro-units (round-half-away) so downstream hash comparisons are
@@ -105,9 +107,28 @@ def bm25_topk(
     terms = sorted(set(_tokenize(query)))
     if not terms:
         return pd.DataFrame(columns=[id_col, "score_x1e6", "rank"])
+    dfs, n_docs, avgdl = corpus_stats(ds, terms, text_col)
+    return _score_topk(ds, terms, dfs, n_docs, avgdl, k, k1, b, id_col, text_col)
+
+
+def _score_topk(
+    ds: "ray.data.Dataset",
+    terms: list[str],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    text_col: str,
+) -> pd.DataFrame:
+    """Shared scoring pass: broadcast (terms, idf, avgdl), vectorized
+    per-batch term counting, per-block top-k partials, tiny final
+    reduce.  Both the one-shot and the indexed entry points run THIS, so
+    their results are identical by construction."""
     import ray
 
-    dfs, n_docs, avgdl = corpus_stats(ds, terms, text_col)
     idf = np.asarray([_idf(dfs.get(t, 0), n_docs) for t in terms])
     bc = ray.put((np.asarray(terms, dtype=object), idf, float(avgdl)))
 
@@ -214,3 +235,181 @@ def rrf_fuse(
     out = out.reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 statistics artifact (repeated-query workloads)
+# ---------------------------------------------------------------------------
+
+_BM25_META = "_bm25_stats.json"
+
+
+def build_bm25_stats(
+    ds: "ray.data.Dataset",
+    path: str,
+    text_col: str = "text",
+    min_df: int = 1,
+    n_parts: int = 64,
+) -> dict:
+    """Persist corpus-wide BM25 term statistics as a READ-PRUNED
+    artifact — the keyword analog of the IVF index in ``ops/ann_index``.
+
+    One corpus pass computes per-term document frequencies (distinct
+    terms per doc pre-aggregated per batch, exactly the ``word_counts``
+    shuffle shape) plus ``(n_docs, total_len)`` sentinel rows; the term
+    table is written hive-partitioned by a STABLE term hash
+    (``part = _hash64(term) % n_parts``, fixed-key siphash — identical
+    across processes), so a query later reads ONLY the partition
+    directories its handful of terms hash into.  Corpus-size scalars
+    live in a ``_bm25_stats.json`` sidecar.  ``min_df`` prunes the
+    long tail (df below it scores ≈ the df=0 floor anyway).
+
+    At repeated-query scale this turns the per-query cost from one full
+    corpus pass (``corpus_stats``) into a few footer-planned partition
+    reads; the build itself costs one word-df shuffle, paid once.
+    """
+    import json
+    import os
+
+    from ray.data.aggregate import Sum
+
+    from fetch_engines_ray.ops.sketches import _hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_terms: list = []
+        total_len = 0
+        for t in batch[text_col].to_pylist():
+            toks = _tokenize(t)
+            total_len += len(toks)
+            if toks:
+                doc_terms.extend(set(toks))
+        if doc_terms:
+            u, c = np.unique(np.asarray(doc_terms, dtype=object), return_counts=True)
+            words, counts = u.tolist(), c
+        else:
+            words, counts = [], np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "term": pa.array(words + ["\x00n_docs", "\x00total_len"], type=pa.string()),
+                "n": pa.array(
+                    np.concatenate([counts, [batch.num_rows, total_len]]), type=pa.int64()
+                ),
+            }
+        )
+
+    rolled = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # consumed twice below (sidecar scalars + hive write)
+    )
+
+    def sentinels_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.starts_with(batch["term"], "\x00"))
+
+    sent = rolled.map_batches(sentinels_only, batch_format="pyarrow").to_pandas()
+    scalars = dict(zip(sent["term"], sent["n"].astype(int)))
+    n_docs = int(scalars.get("\x00n_docs", 0))
+    total_len = int(scalars.get("\x00total_len", 0))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.and_(
+                pc.invert(pc.starts_with(batch["term"], "\x00")),
+                pc.greater_equal(batch["n"], min_df),
+            )
+        )
+        part = (
+            _hash64(np.asarray(batch["term"].to_pylist(), dtype=object))
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return batch.append_column("part", pa.array(part, type=pa.int64()))
+
+    rolled.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["part"]
+    )
+    meta = {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "n_parts": n_parts,
+        "min_df": min_df,
+        "text_col": text_col,
+    }
+    with open(os.path.join(path, _BM25_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_bm25_stats(
+    path: str, query_terms: Sequence[str]
+) -> tuple[dict[str, int], int, float]:
+    """Document frequencies for ``query_terms`` from a persisted stats
+    artifact: plans the term-hash partitions the terms live in and
+    reads ONLY those directories (missing terms get df=0)."""
+    import json
+    import os
+
+    from fetch_engines_ray.arrowclean import read_parquet_clean
+    from fetch_engines_ray.ops.sketches import _hash64
+
+    with open(os.path.join(path, _BM25_META)) as f:
+        meta = json.load(f)
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        return {}, meta["n_docs"], meta["avgdl"]
+    parts = np.unique(
+        (_hash64(np.asarray(terms, dtype=object)) % np.uint64(meta["n_parts"])).astype(int)
+    )
+    # expand to FILES: ray.data.read_parquet only dir-expands a single
+    # root path, not a list of partition directories (same planning
+    # shape as ops/ann_index.probed_partitions)
+    dirs: list[str] = []
+    for p in parts:
+        d = os.path.join(path, f"part={p}")
+        if os.path.isdir(d):
+            dirs.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    dfs: dict[str, int] = {}
+    if dirs:
+        import pyarrow.compute as pc
+
+        want = pa.array(terms, type=pa.string())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["term"], value_set=want))
+
+        hit = (
+            read_parquet_clean(dirs, columns=["term", "n"])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+        )
+        dfs = dict(zip(hit["term"], hit["n"].astype(int)))
+    return dfs, meta["n_docs"], meta["avgdl"]
+
+
+def bm25_topk_indexed(
+    ds: "ray.data.Dataset",
+    stats_path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """BM25 top-k against a persisted stats artifact: the per-query
+    corpus pass reduces to a few partition reads + the scoring pass.
+    Identical results to :func:`bm25_topk` by construction (shared
+    ``_score_topk``; pytest-pinned), as long as the artifact was built
+    from the same corpus with ``min_df`` below the query terms' dfs."""
+    terms = sorted(set(_tokenize(query)))
+    if not terms:
+        return pd.DataFrame(columns=[id_col, "score_x1e6", "rank"])
+    dfs, n_docs, avgdl = load_bm25_stats(stats_path, terms)
+    return _score_topk(ds, terms, dfs, n_docs, avgdl, k, k1, b, id_col, text_col)

@@ -105,3 +105,53 @@ def test_rrf_fusion_combines_keyword_and_vector(ray_session):
     vec = knn_bruteforce(emb, query_ids=[0], k=10)
     fused2 = rrf_fuse([kw, vec])
     assert len(fused2) >= 10 and fused2["rank"].tolist() == list(range(1, len(fused2) + 1))
+
+
+def test_bm25_stats_artifact_matches_oneshot(corpus_ds, tmp_path):
+    """The persisted-stats path must return EXACTLY the one-shot result
+    (shared scoring pass; dfs/avgdl from the artifact), with the term
+    lookup read-pruned to the query terms' hash partitions."""
+    from fetch_engines_ray.ops.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_stats,
+        corpus_stats,
+        load_bm25_stats,
+    )
+
+    docs, _ = corpus_ds
+    path = str(tmp_path / "bm25_stats")
+    meta = build_bm25_stats(_ds(docs), path, n_parts=16)
+    assert meta["n_docs"] == len(docs)
+
+    for query in ("ray data engine", "f000 f001", "missingterm ray"):
+        want = bm25_topk(_ds(docs), query, k=10)
+        got = bm25_topk_indexed(_ds(docs), path, query, k=10)
+        pd.testing.assert_frame_equal(got, want)
+        # artifact dfs == one-pass dfs for present terms; absent -> 0
+        terms = sorted(set(query.lower().split()))
+        dfs_live, n_docs, avgdl = corpus_stats(_ds(docs), terms)
+        dfs_idx, n_docs_i, avgdl_i = load_bm25_stats(path, terms)
+        assert n_docs_i == n_docs and abs(avgdl_i - avgdl) < 1e-12
+        for t in terms:
+            assert dfs_idx.get(t, 0) == dfs_live.get(t, 0)
+
+
+def test_bm25_stats_min_df_prunes_tail(corpus_ds, tmp_path):
+    """min_df drops tail terms from the artifact (df=0 at query time —
+    the documented approximation for below-threshold terms)."""
+    import os
+
+    from fetch_engines_ray.ops.retrieval import build_bm25_stats, load_bm25_stats
+
+    docs, _ = corpus_ds
+    path = str(tmp_path / "bm25_stats_pruned")
+    build_bm25_stats(_ds(docs), path, min_df=3, n_parts=8)
+    # 'engine' appears in exactly 2 docs -> pruned; 'ray' in 2 docs -> pruned;
+    # filler terms hit ~50*60/200 docs -> kept
+    dfs, _, _ = load_bm25_stats(path, ["engine", "f000"])
+    assert "engine" not in dfs
+    assert dfs.get("f000", 0) >= 3
+    # hive layout exists with <= n_parts part dirs
+    parts = [d for d in os.listdir(path) if d.startswith("part=")]
+    assert 1 <= len(parts) <= 8
