@@ -242,18 +242,41 @@ def build_ivfpq_index(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
+    pq_sample_size: int = 16384,
 ) -> int:
     """Build the compressed index: distributed coarse centroids, PQ
     codebooks from a seeded sample, then ONE assign+encode+write pass.
-    Returns the number of coarse clusters."""
-    from .pq import pq_train
+    Returns the number of coarse clusters.
+
+    ``residual=True`` is the published IVFADC form (Jégou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011 §IV): codebooks are trained on — and codes store — the
+    RESIDUAL ``v - centroid[assign(v)]`` instead of the raw vector.
+    Residuals are much smaller in norm than the vectors, so the same
+    m-byte budget quantizes them far more finely.  With the family's
+    inner-product metric the search-side correction is exact and cheap:
+    ``q·v ≈ q·c + q·r`` — the global ADC lookup table is unchanged and
+    each candidate just adds the scalar ``q·centroid[cluster]`` (a
+    Q × n_clusters driver matrix), no per-cluster tables needed."""
+    from .pq import pq_train, pq_train_matrix
 
     if n_clusters is None:
         n_clusters = max(4, min(4096, int(math.isqrt(max(ds.count(), 1)))))
     cents = kmeans_fit(
         ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    codebooks = pq_train(ds, m=pq_m, ksub=pq_ksub, seed=seed, vec_col=vec_col)
+    if residual:
+        total = ds.count()
+        frac = min(1.0, pq_sample_size / max(1, total))
+        sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
+        smat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+        res = smat - cents[(smat @ cents.T).argmax(axis=1)]
+        codebooks = pq_train_matrix(res, m=pq_m, ksub=pq_ksub, seed=seed)
+    else:
+        codebooks = pq_train(
+            ds, m=pq_m, ksub=pq_ksub, sample_size=pq_sample_size, seed=seed, vec_col=vec_col
+        )
     os.makedirs(path, exist_ok=True)
     before = _parquet_files(path)
     ref = ray.put((cents, codebooks))
@@ -263,9 +286,10 @@ def build_ivfpq_index(
         c, cb = ray.get(ref)
         mat = _normalize(_to_matrix(batch[vec_col]))
         best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        enc = mat - c[best] if residual else mat
         codes = np.empty((len(mat), m), dtype=np.uint8)
         for j in range(m):
-            sub = mat[:, j * dsub : (j + 1) * dsub]
+            sub = enc[:, j * dsub : (j + 1) * dsub]
             d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
             codes[:, j] = d.argmin(axis=1)
         return pa.table(
@@ -315,6 +339,7 @@ def build_ivfpq_index(
                 "pq_m": int(m),
                 "pq_ksub": int(ksub),
                 "pq_dsub": int(dsub),
+                "residual": bool(residual),
             },
             f,
         )
@@ -356,11 +381,19 @@ def search_ivfpq_index(
             for qv in qmat
         ]
     )
-    q_ref = ray.put((luts, probes))
+    if meta.get("residual"):
+        # IVFADC correction: codes store residuals, so the LUT sum is
+        # q·r; add the exact per-(query, cluster) scalar q·centroid
+        ctab = pq.read_table(os.path.join(path, _CENTROIDS))
+        cents = np.asarray([np.asarray(v) for v in ctab["centroid"].to_pylist()])
+        qc = qmat @ cents.T  # [Q, n_clusters] — driver-tiny
+    else:
+        qc = np.zeros((len(qmat), int(meta["n_clusters"])))
+    q_ref = ray.put((luts, probes, qc))
     cols = np.arange(m)
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        luts_l, probes_l = ray.get(q_ref)
+        luts_l, probes_l, qc_l = ray.get(q_ref)
         ids = np.asarray(batch[id_col].to_pylist())
         clusters = batch["cluster_id"].to_numpy(zero_copy_only=False)
         raw = b"".join(batch["pq_code"].to_pylist())
@@ -370,7 +403,7 @@ def search_ivfpq_index(
             cand = np.nonzero(np.isin(clusters, probes_l[qi]))[0]
             if len(cand) == 0:
                 continue
-            sims = luts_l[qi][cols, codes[cand]].sum(axis=1)
+            sims = luts_l[qi][cols, codes[cand]].sum(axis=1) + qc_l[qi, clusters[cand]]
             order = np.lexsort((ids[cand], -sims))[: min(k, len(cand))]
             top = cand[order]
             out_q.extend([qi] * len(top))
@@ -416,13 +449,16 @@ def append_ivfpq_index(ds: "ray.data.Dataset", path: str) -> int:
     before = _parquet_files(path)
     ref = ray.put((cents, codebooks))
 
+    residual = bool(meta.get("residual"))
+
     def assign_encode(batch: pa.Table) -> pa.Table:
         c, cb = ray.get(ref)
         mat = _normalize(_to_matrix(batch[vec_col]))
         best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        enc = mat - c[best] if residual else mat
         codes = np.empty((len(mat), m), dtype=np.uint8)
         for j in range(m):
-            sub = mat[:, j * dsub : (j + 1) * dsub]
+            sub = enc[:, j * dsub : (j + 1) * dsub]
             d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
             codes[:, j] = d.argmin(axis=1)
         return pa.table(

@@ -91,6 +91,15 @@ def pq_train(
     frac = min(1.0, sample_size / max(1, total))
     sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
     mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    return pq_train_matrix(mat, m=m, ksub=ksub, seed=seed)
+
+
+def pq_train_matrix(
+    mat: np.ndarray, m: int = 8, ksub: int = 256, seed: int = 13
+) -> np.ndarray:
+    """Codebooks from an in-memory training matrix (rows are the
+    vectors to quantize — raw normalized vectors, or coarse-centroid
+    RESIDUALS for the IVFADC form in ``ops/ann_index``)."""
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
