@@ -203,3 +203,31 @@ def decode_pieces(pieces: list[str]) -> str:
     """Inverse of encode: concatenation with the end-of-word sentinel
     restoring spaces — the lossless-roundtrip check."""
     return "".join(pieces).replace(_EOW, " ").strip()
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as the tokenizer ARTIFACT — the
+    packed-sequence delivery is meaningless to a trainer without the
+    tokenizer that produced its token counts.  JSON with a version/format
+    header; merge order IS the rank order."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {"format": "fer-bpe-merges", "version": 1, "eow": _EOW,
+             "merges": [list(p) for p in merges]},
+            f,
+        )
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_merges` artifact (validates the header)."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    if obj.get("format") != "fer-bpe-merges":
+        raise ValueError(f"{path} is not a fer-bpe-merges artifact")
+    if obj.get("eow") != _EOW:
+        raise ValueError(f"{path} uses eow={obj.get('eow')!r}, engine uses {_EOW!r}")
+    return [tuple(p) for p in obj["merges"]]

@@ -296,7 +296,7 @@ def curate_corpus(
 
     # 6. shard-local packing (+ optional delivery export)
     if tokenizer == "bpe":
-        from ..ops.bpe import bpe_encode, bpe_train
+        from ..ops.bpe import bpe_encode, bpe_train, save_merges
         from ..ops.dedup import _checkpoint_parquet
 
         clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
@@ -305,6 +305,13 @@ def curate_corpus(
         packed = pack_sequences(
             encoded, max_tokens=max_tokens, id_col=id_col, count_col="n_pieces"
         )
+        if export_path:
+            # ship the tokenizer ARTIFACT with the delivery: the packed
+            # token counts are meaningless without the merges behind them
+            import os
+
+            os.makedirs(export_path, exist_ok=True)
+            save_merges(merges, os.path.join(export_path, "_tokenizer.json"))
     else:
         packed = pack_sequences(
             clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col

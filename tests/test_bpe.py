@@ -69,3 +69,61 @@ def test_encode_roundtrips_and_matches_driver_side(corpus):
     # more merges => no more pieces (monotone compression)
     fewer = bpe_encode(corpus, merges[:5]).to_pandas()["n_pieces"].sum()
     assert out["n_pieces"].sum() <= fewer
+
+
+def test_merges_artifact_roundtrip(tmp_path):
+    """save_merges/load_merges: the delivery-shipped tokenizer artifact
+    round-trips exactly and rejects foreign files."""
+    import json
+
+    import pytest as _pytest
+
+    from fetch_engines_ray.ops.bpe import load_merges, save_merges
+
+    merges = [("a", "b"), ("ab", "c</w>"), ("x", "y")]
+    p = str(tmp_path / "_tokenizer.json")
+    save_merges(merges, p)
+    assert load_merges(p) == merges
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"format": "something-else"}, f)
+    with _pytest.raises(ValueError, match="not a fer-bpe-merges"):
+        load_merges(bad)
+
+
+def test_curate_bpe_export_ships_tokenizer(ray_session, tmp_path):
+    """curate_corpus(tokenizer='bpe', export_path=...) writes the
+    _tokenizer.json artifact, and a trainer-side re-encode with the
+    loaded merges reproduces the packed token totals exactly."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.bpe import encode_word, load_merges
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(5)
+    stop = "the a of and to in is it for on with as at by this".split()
+    words = stop + [f"tok{i:02d}" for i in range(20)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 80)))}
+        for i in range(20)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = str(tmp_path / "delivery")
+    packed = curate_corpus(
+        ds, max_tokens=128, tokenizer="bpe", bpe_merges=25,
+        export_path=out, n_shards=2, join_partitions=2,
+    ).to_pandas()
+    merges = load_merges(out + "/_tokenizer.json")
+    assert len(merges) <= 25 and merges
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    text_by_id = {r["doc_id"]: r["text"] for r in rows}
+    for _, row in packed.iterrows():
+        want = sum(
+            len(encode_word(w, ranks))
+            for d in row["doc_ids"]
+            for w in text_by_id[d].lower().split()
+        )
+        assert int(row["total_tokens"]) == want
