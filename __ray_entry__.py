@@ -487,13 +487,18 @@ def _q_ngram_jaccard_pairs(sf_dir: str) -> Any:
 
 
 def _q_simhash_pairs(sf_dir: str) -> Any:
-    """SimHash near-dup pairs, with planted exact clones asserted at
-    hamming distance 0 every sweep (identical text -> identical 64-bit
-    simhash -> shared bucket in all four chunks)."""
+    """SimHash near-dup pairs — FULLY SQL-oracled (round 4): the query
+    runs the md5 token-hash variant (bit-reproducible in DuckDB), and
+    since 4-chunk banding is LOSSLESS at hamming ≤ 3 (pigeonhole), the
+    oracle's exact all-pairs hamming set must equal the banded result —
+    a green hash proves the fingerprint kernel, the banding recall AND
+    the verifier.  Planted exact clones additionally asserted at
+    hamming 0 (fails fast with a named pair instead of a hash diff).
+    The siphash default stays the scale path for non-oracle use."""
     from fetch_engines_ray.ops.dedup import simhash_pairs
 
     docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
-    pairs = simhash_pairs(docs.union(_planted_clone_docs(docs)))
+    pairs = simhash_pairs(docs.union(_planted_clone_docs(docs)), hash_fn="md5")
     found = {
         (int(a), int(b)): int(h)
         for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])
@@ -1067,6 +1072,35 @@ def oracle_sql() -> dict[str, str]:
             " CAST(rs.rps AS BIGINT) AS resized_pixel_sum"
             " FROM ldims JOIN px USING (doc_id) JOIN rs USING (doc_id)"
             " ORDER BY doc_id"
+        ),
+        "simhash_dedup_pairs": (
+            # FULL oracle: md5-variant 64-bit SimHash recomputed in SQL
+            # (bit b of the high-64 md5 = bit b%4 of hex digit 16-b//4),
+            # majority vote 2*s > n per bit, fingerprints as lo/hi 32-bit
+            # halves, exact all-pairs hamming via xor + bit_count.  Banding
+            # with 4 chunks is lossless at hamming <= 3, so the engine's
+            # banded set must equal this exact set.  O(n^2) pair join —
+            # gate scale only (sf <= 0.01), like the ngram oracle above.
+            "WITH docs AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5), "
+            " tok AS (SELECT doc_id, w, count(*) AS cnt FROM ( "
+            "    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM docs) "
+            "   WHERE w <> '' GROUP BY doc_id, w), "
+            " dlen AS (SELECT doc_id, sum(cnt) AS n FROM tok GROUP BY doc_id), "
+            " bits AS (SELECT t.doc_id, r.b, "
+            "    sum(t.cnt * ((('0x' || substr(md5(t.w), CAST(16 - r.b // 4 AS INT), 1))::INT >> (r.b % 4)) & 1)) AS s "
+            "   FROM tok t, range(0, 64) r(b) GROUP BY t.doc_id, r.b), "
+            " fp AS (SELECT bits.doc_id, "
+            "    sum(CASE WHEN r_b < 32 AND 2 * s > n THEN (1::BIGINT << CAST(r_b AS INT)) ELSE 0 END) AS lo, "
+            "    sum(CASE WHEN r_b >= 32 AND 2 * s > n THEN (1::BIGINT << CAST(r_b - 32 AS INT)) ELSE 0 END) AS hi "
+            "   FROM (SELECT doc_id, b AS r_b, s FROM bits) bits JOIN dlen USING (doc_id) "
+            "   GROUP BY bits.doc_id), "
+            " allfp AS (SELECT d.doc_id, coalesce(fp.lo, 0) AS lo, coalesce(fp.hi, 0) AS hi "
+            "   FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN fp USING (doc_id)), "
+            " p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming "
+            "   FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b "
         ),
         "ngram_jaccard_pairs": (
             # FULL oracle: the exact all-pairs word-3-gram Jaccard set at

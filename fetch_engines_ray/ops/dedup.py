@@ -658,7 +658,7 @@ def minhash_incremental_pairs(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def _simhash64_batch(texts: list) -> np.ndarray:
+def _simhash64_batch(texts: list, hash_fn: str = "sip") -> np.ndarray:
     """Vectorized 64-bit SimHash per document.
 
     ONE ``pd.util.hash_array`` call hashes every token of the whole
@@ -666,7 +666,14 @@ def _simhash64_batch(texts: list) -> np.ndarray:
     per-doc calls — signatures are bit-stable); bit-plane unpacking and
     the per-doc column sums run chunked (``np.add.reduceat`` over doc
     boundaries) so no temporary exceeds ~4 MB — large fresh allocations
-    stall badly on this host."""
+    stall badly on this host.
+
+    ``hash_fn="md5"`` swaps the token hash for the high 64 bits of
+    ``md5(token)`` (computed once per DISTINCT token in the batch) —
+    bit-reproducible in DuckDB (``substr(md5(w), ...)``), which is what
+    lets the ``simhash_dedup_pairs`` registry query carry a full SQL
+    oracle.  The siphash default stays the scale path (one C call for
+    the whole batch)."""
     tok_lists = [(t or "").lower().split() for t in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     nonempty = np.nonzero(counts)[0]
@@ -674,7 +681,17 @@ def _simhash64_batch(texts: list) -> np.ndarray:
     if len(nonempty) == 0:
         return out
     flat = [tok for toks in tok_lists for tok in toks]
-    th = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, N tokens
+    if hash_fn == "md5":
+        import hashlib
+
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        uh = np.array(
+            [int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in uniq],
+            dtype=np.uint64,
+        )
+        th = uh[inv]
+    else:
+        th = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, N tokens
     ne_counts = counts[nonempty]
     starts = np.cumsum(ne_counts) - ne_counts  # segment starts in th
     ones = np.zeros((len(nonempty), 64), dtype=np.int64)
@@ -699,13 +716,13 @@ def _simhash64_batch(texts: list) -> np.ndarray:
     return out
 
 
-def simhash_signatures(ds: "ray.data.Dataset"):
+def simhash_signatures(ds: "ray.data.Dataset", hash_fn: str = "sip"):
     """(doc_id, simhash: int64, chunk0..chunk3) — 16-bit chunks are the
     LSH bucket keys (two near-dup docs with hamming distance ≤ 3 share
     at least one chunk by pigeonhole)."""
 
     def add(batch: pa.Table) -> pa.Table:
-        hs = _simhash64_batch(batch["text"].to_pylist())
+        hs = _simhash64_batch(batch["text"].to_pylist(), hash_fn=hash_fn)
         cols = {
             "doc_id": batch["doc_id"],
             "simhash": pa.array(hs.view(np.int64)),
@@ -719,9 +736,15 @@ def simhash_signatures(ds: "ray.data.Dataset"):
     return ds.map_batches(add, batch_format="pyarrow", batch_size=2048)
 
 
-def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs: bucket by each 16-bit chunk, verify hamming ≤ k."""
-    sigs = simhash_signatures(ds)
+def simhash_pairs(
+    ds: "ray.data.Dataset", max_hamming: int = 3, hash_fn: str = "sip"
+) -> pd.DataFrame:
+    """Near-dup pairs: bucket by each 16-bit chunk, verify hamming ≤ k.
+
+    Banding is LOSSLESS for ``max_hamming <= 3`` with 4 chunks
+    (pigeonhole), so the result equals exact all-pairs hamming — which
+    is exactly what the registry query's DuckDB oracle computes."""
+    sigs = simhash_signatures(ds, hash_fn=hash_fn)
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
