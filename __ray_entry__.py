@@ -392,15 +392,20 @@ def _q_top20_longest_docs(sf_dir: str) -> Any:
 
 def _q_minhash_pairs(sf_dir: str) -> Any:
     """MinHash-LSH near-dup pairs over documents PLUS five planted
-    exact clones (doc_id + 2000000 copies of docs 0-4).  LSH output is
-    not SQL-expressible, but planted EXACT clones have a provable lower
-    bound — every (i, i+2000000) pair MUST surface with est_jaccard
-    exactly 1.0 — verified here on every sweep (raises on miss, which
-    the correctness gate records as a query error)."""
+    exact clones (doc_id + 2000000 copies of docs 0-4) — FULLY
+    SQL-oracled (round 4): the query runs the DuckDB-reproducible
+    signature family (gram hash = high-32 md5 mod 2^31-1, closed-form
+    affine permutations — ops/dedup._md5_modp_signatures) and the
+    oracle recomputes signatures, the 16x4 banding, candidate pairs AND
+    the est >= threshold verification in SQL, so a green hash proves
+    the whole LSH pipeline end-to-end (est_jaccard = k/64 is dyadic —
+    bit-identical float on both engines).  Planted clones additionally
+    asserted at est 1.0 (fails fast with a named pair).  The
+    siphash/mod-2^64 kernel stays the scale default (bench times it)."""
     from fetch_engines_ray.ops.dedup import minhash_lsh_pairs
 
     docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs.union(_planted_clone_docs(docs)))
+    pairs = minhash_lsh_pairs(docs.union(_planted_clone_docs(docs)), hash_fn="md5")
     found = {
         (int(a), int(b)): float(j)
         for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["est_jaccard"])
@@ -1072,6 +1077,40 @@ def oracle_sql() -> dict[str, str]:
             " CAST(rs.rps AS BIGINT) AS resized_pixel_sum"
             " FROM ldims JOIN px USING (doc_id) JOIN rs USING (doc_id)"
             " ORDER BY doc_id"
+        ),
+        "minhash_dedup_pairs": (
+            # FULL oracle: the md5/mod-p MinHash family recomputed in SQL —
+            # signatures (min over distinct word-3-grams of closed-form
+            # affine maps of the high-32 md5 mod 2^31-1), 16 bands x 4 rows
+            # (band key = the exact 4-tuple; the engine's 64-bit band fold
+            # only ever ADDS spurious candidates, which verification drops),
+            # est = k/64 (dyadic, float-exact both sides), threshold 0.7.
+            "WITH docs AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5), "
+            " toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs), "
+            " grams AS (SELECT doc_id, "
+            "   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+            "        ELSE list_transform(generate_series(1, len(t) - 2), "
+            "               i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
+            "   END AS gs FROM toks), "
+            " g AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams), "
+            " gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS h FROM g), "
+            " perms AS (SELECT r.i, (2654435761 * (r.i + 1)) % 2147483647 AS a, "
+            "                  (40503 * (r.i + 1) + 9) % 2147483647 AS b "
+            "           FROM range(0, 64) r(i)), "
+            " sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS s FROM gh, perms GROUP BY doc_id, i), "
+            " band AS (SELECT doc_id, i // 4 AS bd, "
+            "          string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS key "
+            "          FROM sig GROUP BY doc_id, i // 4), "
+            " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "          FROM band a JOIN band b ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id), "
+            " est AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS k "
+            "         FROM cand c "
+            "         JOIN sig sa ON sa.doc_id = c.doc_a "
+            "         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i "
+            "         GROUP BY c.doc_a, c.doc_b) "
+            "SELECT doc_a, doc_b, k / 64.0 AS est_jaccard FROM est "
+            "WHERE k / 64.0 >= 0.7 ORDER BY doc_a, doc_b "
         ),
         "simhash_dedup_pairs": (
             # FULL oracle: md5-variant 64-bit SimHash recomputed in SQL

@@ -196,8 +196,57 @@ class MinHasher:
 _MINHASHERS: dict = {}
 
 
+_MODP = 2147483647  # 2^31 - 1 (Mersenne prime): a*h fits int64 exactly
+
+
+def _md5_modp_signatures(
+    texts: list, num_perm: int = 64, shingle_size: int = 3
+) -> np.ndarray:
+    """DuckDB-reproducible MinHash variant: gram hash = high-32 md5
+    mod p (p = 2^31-1), permutations = closed-form affine maps mod p
+    (``a_i = 2654435761(i+1) mod p``, ``b_i = 40503(i+1)+9 mod p`` —
+    formulas, not RNG state, so SQL regenerates them with ``range``).
+    All arithmetic stays below 2^62, exact in BIGINT on both engines.
+    This is the oracle path for the ``minhash_dedup_pairs`` registry
+    query; the siphash/mod-2^64 default remains the scale kernel."""
+    import hashlib
+
+    i1 = np.arange(1, num_perm + 1, dtype=np.int64)
+    a = (2654435761 * i1) % _MODP
+    b = (40503 * i1 + 9) % _MODP
+    sigs = np.full((len(texts), num_perm), _MODP, dtype=np.int64)
+    cache: dict = {}
+    for di, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        if len(toks) < shingle_size:
+            grams = {" ".join(toks)}
+        else:
+            grams = {
+                " ".join(toks[i : i + shingle_size])
+                for i in range(len(toks) - shingle_size + 1)
+            }
+        hs = np.fromiter(
+            (
+                cache.setdefault(
+                    g, int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % _MODP
+                )
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        sigs[di] = ((a[None, :] * hs[:, None] + b[None, :]) % _MODP).min(axis=0)
+    return sigs
+
+
 def minhash_batch(
-    batch: pa.Table, num_perm: int = 64, shingle_size: int = 3, seed: int = 7
+    batch: pa.Table,
+    num_perm: int = 64,
+    shingle_size: int = 3,
+    seed: int = 7,
+    hash_fn: str = "sip",
 ) -> pa.Table:
     """Task-pool form of MinHasher: per-worker cached permutation state.
     (An actor pool caps the fused upstream at pool size — see
@@ -206,12 +255,17 @@ def minhash_batch(
     Emits the signature as a fixed-width little-endian int64 blob —
     Arrow hash joins don't support list payload columns, and the blob
     is also ~half the wire size of a list<int64>."""
-    key = (num_perm, shingle_size, seed)
-    h = _MINHASHERS.get(key)
-    if h is None:
-        h = _MINHASHERS[key] = MinHasher(num_perm, shingle_size, seed)
     ids = batch["doc_id"].to_pylist()
-    sigs = h.signatures(batch["text"].to_pylist()).astype("<i8")
+    if hash_fn == "md5":
+        sigs = _md5_modp_signatures(
+            batch["text"].to_pylist(), num_perm, shingle_size
+        ).astype("<i8")
+    else:
+        key = (num_perm, shingle_size, seed)
+        h = _MINHASHERS.get(key)
+        if h is None:
+            h = _MINHASHERS[key] = MinHasher(num_perm, shingle_size, seed)
+        sigs = h.signatures(batch["text"].to_pylist()).astype("<i8")
     blobs = [sigs[i].tobytes() for i in range(len(ids))]
     return pa.table({"doc_id": pa.array(ids), "minhash_sig": pa.array(blobs, type=pa.binary())})
 
@@ -325,16 +379,19 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     shingle_size: int = 3,
     threshold: float = 0.7,
+    hash_fn: str = "sip",
 ) -> pd.DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduplicated
     across buckets, est_jaccard = fraction of equal signature rows ≥
-    ``threshold``.
+    ``threshold``.  ``hash_fn="md5"`` switches to the DuckDB-reproducible
+    signature family (:func:`_md5_modp_signatures`) the registry oracle
+    recomputes in SQL.
     """
     sigs = ds.map_batches(
         minhash_batch,
-        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size},
+        fn_kwargs={"num_perm": num_perm, "shingle_size": shingle_size, "hash_fn": hash_fn},
         batch_format="pyarrow",
         batch_size=1024,
     )
