@@ -1306,3 +1306,57 @@ def test_partitioned_attach_inner_left_and_extreme_ids(ray_session):
         assert by[1] == "t1" and by[2] == "t2" and by[big] == "tbig"
         if how == "left":
             assert by[7] is None or (isinstance(by[7], float) and np.isnan(by[7]))
+
+
+def test_md5_oracle_hash_variants(ray_session):
+    """The DuckDB-reproducible hash variants (simhash md5, minhash
+    mod-p md5) keep the family contracts: exact clones at hamming 0 /
+    est 1.0, near-identical docs found, results deterministic across
+    partitionings, and disjoint docs produce no pairs."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    base = " ".join(f"word{i:03d}" for i in range(60)) + " seventeen " + " ".join(
+        f"tail{i:02d}" for i in range(20)
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact clone
+        {"doc_id": 2, "text": base.replace("seventeen", "eighteen")},  # near dup
+        {"doc_id": 3, "text": "completely unrelated words about parquet shuffles"},
+        {"doc_id": 4, "text": "zeta eta theta iota kappa lambda mu nu xi omicron"},
+    ]
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(parts)
+        sp = simhash_pairs(ds, hash_fn="md5")
+        sh = {(a, b): h for a, b, h in zip(sp["doc_a"], sp["doc_b"], sp["hamming"])}
+        assert sh.get((0, 1)) == 0
+        assert all(h <= 3 for h in sh.values())
+        mp = minhash_lsh_pairs(ds, hash_fn="md5")
+        mh = {(a, b): e for a, b, e in zip(mp["doc_a"], mp["doc_b"], mp["est_jaccard"])}
+        assert mh.get((0, 1)) == 1.0
+        assert (0, 2) in mh and mh[(0, 2)] >= 0.7  # near dup found
+        assert not any(3 in p or 4 in p for p in mh)  # disjoint docs clean
+
+
+def test_md5_modp_signatures_sql_parity():
+    """Pin the mod-p affine family against a direct DuckDB recompute on
+    one document — the engine-side contract behind the minhash oracle."""
+    import duckdb
+
+    from fetch_engines_ray.ops.dedup import _md5_modp_signatures
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    sig = _md5_modp_signatures([text], num_perm=8, shingle_size=3)[0]
+    got = duckdb.connect().execute(
+        "WITH toks AS (SELECT string_split_regex(lower(trim(?)), '\\s+') AS t),"
+        " g AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 2),"
+        "   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g FROM toks),"
+        " gh AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS h FROM g),"
+        " perms AS (SELECT r.i, (2654435761 * (r.i + 1)) % 2147483647 AS a,"
+        "   (40503 * (r.i + 1) + 9) % 2147483647 AS b FROM range(0, 8) r(i))"
+        " SELECT min((a * h + b) % 2147483647) FROM gh, perms GROUP BY i ORDER BY i",
+        [text],
+    ).fetchall()
+    assert [int(r[0]) for r in got] == [int(v) for v in sig]
