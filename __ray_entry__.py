@@ -332,13 +332,28 @@ def _q_doc_repetition_stats(sf_dir: str) -> Any:
 
 
 def _q_doc_sequence_packing(sf_dir: str) -> Any:
-    """Shard-local greedy packing (no SQL oracle: capacity-reset greedy
-    state is not window-function expressible).  The two packing
-    invariants are asserted on every sweep: no non-oversize pack exceeds
-    the budget, and every input doc lands in exactly one pack."""
+    """Greedy sequence packing — FULLY SQL-oracled (round 4): this
+    query runs the deterministic global-doc_id-order form (sort +
+    repartition(1) + whole-block batch — the gate-scale shape; the
+    scale posture stays shard-local batched packing as in
+    pipelines/curate) and returns the per-DOC assignment table
+    ``(doc_id, seq_id, is_oversize, seq_total_tokens, seq_n_docs)``.
+    The DuckDB oracle replays the greedy capacity fold row-by-row with
+    a recursive CTE — including the engine's rule that an over-budget
+    doc CLOSES any open sequence — so a green hash proves the packing
+    algorithm itself, not just its invariants.  Both packing invariants
+    are still asserted every sweep."""
+    import pandas as pd
+
     from fetch_engines_ray.ops.packing import pack_sequences
 
-    out = pack_sequences(_read_documents(sf_dir), max_tokens=512).to_pandas()
+    docs = (
+        _read_documents(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .sort("doc_id")
+        .repartition(1)
+    )
+    out = pack_sequences(docs, max_tokens=512, batch_size=None).to_pandas()
     ok = out[~out["oversize"]] if "oversize" in out.columns else out
     assert (ok["total_tokens"] <= 512).all(), "pack over budget"
     packed_docs = [d for ids in out["doc_ids"] for d in ids]
@@ -346,7 +361,19 @@ def _q_doc_sequence_packing(sf_dir: str) -> Any:
     assert len(packed_docs) == len(set(packed_docs)) == n_input, (
         f"packing coverage broken: {len(packed_docs)} packed of {n_input}"
     )
-    return out.sort_values("seq_id").reset_index(drop=True)
+    rows = [
+        (int(d), int(r["seq_id"]), int(bool(r["oversize"])), int(r["total_tokens"]), int(r["n_docs"]))
+        for _, r in out.iterrows()
+        for d in r["doc_ids"]
+    ]
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["doc_id", "seq_id", "is_oversize", "seq_total_tokens", "seq_n_docs"],
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_doc_stats_by_lang(sf_dir: str) -> Any:
@@ -1077,6 +1104,40 @@ def oracle_sql() -> dict[str, str]:
             " CAST(rs.rps AS BIGINT) AS resized_pixel_sum"
             " FROM ldims JOIN px USING (doc_id) JOIN rs USING (doc_id)"
             " ORDER BY doc_id"
+        ),
+        "doc_sequence_packing": (
+            # FULL oracle: the greedy capacity fold replayed row-by-row in
+            # doc_id order with a recursive CTE (state = (cur_start,
+            # cur_tok); an over-budget doc closes any open sequence, exactly
+            # the engine rule in ops/packing._pack_batch); per-seq totals by
+            # one groupby over the assignments.
+            "WITH RECURSIVE rows_ AS ( "
+            "  SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id, "
+            "         CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n "
+            "  FROM documents), "
+            " rec AS ( "
+            "   SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS cur_start, 0::BIGINT AS cur_tok, "
+            "          CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS seq_id, 0::BIGINT AS over "
+            "   UNION ALL "
+            "   SELECT r.rn, "
+            "     CASE WHEN r.n > 512 THEN CAST(NULL AS BIGINT) "
+            "          WHEN s.cur_start IS NULL OR s.cur_tok + r.n > 512 THEN r.doc_id "
+            "          ELSE s.cur_start END, "
+            "     CASE WHEN r.n > 512 THEN 0 "
+            "          WHEN s.cur_start IS NULL OR s.cur_tok + r.n > 512 THEN r.n "
+            "          ELSE s.cur_tok + r.n END, "
+            "     r.doc_id, "
+            "     CASE WHEN r.n > 512 THEN r.doc_id "
+            "          WHEN s.cur_start IS NULL OR s.cur_tok + r.n > 512 THEN r.doc_id "
+            "          ELSE s.cur_start END, "
+            "     CASE WHEN r.n > 512 THEN 1 ELSE 0 END "
+            "   FROM rec s JOIN rows_ r ON r.rn = s.rn + 1), "
+            " assign AS (SELECT doc_id, seq_id, over FROM rec WHERE rn > 0), "
+            " seqs AS (SELECT seq_id, sum(n) AS tt, count(*) AS nd "
+            "          FROM assign JOIN rows_ USING (doc_id) GROUP BY seq_id) "
+            "SELECT a.doc_id, a.seq_id, CAST(a.over AS BIGINT) AS is_oversize, "
+            "       CAST(s.tt AS BIGINT) AS seq_total_tokens, CAST(s.nd AS BIGINT) AS seq_n_docs "
+            "FROM assign a JOIN seqs s USING (seq_id) ORDER BY a.doc_id "
         ),
         "minhash_dedup_pairs": (
             # FULL oracle: the md5/mod-p MinHash family recomputed in SQL —
