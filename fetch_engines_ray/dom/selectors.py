@@ -159,8 +159,25 @@ def select_all(root: Element, selector: str) -> list[Element]:
 
 
 def select_one(root: Element, selector: str) -> Optional[Element]:
-    for el in iter_select(root, selector):
-        return el
+    """First document-order match, as a plain stack loop: a miss walks
+    the whole tree, and the generator-resume cost of ``iter_select``
+    (one resume per element) dominated converter profiles."""
+    sels = compile_selector(selector)
+    tagset = _pure_tagset(selector, sels)
+    g = None if tagset is not None else compile_group((selector,))
+    stack = [c for c in reversed(root.children) if isinstance(c, Element)]
+    pop = stack.pop
+    push = stack.append
+    while stack:
+        el = pop()
+        if tagset is not None:
+            if el.tag in tagset:
+                return el
+        elif g.matches(el):
+            return el
+        for c in reversed(el.children):
+            if isinstance(c, Element):
+                push(c)
     return None
 
 
@@ -254,10 +271,39 @@ class CompiledGroup:
         return cand
 
     def matches(self, el: Element) -> bool:
-        for bucket in self._candidates(el):
-            for _, c in bucket:
+        # _candidates() inlined with early return: this runs once per
+        # element per group walk, and skipping the candidate-list build
+        # (most elements hit zero or one bucket) is a measurable share
+        # of converter CPU.
+        b = self.by_tag.get(el.tag)
+        if b is not None:
+            for _, c in b:
                 if c.matches(el):
                     return True
+        if self.by_class:
+            by_class = self.by_class
+            for cls in el.classes:
+                b = by_class.get(cls)
+                if b is not None:
+                    for _, c in b:
+                        if c.matches(el):
+                            return True
+        attrs = el.attrs
+        if self.by_id:
+            b = self.by_id.get(attrs.get("id", ""))
+            if b is not None:
+                for _, c in b:
+                    if c.matches(el):
+                        return True
+        if self.by_attr and attrs:
+            for name, b in self.by_attr.items():
+                if name in attrs:
+                    for _, c in b:
+                        if c.matches(el):
+                            return True
+        for _, c in self.rest:
+            if c.matches(el):
+                return True
         return False
 
     def select(self, root: Element) -> list:
