@@ -1,0 +1,167 @@
+"""Binary token-shard delivery (ops/binshard.py): vocab determinism,
+concat-and-chunk parity with a single-process reference, roundtrip,
+dtype selection, and killed-export resume."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def delivery(ray_session, tmp_path_factory):
+    import ray.data
+
+    from fetch_engines_ray.ops.binshard import (
+        build_piece_vocab,
+        concat_and_chunk,
+        tokens_from_pieces,
+        write_token_shards,
+    )
+    from fetch_engines_ray.ops.bpe import bpe_encode, bpe_train
+    from fetch_engines_ray.sources.io import read_parquet_clean
+
+    ds = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"]).limit(200)
+    merges = bpe_train(ds, n_merges=40)
+    encoded = bpe_encode(ds, merges, keep_pieces=True).materialize()
+    vocab = build_piece_vocab(encoded)
+    toks = tokens_from_pieces(encoded, vocab).materialize()
+    seqs = concat_and_chunk(toks, seq_len=128).materialize()
+    path = str(tmp_path_factory.mktemp("binshard") / "delivery")
+    manifest = write_token_shards(seqs, path, vocab, n_shards=3, seed=7)
+    return {
+        "encoded": encoded,
+        "vocab": vocab,
+        "toks": toks,
+        "seqs": seqs,
+        "path": path,
+        "manifest": manifest,
+    }
+
+
+def test_vocab_deterministic_and_bounded(delivery):
+    from fetch_engines_ray.ops.binshard import PAD_PIECE, EOS_PIECE, build_piece_vocab
+
+    v1 = delivery["vocab"]
+    v2 = build_piece_vocab(delivery["encoded"])
+    assert v1 == v2
+    assert v1[0] == PAD_PIECE and v1[1] == EOS_PIECE
+    assert v1[2:] == sorted(v1[2:])
+    # bounded by the BPE symbol set, not the corpus: every piece is a
+    # training-alphabet char or a merge output
+    assert len(v1) < 5000
+
+
+def test_token_totals_one_eos_per_doc(delivery):
+    enc = delivery["encoded"].to_pandas()
+    n_docs = len(enc)
+    n_pieces = int(enc["n_pieces"].sum())
+    seqs = delivery["seqs"].to_pandas()
+    assert int(seqs["n_tokens"].sum()) == n_pieces + n_docs
+    # at most one partial (pad-tail) sequence per input batch
+    assert (seqs["n_tokens"] < 128).sum() <= seqs["seq_id"].nunique()
+    for t in seqs["token_ids"]:
+        assert len(t) == 128  # every emitted sequence is budget-length
+
+
+def test_chunk_parity_with_reference(ray_session):
+    """Single-block input → chunk stream equals the numpy reference
+    built from the same doc order."""
+    import ray.data
+
+    from fetch_engines_ray.ops.binshard import concat_and_chunk
+
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(2, 50, size=rng.integers(1, 40)).astype(np.int32) for _ in range(57)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(57), type=pa.int64()),
+            "token_ids": pa.array([d.tolist() for d in docs], type=pa.list_(pa.int32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(1)
+    out = concat_and_chunk(ds, seq_len=64, eos_id=1, pad_id=0, batch_size=10_000).to_pandas()
+    # reference stream
+    ref = np.concatenate([np.concatenate([d, [1]]) for d in docs])
+    got = np.concatenate([np.asarray(t)[:n] for t, n in zip(out["token_ids"], out["n_tokens"])])
+    np.testing.assert_array_equal(got, ref)
+    assert (out["chunk_idx"].values == np.arange(len(out))).all()
+    assert out["seq_id"].nunique() == 1  # one block → one seq_id family
+
+
+def test_roundtrip_read_back(delivery):
+    from fetch_engines_ray.ops.binshard import read_token_shards
+
+    m = delivery["manifest"]
+    assert m["n_shards"] == 3 and m["skipped_shards"] == 0
+    back = read_token_shards(delivery["path"]).to_pandas()
+    assert len(back) == m["n_seqs"]
+    assert int(back["n_tokens"].sum()) == m["n_tokens"]
+    # padded tails decode to pad_id=0 beyond n_tokens
+    for t, n in zip(back["token_ids"], back["n_tokens"]):
+        arr = np.asarray(t)
+        assert (arr[n:] == 0).all()
+    # multiset of real token streams matches the pre-write sequences
+    pre = delivery["seqs"].to_pandas()
+    pre_streams = sorted(tuple(np.asarray(t)[:n]) for t, n in zip(pre["token_ids"], pre["n_tokens"]))
+    post_streams = sorted(tuple(np.asarray(t)[:n]) for t, n in zip(back["token_ids"], back["n_tokens"]))
+    assert pre_streams == post_streams
+
+
+def test_dtype_selection():
+    from fetch_engines_ray.ops.binshard import _dtype_for
+
+    assert _dtype_for(65536) == "uint16"
+    assert _dtype_for(65537) == "uint32"
+
+
+def test_vocab_artifact_and_dtype_in_idx(delivery):
+    with open(os.path.join(delivery["path"], "vocab.json")) as f:
+        v = json.load(f)
+    assert v["format"] == "fer-token-shards"
+    assert v["vocab"] == delivery["vocab"]
+    idx_files = [f for f in os.listdir(delivery["path"]) if f.endswith(".idx.json")]
+    assert len(idx_files) == 3
+    with open(os.path.join(delivery["path"], sorted(idx_files)[0])) as f:
+        meta = json.load(f)
+    assert meta["dtype"] == "uint16" and meta["seq_len"] == 128
+
+
+def test_resume_skips_finished_shards(delivery):
+    from fetch_engines_ray.ops.binshard import read_token_shards, write_token_shards
+
+    path = delivery["path"]
+    m0 = delivery["manifest"]
+    # kill one shard mid-delivery
+    victim = sorted(f for f in os.listdir(path) if f.endswith(".idx.json"))[1]
+    shard_base = victim.replace(".idx.json", "")
+    os.remove(os.path.join(path, victim))
+    os.remove(os.path.join(path, shard_base + ".bin"))
+    keep = sorted(f for f in os.listdir(path) if f.endswith(".bin"))
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in keep}
+
+    m1 = write_token_shards(delivery["seqs"], path, delivery["vocab"], n_shards=3, seed=7)
+    assert m1["skipped_shards"] == 2
+    assert m1["n_seqs"] == m0["n_seqs"] and m1["n_tokens"] == m0["n_tokens"]
+    for f, t in mtimes.items():  # untouched shards were not rewritten
+        assert os.path.getmtime(os.path.join(path, f)) == t
+    back = read_token_shards(path).to_pandas()
+    assert len(back) == m0["n_seqs"]
+
+
+def test_shuffle_is_seeded_and_reproducible(delivery, tmp_path):
+    from fetch_engines_ray.ops.binshard import read_token_shards, write_token_shards
+
+    p2 = str(tmp_path / "delivery2")
+    write_token_shards(delivery["seqs"], p2, delivery["vocab"], n_shards=3, seed=7)
+    a = read_token_shards(delivery["path"]).to_pandas()
+    b = read_token_shards(p2).to_pandas()
+    # identical seed → byte-identical shard contents and order
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert ra["shard"] == rb["shard"] and ra["seq_idx"] == rb["seq_idx"]
+        np.testing.assert_array_equal(np.asarray(ra["token_ids"]), np.asarray(rb["token_ids"]))
