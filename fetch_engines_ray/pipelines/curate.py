@@ -70,6 +70,7 @@ def curate_corpus(
     ppl_tail_quantile: float | None = None,
     lm_max_vocab: int | None = 65536,
     export_path: str | None = None,
+    bin_export_path: str | None = None,
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -312,6 +313,22 @@ def curate_corpus(
 
             os.makedirs(export_path, exist_ok=True)
             save_merges(merges, os.path.join(export_path, "_tokenizer.json"))
+        if bin_export_path:
+            # trainer-ready binary token shards (.bin + idx + vocab) —
+            # the memory-mappable delivery next to the parquet one
+            from ..ops.binshard import export_token_delivery
+
+            export_token_delivery(
+                clean_ckpt,
+                merges,
+                bin_export_path,
+                seq_len=max_tokens,
+                n_shards=n_shards,
+                text_col=text_col,
+                id_col=id_col,
+            )
+    elif bin_export_path:
+        raise ValueError("bin_export_path requires tokenizer='bpe' (binary shards carry BPE token ids)")
     else:
         packed = pack_sequences(
             clean, max_tokens=max_tokens, id_col=id_col, text_col=text_col

@@ -127,3 +127,47 @@ def test_curate_bpe_export_ships_tokenizer(ray_session, tmp_path):
             for w in text_by_id[d].lower().split()
         )
         assert int(row["total_tokens"]) == want
+
+
+def test_curate_bin_export_delivers_token_shards(ray_session, tmp_path):
+    """curate_corpus(tokenizer='bpe', bin_export_path=...) ships the
+    binary token-shard delivery next to the parquet one: total real
+    tokens across shards equal the corpus BPE piece count + one eos per
+    surviving document, and the vocab artifact decodes the streams."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.binshard import read_token_shards
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(11)
+    stop = "the a of and to in is it for on with as at by this".split()
+    words = stop + [f"tok{i:02d}" for i in range(20)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 80)))}
+        for i in range(20)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = str(tmp_path / "bindelivery")
+    packed = curate_corpus(
+        ds, max_tokens=128, tokenizer="bpe", bpe_merges=25,
+        bin_export_path=out, n_shards=2, join_partitions=2,
+    ).to_pandas()
+    n_docs = int(packed["n_docs"].sum())
+    n_pieces = int(packed["total_tokens"].sum())
+    back = read_token_shards(out).to_pandas()
+    assert int(back["n_tokens"].sum()) == n_pieces + n_docs
+    with open(out + "/vocab.json") as f:
+        vocab = json.load(f)["vocab"]
+    eos = vocab.index("<eos>")
+    n_eos = sum(int((np.asarray(t)[:n] == eos).sum()) for t, n in zip(back["token_ids"], back["n_tokens"]))
+    assert n_eos == n_docs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires tokenizer='bpe'"):
+        curate_corpus(ds, bin_export_path=out, join_partitions=2)
