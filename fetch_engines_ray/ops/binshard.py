@@ -26,6 +26,11 @@ Scale posture:
 - Shard files are written inside ``groupby(shard).map_groups`` tasks —
   bytes never transit the driver — with tmp+rename atomicity, so a
   killed export resumes by skipping shards whose ``.idx.json`` exists.
+- One shard materializes in ONE write task (that is what makes the file
+  atomic and the resume unit whole-file): size ``n_shards`` so a single
+  shard's token matrix fits a worker heap — at uint16 and seq_len 512 a
+  1-GiB shard is ~1M sequences, and a 100-TB corpus wants tens of
+  thousands of shards, not 8.
 """
 
 from __future__ import annotations
