@@ -77,3 +77,113 @@ def flag_contaminated(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=2048)
+
+
+def fuzzy_decontaminate(
+    ds: "ray.data.Dataset",
+    benchmark_texts: list[str],
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Near-duplicate benchmark decontamination (the Llama-style fuzzy
+    step next to the exact 13-gram rule): flag training documents whose
+    MinHash-estimated Jaccard similarity to ANY benchmark document
+    reaches ``threshold``, catching light paraphrases / whitespace
+    edits that defeat exact n-gram matching.
+
+    Appends three columns:
+
+    - ``max_bench_jaccard`` (float64) — best estimated Jaccard against
+      the benchmark set among LSH candidates (0.0 when no band
+      collides),
+    - ``matched_bench_id`` (int64) — index into ``benchmark_texts`` of
+      that best match (−1 when no candidate),
+    - ``fuzzy_contaminated`` (bool) — ``max_bench_jaccard >= threshold``.
+
+    Scale shape: the benchmark side is SMALL, so its signature matrix
+    and per-band sorted key tables are built driver-side and broadcast
+    ONCE (``ray.put``, read zero-copy per task); the corpus streams
+    through one ``map_batches`` with NO shuffle.  Per batch: one
+    vectorized signature pass (the same ``MinHasher`` kernel the dedup
+    family uses), a band fold identical to the pair-LSH
+    (``dedup._fold_band_keys`` — both sides bucket identically), and a
+    ``searchsorted`` probe per band; only colliding (doc, bench) pairs
+    pay the full signature comparison.  With the defaults (16 bands of
+    4 rows) a true 0.8-Jaccard pair is missed with probability
+    ``(1 - 0.8^4)^16 ≈ 6e-5``."""
+    from .dedup import MinHasher, _fold_band_keys
+
+    mh = MinHasher(num_perm=num_perm, shingle_size=shingle_size, seed=seed)
+    bench_sigs = mh.signatures([t or "" for t in benchmark_texts]) if benchmark_texts else np.zeros((0, num_perm), dtype=np.int64)
+    bench_keys = _fold_band_keys(bench_sigs, num_bands) if len(bench_sigs) else np.zeros((0, num_bands), dtype=np.int64)
+    # per band: keys sorted for searchsorted + the bench row permutation
+    band_tables = []
+    for b in range(num_bands):
+        order = np.argsort(bench_keys[:, b], kind="stable")
+        band_tables.append((bench_keys[order, b], order.astype(np.int64)))
+    bench_ref = ray.put((bench_sigs, band_tables))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from .dedup import _MINHASHERS
+
+        bench_sigs, band_tables = ray.get(bench_ref)  # plasma-local
+        n = batch.num_rows
+        best = np.zeros(n, dtype=np.float64)
+        best_id = np.full(n, -1, dtype=np.int64)
+        if len(bench_sigs) and n:
+            key = (num_perm, shingle_size, seed)
+            h = _MINHASHERS.get(key)
+            if h is None:
+                h = _MINHASHERS[key] = MinHasher(num_perm, shingle_size, seed)
+            sigs = h.signatures(batch[text_col].to_pylist())
+            keys = _fold_band_keys(sigs, num_bands)
+            cand_d: list[np.ndarray] = []
+            cand_b: list[np.ndarray] = []
+            for b, (skeys, order) in enumerate(band_tables):
+                lo = np.searchsorted(skeys, keys[:, b], side="left")
+                hi = np.searchsorted(skeys, keys[:, b], side="right")
+                width = hi - lo
+                docs_hit = np.nonzero(width)[0]
+                if not len(docs_hit):
+                    continue
+                # expand duplicate-key runs: doc i matches bench rows
+                # order[lo[i]:hi[i]]
+                reps = width[docs_hit]
+                flat_doc = np.repeat(docs_hit, reps)
+                flat_pos = np.concatenate(
+                    [np.arange(lo[i], hi[i]) for i in docs_hit]
+                )
+                cand_d.append(flat_doc)
+                cand_b.append(order[flat_pos])
+            if cand_d:
+                d = np.concatenate(cand_d)
+                bidx = np.concatenate(cand_b)
+                # dedupe (doc, bench) pairs colliding in several bands
+                pair_key = d * np.int64(len(bench_sigs)) + bidx
+                _, uniq = np.unique(pair_key, return_index=True)
+                d, bidx = d[uniq], bidx[uniq]
+                est = (sigs[d] == bench_sigs[bidx]).mean(axis=1)
+                np.maximum.at(best, d, est)
+                # argmax bench id per doc: keep the id of the pair that
+                # achieves the per-doc max (ties → lowest bench id via
+                # stable ordering on (doc, bench))
+                o = np.lexsort((bidx, -est, d))
+                d_o = d[o]
+                first = np.ones(len(d_o), dtype=bool)
+                first[1:] = d_o[1:] != d_o[:-1]
+                best_id[d_o[first]] = bidx[o][first]
+        batch = batch.append_column(
+            "max_bench_jaccard", pa.array(best, type=pa.float64())
+        )
+        batch = batch.append_column(
+            "matched_bench_id", pa.array(best_id, type=pa.int64())
+        )
+        return batch.append_column(
+            "fuzzy_contaminated", pa.array(best >= threshold, type=pa.bool_())
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=2048)

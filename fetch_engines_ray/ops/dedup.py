@@ -274,6 +274,26 @@ def _decode_sigs(col) -> np.ndarray:
     return np.stack([np.frombuffer(b, dtype="<i8") for b in col.to_pylist()])
 
 
+def _fold_band_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """Fold ``(n_docs, num_perm)`` int64 signatures into ``(n_docs,
+    num_bands)`` int64 band keys — the LSH bucket identity.  Equal band
+    chunks → equal keys; spurious 64-bit collisions are removed by
+    downstream verification.  Shared by the pair-LSH explode
+    (``_band_rows``) and the broadcast probe side
+    (``decontam.fuzzy_decontaminate``) so both bucket identically."""
+    n, num_perm = sigs.shape
+    rpb = num_perm // num_bands
+    chunks = sigs[:, : num_bands * rpb].reshape(n, num_bands, rpb).astype(np.uint64)
+    # multiply-xor fold per band (splitmix64 constants)
+    acc = np.full((n, num_bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for j in range(rpb):
+        acc = (acc ^ chunks[:, :, j]) * np.uint64(0xBF58476D1CE4E5B9)
+        acc ^= acc >> np.uint64(29)
+    # mix the band index so identical chunks in different bands differ
+    acc ^= np.arange(num_bands, dtype=np.uint64) * np.uint64(0x94D049BB133111EB)
+    return acc.view(np.int64)
+
+
 def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
     """Explode signatures into (band_bucket, doc_id) rows — fully
     vectorized (one reshape + a ``rows_per_band``-step mix loop per
@@ -285,18 +305,8 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
     all-to-all exchange.  Signatures are re-attached to the (tiny)
     candidate-pair set afterwards via hash join."""
     sigs = _decode_sigs(batch["minhash_sig"])  # (n_docs, num_perm) int64
-    n, num_perm = sigs.shape
-    rpb = num_perm // num_bands
-    chunks = sigs[:, : num_bands * rpb].reshape(n, num_bands, rpb).astype(np.uint64)
-    # multiply-xor fold per band (splitmix64 constants); equal chunks →
-    # equal keys, spurious 64-bit collisions are removed by verification
-    acc = np.full((n, num_bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
-    for j in range(rpb):
-        acc = (acc ^ chunks[:, :, j]) * np.uint64(0xBF58476D1CE4E5B9)
-        acc ^= acc >> np.uint64(29)
-    # mix the band index so identical chunks in different bands differ
-    acc ^= np.arange(num_bands, dtype=np.uint64) * np.uint64(0x94D049BB133111EB)
-    bucket = acc.reshape(-1).view(np.int64)
+    n = sigs.shape[0]
+    bucket = _fold_band_keys(sigs, num_bands).reshape(-1)
     ids = batch["doc_id"]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()

@@ -60,6 +60,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.7,
     benchmark_texts: list[str] | None = None,
     decontam_ngram: int = 13,
+    fuzzy_decontam_threshold: float | None = None,
     embeddings: "ray.data.Dataset | None" = None,
     semdedup_eps: float = 0.95,
     emb_id_col: str = "vec_id",
@@ -195,6 +196,32 @@ def curate_corpus(
 
         survived = flagged.map_batches(
             drop_contaminated, batch_format="pyarrow", batch_size=4096
+        )
+
+    # 3a. optional FUZZY decontamination (Llama-style): drop docs whose
+    #     MinHash-estimated Jaccard to any benchmark doc reaches the
+    #     threshold — catches paraphrases that defeat the exact n-gram
+    #     rule.  Benchmark signatures broadcast once — no shuffle.
+    if benchmark_texts and fuzzy_decontam_threshold is not None:
+        from ..ops.decontam import fuzzy_decontaminate
+
+        fz = fuzzy_decontaminate(
+            survived,
+            benchmark_texts,
+            threshold=fuzzy_decontam_threshold,
+            text_col=text_col,
+        )
+
+        def drop_fuzzy(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.invert(batch["fuzzy_contaminated"]))
+            return batch.drop_columns(
+                ["fuzzy_contaminated", "max_bench_jaccard", "matched_bench_id"]
+            )
+
+        survived = fz.map_batches(
+            drop_fuzzy, batch_format="pyarrow", batch_size=4096
         )
 
     # 3b. multi-consumer checkpoint: the perplexity gate (LM word-count

@@ -1360,3 +1360,53 @@ def test_md5_modp_signatures_sql_parity():
         [text],
     ).fetchall()
     assert [int(r[0]) for r in got] == [int(v) for v in sig]
+
+
+def test_fuzzy_decontamination(ray_session):
+    """MinHash-LSH fuzzy decontamination: verbatim benchmark copies hit
+    est 1.0, a light paraphrase (one token edited) is still flagged,
+    unrelated docs get 0.0 / no candidate, and the matched_bench_id
+    points at the right benchmark row."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.decontam import fuzzy_decontaminate
+
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i:03d}" for i in range(80)]
+    bench0 = " ".join(rng.choice(vocab, size=90))
+    bench1 = " ".join(rng.choice(vocab, size=70))
+    near = bench0.split()
+    near[10] = "EDITED"
+    near = " ".join(near)
+    unrelated = " ".join(f"zz{i}" for i in range(60))
+    rows = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [bench0, near, unrelated, bench1]}
+    )
+    df = (
+        fuzzy_decontaminate(
+            ray.data.from_pandas(rows), [bench0, bench1], threshold=0.8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df.loc[0, "max_bench_jaccard"] == 1.0
+    assert df.loc[0, "matched_bench_id"] == 0 and df.loc[0, "fuzzy_contaminated"]
+    assert df.loc[1, "fuzzy_contaminated"] and df.loc[1, "matched_bench_id"] == 0
+    assert 0.8 <= df.loc[1, "max_bench_jaccard"] < 1.0
+    assert not df.loc[2, "fuzzy_contaminated"]
+    assert df.loc[2, "max_bench_jaccard"] == 0.0
+    assert df.loc[2, "matched_bench_id"] == -1
+    assert df.loc[3, "matched_bench_id"] == 1
+    assert df.loc[3, "max_bench_jaccard"] == 1.0
+
+    # empty benchmark set: nothing flagged, columns still present
+    clean = fuzzy_decontaminate(
+        ray.data.from_pandas(rows), [], threshold=0.8
+    ).to_pandas()
+    assert not clean["fuzzy_contaminated"].any()
+    assert (clean["matched_bench_id"] == -1).all()
+    assert (clean["max_bench_jaccard"] == 0.0).all()

@@ -566,3 +566,50 @@ def test_curate_corpus_all_stages_compose(ray_session, tmp_path):
     assert 1 <= len(shard_dirs) <= 2
     exported = ray.data.read_parquet(out).count()
     assert exported == len(packed)
+
+
+def test_curate_fuzzy_decontam_catches_paraphrase(ray_session):
+    """A benchmark paraphrase with an edit every 12 tokens shares NO
+    13-gram with the benchmark (exact rule keeps it) but keeps high
+    shingle Jaccard — only the fuzzy MinHash gate drops it."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.decontam import flag_contaminated
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(17)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = []
+    for i in range(20):
+        rows.append(
+            {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        )
+    bench = " ".join(rng.choice(words, size=90))
+    para = bench.split()
+    for j in range(6, len(para), 12):  # max unchanged run = 11 < 13
+        para[j] = f"edit{j:03d}xx"
+    rows.append({"doc_id": 200, "text": " ".join(para)})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    # the exact 13-gram rule does NOT flag the paraphrase
+    exact = (
+        flag_contaminated(ds, [bench], n=13)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert not exact.loc[200, "contaminated"]
+
+    def packed_ids(**kw):
+        packed = curate_corpus(
+            ds, max_tokens=256, benchmark_texts=[bench], decontam_ngram=13, **kw
+        ).to_pandas()
+        return sorted(d for ids in packed["doc_ids"] for d in ids)
+
+    assert 200 in packed_ids()  # exact-only chain keeps the paraphrase
+    with_fuzzy = packed_ids(fuzzy_decontam_threshold=0.5)
+    assert 200 not in with_fuzzy  # fuzzy gate drops it
+    assert 0 in with_fuzzy and 1 in with_fuzzy  # clean docs unaffected
