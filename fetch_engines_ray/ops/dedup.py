@@ -441,16 +441,18 @@ def _consume_pairs(consume, cand: "ray.data.Dataset", empty: pd.DataFrame) -> pd
     key field FieldRef`` (wrapped in RayTaskError) or ``ValueError`` at
     pandas conversion.  Only a VERIFIED-empty candidate set maps to the
     empty result — the count re-executes the candidate plan, but only on
-    this rare error path — anything else re-raises."""
+    this rare error path.  If the verification count ITSELF fails, the
+    ORIGINAL error re-raises: mapping an unverifiable failure to "no
+    pairs" would silently disable dedup on a genuine worker-side bug
+    (e.g. an import error inside a map task), which at corpus scale is
+    a quiet data-quality disaster, not a recoverable empty stream."""
     try:
         return consume()
-    except (ValueError, ray.exceptions.RayTaskError):
+    except (ValueError, ray.exceptions.RayTaskError) as err:
         try:
             n = cand.count()
         except (ValueError, ray.exceptions.RayTaskError):
-            # the candidate plan itself dies on the schema-less empty
-            # stream — same zero-collision condition
-            n = 0
+            raise err
         if n == 0:
             return empty
         raise
