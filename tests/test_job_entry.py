@@ -75,3 +75,64 @@ def test_job_entry_writes_datacard(tmp_path):
     assert text.startswith("# Datacard:")
     assert "## Column profile" in text and "## Quality gates" in text
     assert "3/3 gates pass." in text
+
+
+def _run_curate(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "curate_entry.py"), *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, proc.stdout[-500:]
+    return json.loads(lines[-1])
+
+
+def test_curate_entry_smoke(tmp_path):
+    """The curation job script end-to-end in a child process: exact dup
+    collapses, the benchmark-contaminated doc drops (exact n-gram gate),
+    the fuzzy flag parses, and packed sequences land as parquet."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(23)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(15)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    docs = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(docs)
+    bench_file = tmp_path / "bench.txt"
+    bench_file.write_text(" ".join(rows[2]["text"].split()[:20]) + "\n")
+    out = str(tmp_path / "packed")
+
+    res = _run_curate(
+        [
+            "--input", docs,
+            "--output", out,
+            "--benchmark-file", str(bench_file),
+            "--fuzzy-threshold", "0.8",
+            "--max-tokens", "256",
+        ]
+    )
+    assert res["docs_in"] == 16
+    assert res["sequences"] > 0
+
+    packed = pd.concat(
+        pd.read_parquet(os.path.join(root, f))
+        for root, _d, files in os.walk(out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert len(packed) == res["sequences"]
+    packed_docs = sorted(d for ids in packed["doc_ids"] for d in ids)
+    assert 100 not in packed_docs  # exact dup collapsed
+    assert 2 not in packed_docs  # contaminated by the benchmark excerpt
+    assert 0 in packed_docs and 1 in packed_docs
