@@ -79,6 +79,76 @@ def flag_contaminated(
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=2048)
 
 
+def _bench_band_tables(bench_sigs: np.ndarray, num_bands: int) -> list:
+    """Per-band ``(sorted_keys, bench_row_permutation)`` lookup tables
+    over the benchmark signature matrix (the broadcast probe index)."""
+    from .dedup import _fold_band_keys
+
+    if len(bench_sigs):
+        bench_keys = _fold_band_keys(bench_sigs, num_bands)
+    else:
+        bench_keys = np.zeros((0, num_bands), dtype=np.int64)
+    tables = []
+    for b in range(num_bands):
+        order = np.argsort(bench_keys[:, b], kind="stable")
+        tables.append((bench_keys[order, b], order.astype(np.int64)))
+    return tables
+
+
+def _probe_best(
+    sigs: np.ndarray, bench_sigs: np.ndarray, band_tables: list
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure probe kernel: for each doc signature, the best estimated
+    Jaccard among benchmark rows sharing AT LEAST ONE band key, and the
+    index of that best match (ties → lowest bench index; no collision →
+    ``0.0`` / ``-1``).  Factored out of the map task so the exact
+    candidate semantics are property-testable against a brute-force
+    recompute without a Ray session."""
+    from .dedup import _fold_band_keys
+
+    n = len(sigs)
+    num_bands = len(band_tables)
+    best = np.zeros(n, dtype=np.float64)
+    best_id = np.full(n, -1, dtype=np.int64)
+    if not n or not len(bench_sigs):
+        return best, best_id
+    keys = _fold_band_keys(sigs, num_bands)
+    cand_d: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
+    for b, (skeys, order) in enumerate(band_tables):
+        lo = np.searchsorted(skeys, keys[:, b], side="left")
+        hi = np.searchsorted(skeys, keys[:, b], side="right")
+        width = hi - lo
+        docs_hit = np.nonzero(width)[0]
+        if not len(docs_hit):
+            continue
+        # expand duplicate-key runs: doc i matches bench rows
+        # order[lo[i]:hi[i]]
+        reps = width[docs_hit]
+        flat_doc = np.repeat(docs_hit, reps)
+        flat_pos = np.concatenate([np.arange(lo[i], hi[i]) for i in docs_hit])
+        cand_d.append(flat_doc)
+        cand_b.append(order[flat_pos])
+    if cand_d:
+        d = np.concatenate(cand_d)
+        bidx = np.concatenate(cand_b)
+        # dedupe (doc, bench) pairs colliding in several bands
+        pair_key = d * np.int64(len(bench_sigs)) + bidx
+        _, uniq = np.unique(pair_key, return_index=True)
+        d, bidx = d[uniq], bidx[uniq]
+        est = (sigs[d] == bench_sigs[bidx]).mean(axis=1)
+        np.maximum.at(best, d, est)
+        # argmax bench id per doc: keep the id of the pair that achieves
+        # the per-doc max (ties → lowest bench id via stable ordering on
+        # (doc, -est, bench))
+        o = np.lexsort((bidx, -est, d))
+        d_o = d[o]
+        first = np.ones(len(d_o), dtype=bool)
+        first[1:] = d_o[1:] != d_o[:-1]
+        best_id[d_o[first]] = bidx[o][first]
+    return best, best_id
+
+
 def fuzzy_decontaminate(
     ds: "ray.data.Dataset",
     benchmark_texts: list[str],
@@ -115,16 +185,11 @@ def fuzzy_decontaminate(
     pay the full signature comparison.  With the defaults (16 bands of
     4 rows) a true 0.8-Jaccard pair is missed with probability
     ``(1 - 0.8^4)^16 ≈ 6e-5``."""
-    from .dedup import MinHasher, _fold_band_keys
+    from .dedup import MinHasher
 
     mh = MinHasher(num_perm=num_perm, shingle_size=shingle_size, seed=seed)
     bench_sigs = mh.signatures([t or "" for t in benchmark_texts]) if benchmark_texts else np.zeros((0, num_perm), dtype=np.int64)
-    bench_keys = _fold_band_keys(bench_sigs, num_bands) if len(bench_sigs) else np.zeros((0, num_bands), dtype=np.int64)
-    # per band: keys sorted for searchsorted + the bench row permutation
-    band_tables = []
-    for b in range(num_bands):
-        order = np.argsort(bench_keys[:, b], kind="stable")
-        band_tables.append((bench_keys[order, b], order.astype(np.int64)))
+    band_tables = _bench_band_tables(bench_sigs, num_bands)
     bench_ref = ray.put((bench_sigs, band_tables))
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -132,50 +197,16 @@ def fuzzy_decontaminate(
 
         bench_sigs, band_tables = ray.get(bench_ref)  # plasma-local
         n = batch.num_rows
-        best = np.zeros(n, dtype=np.float64)
-        best_id = np.full(n, -1, dtype=np.int64)
         if len(bench_sigs) and n:
             key = (num_perm, shingle_size, seed)
             h = _MINHASHERS.get(key)
             if h is None:
                 h = _MINHASHERS[key] = MinHasher(num_perm, shingle_size, seed)
             sigs = h.signatures(batch[text_col].to_pylist())
-            keys = _fold_band_keys(sigs, num_bands)
-            cand_d: list[np.ndarray] = []
-            cand_b: list[np.ndarray] = []
-            for b, (skeys, order) in enumerate(band_tables):
-                lo = np.searchsorted(skeys, keys[:, b], side="left")
-                hi = np.searchsorted(skeys, keys[:, b], side="right")
-                width = hi - lo
-                docs_hit = np.nonzero(width)[0]
-                if not len(docs_hit):
-                    continue
-                # expand duplicate-key runs: doc i matches bench rows
-                # order[lo[i]:hi[i]]
-                reps = width[docs_hit]
-                flat_doc = np.repeat(docs_hit, reps)
-                flat_pos = np.concatenate(
-                    [np.arange(lo[i], hi[i]) for i in docs_hit]
-                )
-                cand_d.append(flat_doc)
-                cand_b.append(order[flat_pos])
-            if cand_d:
-                d = np.concatenate(cand_d)
-                bidx = np.concatenate(cand_b)
-                # dedupe (doc, bench) pairs colliding in several bands
-                pair_key = d * np.int64(len(bench_sigs)) + bidx
-                _, uniq = np.unique(pair_key, return_index=True)
-                d, bidx = d[uniq], bidx[uniq]
-                est = (sigs[d] == bench_sigs[bidx]).mean(axis=1)
-                np.maximum.at(best, d, est)
-                # argmax bench id per doc: keep the id of the pair that
-                # achieves the per-doc max (ties → lowest bench id via
-                # stable ordering on (doc, bench))
-                o = np.lexsort((bidx, -est, d))
-                d_o = d[o]
-                first = np.ones(len(d_o), dtype=bool)
-                first[1:] = d_o[1:] != d_o[:-1]
-                best_id[d_o[first]] = bidx[o][first]
+            best, best_id = _probe_best(sigs, bench_sigs, band_tables)
+        else:
+            best = np.zeros(n, dtype=np.float64)
+            best_id = np.full(n, -1, dtype=np.int64)
         batch = batch.append_column(
             "max_bench_jaccard", pa.array(best, type=pa.float64())
         )

@@ -132,3 +132,44 @@ def test_warc_roundtrip_property(records, chunked):
         and 200 <= r["status"] < 300
         and "html" in r["content_type"]
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(WORDS, min_size=1, max_size=12), min_size=1, max_size=12),
+    st.lists(st.lists(WORDS, min_size=1, max_size=12), min_size=1, max_size=6),
+    st.sampled_from([2, 4, 8]),
+)
+def test_fuzzy_probe_matches_bruteforce(doc_words, bench_words, num_bands):
+    """The vectorized LSH probe kernel (searchsorted + pair dedup +
+    lexsorted argmax) must agree EXACTLY with a brute-force recompute:
+    candidates are precisely the (doc, bench) pairs sharing >=1 band
+    key; best = max est-Jaccard over candidates, ties -> lowest bench
+    index, no candidate -> (0.0, -1)."""
+    import numpy as np
+
+    from fetch_engines_ray.ops.decontam import _bench_band_tables, _probe_best
+    from fetch_engines_ray.ops.dedup import MinHasher, _fold_band_keys
+
+    texts = [" ".join(ws) for ws in doc_words]
+    bench = [" ".join(ws) for ws in bench_words]
+    mh = MinHasher(num_perm=16, shingle_size=2, seed=3)
+    sigs = mh.signatures(texts)
+    bench_sigs = mh.signatures(bench)
+
+    got_best, got_id = _probe_best(
+        sigs, bench_sigs, _bench_band_tables(bench_sigs, num_bands)
+    )
+
+    keys = _fold_band_keys(sigs, num_bands)
+    bkeys = _fold_band_keys(bench_sigs, num_bands)
+    collide = (keys[:, None, :] == bkeys[None, :, :]).any(axis=2)  # n x m
+    est = (sigs[:, None, :] == bench_sigs[None, :, :]).mean(axis=2)
+    for i in range(len(texts)):
+        cand = np.nonzero(collide[i])[0]
+        if not len(cand):
+            assert got_best[i] == 0.0 and got_id[i] == -1, i
+            continue
+        exp = est[i, cand].max()
+        assert got_best[i] == exp, (i, got_best[i], exp)
+        assert got_id[i] == cand[est[i, cand] == exp].min(), i
