@@ -92,13 +92,39 @@ def curate_corpus(
     encoding consume it twice, and the checkpoint is the standard
     kept artifact / resume point between cleaning and tokenization —
     it is deliberately NOT deleted here because the returned Dataset
-    streams from it lazily."""
+    streams from it lazily.
+
+    With ``FER_CURATE_TIMING=1`` the chain prints one JSON line of
+    per-eager-stage wall-time deltas (near-dup decisions, semdedup
+    flags, checkpoints, perplexity cut, DSIR select, BPE train,
+    exports) — the barriers an operator watches on a long run; the
+    returned Dataset's ``.stats()`` only covers the final lazy chain."""
+    # Eager-stage wall clock, printed as one JSON line when
+    # FER_CURATE_TIMING=1: the chain's EAGER boundaries (near-dup
+    # decisions, survivor checkpoint, perplexity cut, DSIR select, BPE
+    # train) are where a long 100-TB run actually spends its barriers,
+    # and per-stage deltas tell an operator WHICH barrier to look at —
+    # the returned Dataset's .stats() only covers the final lazy chain.
+    import os as _os
+    import time as _time
+
+    _timing_on = _os.environ.get("FER_CURATE_TIMING") == "1"
+    _marks: list = []
+    _t_prev = [_time.perf_counter()]
+
+    def _mark(stage: str) -> None:
+        if _timing_on:
+            now = _time.perf_counter()
+            _marks.append((stage, round(now - _t_prev[0], 3)))
+            _t_prev[0] = now
+
     # 1. exact dedup winners — corpus-sized set, so semi-join.  The
     #    shuffle partition count scales with the input (engine-wide
     #    formula); pass ``join_partitions`` to skip the sizing count
     #    when the caller already knows the corpus size.
     if join_partitions is None:
         join_partitions = max(2, min(64, ds.count() // 200_000 + 1))
+    _mark("size_count")
     winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
     docs = ds.select_columns([id_col, text_col])
     deduped = docs.join(
@@ -127,6 +153,7 @@ def curate_corpus(
     decisions = minhash_dedup(dedup_view, threshold=near_dup_threshold)
     dropped = frozenset(decisions.loc[~decisions["is_kept"], "doc_id"].tolist())
     drop_ref = ray.put(dropped)
+    _mark("near_dedup_decisions")
 
     def keep_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -177,6 +204,7 @@ def curate_corpus(
             return batch.filter(mask).drop_columns(["semdedup_keep"])
 
         survived = joined.map_batches(sem_filter, batch_format="pyarrow", batch_size=4096)
+        _mark("semdedup_flags")
 
     # 3. optional decontamination: drop docs whose n-grams overlap the
     #    benchmark/eval set (GPT-3-style); the benchmark hash set is
@@ -240,6 +268,7 @@ def curate_corpus(
         from ..ops.dedup import _checkpoint_parquet
 
         survived, _surv_ckpt = _checkpoint_parquet(survived, "curate_survivors")
+        _mark("survivor_checkpoint")
 
     # 4 + 5. quality gate then PII redaction, fused into one map stage
     def quality_and_redact(batch: pa.Table) -> pa.Table:
@@ -266,6 +295,7 @@ def curate_corpus(
         lm = train_unigram_lm(survived, text_col=text_col, max_vocab=lm_max_vocab)
         scored = score_perplexity(survived, lm, text_col=text_col)
         (cut,) = mean_neg_quantiles(scored, qs=(1.0 - ppl_tail_quantile,))
+        _mark("perplexity_cut")
 
         def ppl_gate(batch: pa.Table) -> pa.Table:
             import numpy as np
@@ -310,6 +340,7 @@ def curate_corpus(
         else:
             sel = dsir_resample(weighted, n=dsir_n, seed=dsir_seed, id_col=id_col)
             sel_ref = ray.put(frozenset(sel[id_col].tolist()))
+            _mark("dsir_select")
 
             def keep_selected(batch: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
@@ -328,7 +359,9 @@ def curate_corpus(
         from ..ops.dedup import _checkpoint_parquet
 
         clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
+        _mark("clean_checkpoint")
         merges = bpe_train(clean_ckpt, n_merges=bpe_merges, text_col=text_col)
+        _mark("bpe_train")
         encoded = bpe_encode(clean_ckpt, merges, text_col=text_col, id_col=id_col)
         packed = pack_sequences(
             encoded, max_tokens=max_tokens, id_col=id_col, count_col="n_pieces"
@@ -354,6 +387,7 @@ def curate_corpus(
                 text_col=text_col,
                 id_col=id_col,
             )
+            _mark("bin_export")
     elif bin_export_path:
         raise ValueError("bin_export_path requires tokenizer='bpe' (binary shards carry BPE token ids)")
     else:
@@ -367,4 +401,9 @@ def curate_corpus(
         # caller's consumption re-execute rather than pinning; exports
         # are terminal in practice
         export_shards(packed, export_path, n_shards=n_shards, id_col="seq_id")
+        _mark("shard_export")
+    if _timing_on:
+        import json as _json
+
+        print(_json.dumps({"curate_timing_sec": dict(_marks)}))
     return packed

@@ -613,3 +613,38 @@ def test_curate_fuzzy_decontam_catches_paraphrase(ray_session):
     with_fuzzy = packed_ids(fuzzy_decontam_threshold=0.5)
     assert 200 not in with_fuzzy  # fuzzy gate drops it
     assert 0 in with_fuzzy and 1 in with_fuzzy  # clean docs unaffected
+
+
+def test_curate_timing_surface(ray_session, monkeypatch, capsys):
+    """FER_CURATE_TIMING=1 prints one JSON line of per-eager-stage
+    wall-time deltas covering the stages the options enabled."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(29)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(25)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    monkeypatch.setenv("FER_CURATE_TIMING", "1")
+    packed = curate_corpus(ds, max_tokens=256, ppl_tail_quantile=0.1).to_pandas()
+    assert len(packed) > 0
+    lines = [
+        l for l in capsys.readouterr().out.splitlines() if "curate_timing_sec" in l
+    ]
+    assert len(lines) == 1
+    timing = json.loads(lines[-1])["curate_timing_sec"]
+    for stage in ("size_count", "near_dedup_decisions", "survivor_checkpoint",
+                  "perplexity_cut"):
+        assert stage in timing and timing[stage] >= 0.0, timing
+    assert "dsir_select" not in timing  # option not enabled
+    assert "bpe_train" not in timing
