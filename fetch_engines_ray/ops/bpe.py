@@ -112,6 +112,21 @@ def bpe_train(
     top-N by (count desc, word asc), fetched via a per-block top-N +
     tiny reduce, so the driver never holds the full open vocabulary.
     """
+    vocab = bounded_word_table(ds, text_col=text_col, max_words=max_words, min_count=min_count)
+    return learn_merges(vocab, n_merges)
+
+
+def bounded_word_table(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    max_words: int = 30000,
+    min_count: int = 1,
+) -> list[tuple[str, int]]:
+    """The bounded (word, count) table every driver-side tokenizer
+    trainer learns over: distributed word-count shuffle, then per-block
+    top-``max_words`` by (count desc, word asc) + a tiny driver reduce —
+    the driver never holds the full open vocabulary.  Shared by
+    ``bpe_train`` and ``unigram_tok.unigram_train``."""
     wc = word_counts(ds, text_col=text_col, min_count=min_count)
 
     def local_top(batch: pa.Table) -> pa.Table:
@@ -125,8 +140,7 @@ def bpe_train(
 
     cand = wc.map_batches(local_top, batch_format="pyarrow", batch_size=2 * max_words).take_all()
     cand.sort(key=lambda r: (-r["n"], r["word"]))
-    vocab = [(r["word"], r["n"]) for r in cand[:max_words]]
-    return learn_merges(vocab, n_merges)
+    return [(r["word"], r["n"]) for r in cand[:max_words]]
 
 
 def encode_word(word: str, ranks: dict) -> list[str]:

@@ -77,6 +77,7 @@ def curate_corpus(
     text_col: str = "text",
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
+    unigram_vocab_size: int = 512,
     join_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns the packed-sequence Dataset
@@ -87,7 +88,10 @@ def curate_corpus(
 
     ``tokenizer="bpe"`` trains a real BPE tokenizer on the cleaned
     corpus and packs by learned piece counts (``total_tokens`` becomes
-    BPE pieces).  The cleaned corpus is checkpointed to parquet first
+    BPE pieces); ``tokenizer="unigram"`` does the same with the
+    SentencePiece-style unigram-LM trainer
+    (``ops/unigram_tok.py``, Kudo 2018) at ``unigram_vocab_size``
+    pieces.  The cleaned corpus is checkpointed to parquet first
     (``FER_CHECKPOINT_DIR``, default /tmp): tokenizer training plus
     encoding consume it twice, and the checkpoint is the standard
     kept artifact / resume point between cleaning and tokenization —
@@ -388,6 +392,31 @@ def curate_corpus(
                 id_col=id_col,
             )
             _mark("bin_export")
+    elif tokenizer == "unigram":
+        # SentencePiece-style unigram-LM tokenizer (Kudo 2018): same
+        # checkpoint + train + streaming-encode shape as the BPE branch
+        from ..ops.dedup import _checkpoint_parquet
+        from ..ops.unigram_tok import save_model, unigram_encode, unigram_train
+
+        if bin_export_path:
+            raise ValueError(
+                "bin_export_path requires tokenizer='bpe' (binary shards carry BPE token ids)"
+            )
+        clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
+        _mark("clean_checkpoint")
+        model = unigram_train(
+            clean_ckpt, vocab_size=unigram_vocab_size, text_col=text_col
+        )
+        _mark("unigram_train")
+        encoded = unigram_encode(clean_ckpt, model, text_col=text_col, id_col=id_col)
+        packed = pack_sequences(
+            encoded, max_tokens=max_tokens, id_col=id_col, count_col="n_pieces"
+        )
+        if export_path:
+            import os
+
+            os.makedirs(export_path, exist_ok=True)
+            save_model(model, os.path.join(export_path, "_tokenizer.json"))
     elif bin_export_path:
         raise ValueError("bin_export_path requires tokenizer='bpe' (binary shards carry BPE token ids)")
     else:

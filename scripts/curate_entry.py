@@ -69,8 +69,11 @@ def main() -> None:
         default=None,
         help="drop the worst-perplexity tail at this quantile (CCNet-style gate)",
     )
-    ap.add_argument("--tokenizer", choices=["whitespace", "bpe"], default="whitespace")
+    ap.add_argument(
+        "--tokenizer", choices=["whitespace", "bpe", "unigram"], default="whitespace"
+    )
     ap.add_argument("--bpe-merges", type=int, default=200)
+    ap.add_argument("--unigram-vocab-size", type=int, default=512)
     ap.add_argument(
         "--export",
         default=None,
@@ -123,6 +126,7 @@ def main() -> None:
         ppl_tail_quantile=args.ppl_tail_quantile,
         tokenizer=args.tokenizer,
         bpe_merges=args.bpe_merges,
+        unigram_vocab_size=args.unigram_vocab_size,
         export_path=args.export,
         bin_export_path=args.bin_export,
         n_shards=args.n_shards,
