@@ -373,6 +373,70 @@ def _checkpoint_parquet(
     return read_parquet_clean(path), path
 
 
+def _named_checkpoint_path(tag: str, name: str) -> tuple[str, str]:
+    import os
+    import re
+
+    root = os.environ.get("FER_CHECKPOINT_DIR", "/tmp")
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", name)
+    path = os.path.join(root, f"fer_{tag}_{safe}")
+    return path, os.path.join(path, "_FINGERPRINT.json")
+
+
+def try_named_checkpoint(
+    tag: str, name: str, fingerprint: dict
+) -> "ray.data.Dataset | None":
+    """Resume side of the NAMED checkpoint contract: if a complete
+    checkpoint ``<FER_CHECKPOINT_DIR>/fer_<tag>_<name>/`` exists, read
+    it back (skipping every stage upstream of it) — but only when its
+    recorded fingerprint matches; a mismatch raises instead of silently
+    resuming a DIFFERENT run's data under the same name.  Returns None
+    when there is nothing to resume (no dir, or an incomplete write —
+    the ``_FINGERPRINT.json`` sidecar lands last, tmp+renamed, so its
+    presence IS the completeness marker)."""
+    import json
+    import os
+
+    path, marker = _named_checkpoint_path(tag, name)
+    if not os.path.exists(marker):
+        return None
+    with open(marker, encoding="utf-8") as f:
+        recorded = json.load(f)
+    if recorded != fingerprint:
+        raise ValueError(
+            f"named checkpoint {path!r} was written by a run with a different "
+            f"input/option fingerprint (recorded {recorded!r}, this run "
+            f"{fingerprint!r}) — pick a new checkpoint name or remove the dir"
+        )
+    return read_parquet_clean(path)
+
+
+def write_named_checkpoint(
+    ds: "ray.data.Dataset", tag: str, name: str, fingerprint: dict
+) -> "ray.data.Dataset":
+    """Write side of the named checkpoint: spill ``ds`` to the keyed
+    directory and land the fingerprint sidecar LAST (tmp+rename), so a
+    killed run leaves an incomplete dir that the next run discards and
+    rewrites.  Returns the read-back Dataset (downstream passes stream
+    plain columnar reads instead of re-running the producing chain)."""
+    import json
+    import os
+    import shutil
+
+    path, marker = _named_checkpoint_path(tag, name)
+    if os.path.exists(path):
+        # an existing COMPLETE dir was already handled by the caller via
+        # try_named_checkpoint; anything still here is a partial write
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(fingerprint, f, sort_keys=True)
+    os.replace(tmp, marker)
+    return read_parquet_clean(path)
+
+
 def _cleanup_checkpoint(path: str) -> None:
     """Remove a consumed checkpoint dir (kept when FER_KEEP_CHECKPOINTS=1)."""
     import os

@@ -75,6 +75,7 @@ def curate_corpus(
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_name: str | None = None,
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
     unigram_vocab_size: int = 512,
@@ -97,6 +98,14 @@ def curate_corpus(
     kept artifact / resume point between cleaning and tokenization —
     it is deliberately NOT deleted here because the returned Dataset
     streams from it lazily.
+
+    ``checkpoint_name`` makes the run RESUMABLE across process
+    restarts: the survivor table (everything downstream of dedup +
+    decontamination — the expensive half) spills to a keyed directory
+    under ``FER_CHECKPOINT_DIR``, and a re-run with the same name and
+    an identical input/option fingerprint skips straight to it; a
+    fingerprint mismatch raises rather than silently resuming foreign
+    data.
 
     With ``FER_CURATE_TIMING=1`` the chain prints one JSON line of
     per-eager-stage wall-time deltas (near-dup decisions, semdedup
@@ -122,139 +131,190 @@ def curate_corpus(
             _marks.append((stage, round(now - _t_prev[0], 3)))
             _t_prev[0] = now
 
-    # 1. exact dedup winners — corpus-sized set, so semi-join.  The
-    #    shuffle partition count scales with the input (engine-wide
-    #    formula); pass ``join_partitions`` to skip the sizing count
-    #    when the caller already knows the corpus size.
-    if join_partitions is None:
-        join_partitions = max(2, min(64, ds.count() // 200_000 + 1))
-    _mark("size_count")
-    winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
-    docs = ds.select_columns([id_col, text_col])
-    deduped = docs.join(
-        winners,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=(id_col,),
-        right_on=("keep_doc_id",),
-    )
-
-    # 2. near-dedup drop set — bounded by the near-dup PAIR count
-    #    (tiny), so a ray.put broadcast + batch filter is the right
-    #    shape (a sparse-key anti-join would also trip Ray's
-    #    schema-less empty join partitions).  The dedup module keys on
-    #    its canonical (doc_id, text) names — rename the view so the
-    #    decisions carry THIS chain's id column (a silent column
-    #    mismatch here once no-opped the near-dup drop entirely)
-    dedup_view = ds.select_columns([id_col, text_col])
-    renames = {
-        old: new
-        for old, new in ((id_col, "doc_id"), (text_col, "text"))
-        if old != new
-    }
-    if renames:
-        dedup_view = dedup_view.rename_columns(renames)
-    decisions = minhash_dedup(dedup_view, threshold=near_dup_threshold)
-    dropped = frozenset(decisions.loc[~decisions["is_kept"], "doc_id"].tolist())
-    drop_ref = ray.put(dropped)
-    _mark("near_dedup_decisions")
-
-    def keep_rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        drop = ray.get(drop_ref)
-        if not drop:
-            return batch
-        drop_arr = pa.array(list(drop)).cast(batch[id_col].type)
-        return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=drop_arr)))
-
-    survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
-
-    # 2b. optional semantic dedup (SemDeDup) over a parallel embeddings
-    #     table keyed by the same document ids: the keep set is
-    #     corpus-sized, so it SEMI-JOINS exactly like the exact-dedup
-    #     winners (ray.put of a corpus-sized set is the round-1 pitfall
-    #     this chain already engineered out)
-    if embeddings is not None:
-        from ..ops.dedup import _partitioned_attach
-        from ..ops.semdedup import semdedup
-
-        # a partitioned LEFT attach, not a Ray left_outer join: a SPARSE
-        # embeddings table (few docs embedded) leaves join partitions
-        # block-less on the flag side and the hash-join aggregator dies
-        # on the schema-less empty table (see ops/dedup._partitioned_attach)
-        sem_flags = semdedup(
-            embeddings, eps=semdedup_eps, id_col=emb_id_col
-        ).select_columns([emb_id_col, "semdedup_keep"])
-        joined = _partitioned_attach(
-            survived,
-            sem_flags,
-            key_col=id_col,
-            carry=[(id_col, pa.int64()), (text_col, pa.string())],
-            value_col="semdedup_keep",
-            value_type=pa.bool_(),
-            out_col="semdedup_keep",
-            n_parts=max(64, join_partitions * 8),
-            how="left",
-            lookup_key=emb_id_col,
+    def _compute_survivors() -> "ray.data.Dataset":
+        """Steps 1-3a (exact dedup semi-join, near-dup drop, optional
+        SemDeDup / exact / fuzzy decontamination) — the whole upstream a
+        named survivor checkpoint lets a restarted run SKIP."""
+        nonlocal join_partitions
+        # 1. exact dedup winners — corpus-sized set, so semi-join.  The
+        #    shuffle partition count scales with the input (engine-wide
+        #    formula); pass ``join_partitions`` to skip the sizing count
+        #    when the caller already knows the corpus size.
+        if join_partitions is None:
+            join_partitions = max(2, min(64, ds.count() // 200_000 + 1))
+        _mark("size_count")
+        winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
+        docs = ds.select_columns([id_col, text_col])
+        deduped = docs.join(
+            winners,
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=(id_col,),
+            right_on=("keep_doc_id",),
         )
 
-        def sem_filter(batch: pa.Table) -> pa.Table:
+        # 2. near-dedup drop set — bounded by the near-dup PAIR count
+        #    (tiny), so a ray.put broadcast + batch filter is the right
+        #    shape (a sparse-key anti-join would also trip Ray's
+        #    schema-less empty join partitions).  The dedup module keys on
+        #    its canonical (doc_id, text) names — rename the view so the
+        #    decisions carry THIS chain's id column (a silent column
+        #    mismatch here once no-opped the near-dup drop entirely)
+        dedup_view = ds.select_columns([id_col, text_col])
+        renames = {
+            old: new
+            for old, new in ((id_col, "doc_id"), (text_col, "text"))
+            if old != new
+        }
+        if renames:
+            dedup_view = dedup_view.rename_columns(renames)
+        decisions = minhash_dedup(dedup_view, threshold=near_dup_threshold)
+        dropped = frozenset(decisions.loc[~decisions["is_kept"], "doc_id"].tolist())
+        drop_ref = ray.put(dropped)
+        _mark("near_dedup_decisions")
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            # docs with no embedding row carry a null flag: KEEP them
-            # (no duplicate evidence) — only an explicit False drops
-            mask = pc.fill_null(batch["semdedup_keep"], True)
-            return batch.filter(mask).drop_columns(["semdedup_keep"])
+            drop = ray.get(drop_ref)
+            if not drop:
+                return batch
+            drop_arr = pa.array(list(drop)).cast(batch[id_col].type)
+            return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=drop_arr)))
 
-        survived = joined.map_batches(sem_filter, batch_format="pyarrow", batch_size=4096)
-        _mark("semdedup_flags")
+        survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
 
-    # 3. optional decontamination: drop docs whose n-grams overlap the
-    #    benchmark/eval set (GPT-3-style); the benchmark hash set is
-    #    broadcast once inside flag_contaminated — no shuffle
-    if benchmark_texts:
-        from ..ops.decontam import flag_contaminated
+        # 2b. optional semantic dedup (SemDeDup) over a parallel embeddings
+        #     table keyed by the same document ids: the keep set is
+        #     corpus-sized, so it SEMI-JOINS exactly like the exact-dedup
+        #     winners (ray.put of a corpus-sized set is the round-1 pitfall
+        #     this chain already engineered out)
+        if embeddings is not None:
+            from ..ops.dedup import _partitioned_attach
+            from ..ops.semdedup import semdedup
 
-        flagged = flag_contaminated(
-            survived, benchmark_texts, n=decontam_ngram, text_col=text_col
-        )
-
-        def drop_contaminated(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            batch = batch.filter(pc.invert(batch["contaminated"]))
-            return batch.drop_columns(["contaminated", "n_contaminated_ngrams"])
-
-        survived = flagged.map_batches(
-            drop_contaminated, batch_format="pyarrow", batch_size=4096
-        )
-
-    # 3a. optional FUZZY decontamination (Llama-style): drop docs whose
-    #     MinHash-estimated Jaccard to any benchmark doc reaches the
-    #     threshold — catches paraphrases that defeat the exact n-gram
-    #     rule.  Benchmark signatures broadcast once — no shuffle.
-    if benchmark_texts and fuzzy_decontam_threshold is not None:
-        from ..ops.decontam import fuzzy_decontaminate
-
-        fz = fuzzy_decontaminate(
-            survived,
-            benchmark_texts,
-            threshold=fuzzy_decontam_threshold,
-            text_col=text_col,
-        )
-
-        def drop_fuzzy(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            batch = batch.filter(pc.invert(batch["fuzzy_contaminated"]))
-            return batch.drop_columns(
-                ["fuzzy_contaminated", "max_bench_jaccard", "matched_bench_id"]
+            # a partitioned LEFT attach, not a Ray left_outer join: a SPARSE
+            # embeddings table (few docs embedded) leaves join partitions
+            # block-less on the flag side and the hash-join aggregator dies
+            # on the schema-less empty table (see ops/dedup._partitioned_attach)
+            sem_flags = semdedup(
+                embeddings, eps=semdedup_eps, id_col=emb_id_col
+            ).select_columns([emb_id_col, "semdedup_keep"])
+            joined = _partitioned_attach(
+                survived,
+                sem_flags,
+                key_col=id_col,
+                carry=[(id_col, pa.int64()), (text_col, pa.string())],
+                value_col="semdedup_keep",
+                value_type=pa.bool_(),
+                out_col="semdedup_keep",
+                n_parts=max(64, join_partitions * 8),
+                how="left",
+                lookup_key=emb_id_col,
             )
 
-        survived = fz.map_batches(
-            drop_fuzzy, batch_format="pyarrow", batch_size=4096
+            def sem_filter(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                # docs with no embedding row carry a null flag: KEEP them
+                # (no duplicate evidence) — only an explicit False drops
+                mask = pc.fill_null(batch["semdedup_keep"], True)
+                return batch.filter(mask).drop_columns(["semdedup_keep"])
+
+            survived = joined.map_batches(sem_filter, batch_format="pyarrow", batch_size=4096)
+            _mark("semdedup_flags")
+
+        # 3. optional decontamination: drop docs whose n-grams overlap the
+        #    benchmark/eval set (GPT-3-style); the benchmark hash set is
+        #    broadcast once inside flag_contaminated — no shuffle
+        if benchmark_texts:
+            from ..ops.decontam import flag_contaminated
+
+            flagged = flag_contaminated(
+                survived, benchmark_texts, n=decontam_ngram, text_col=text_col
+            )
+
+            def drop_contaminated(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                batch = batch.filter(pc.invert(batch["contaminated"]))
+                return batch.drop_columns(["contaminated", "n_contaminated_ngrams"])
+
+            survived = flagged.map_batches(
+                drop_contaminated, batch_format="pyarrow", batch_size=4096
+            )
+
+        # 3a. optional FUZZY decontamination (Llama-style): drop docs whose
+        #     MinHash-estimated Jaccard to any benchmark doc reaches the
+        #     threshold — catches paraphrases that defeat the exact n-gram
+        #     rule.  Benchmark signatures broadcast once — no shuffle.
+        if benchmark_texts and fuzzy_decontam_threshold is not None:
+            from ..ops.decontam import fuzzy_decontaminate
+
+            fz = fuzzy_decontaminate(
+                survived,
+                benchmark_texts,
+                threshold=fuzzy_decontam_threshold,
+                text_col=text_col,
+            )
+
+            def drop_fuzzy(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                batch = batch.filter(pc.invert(batch["fuzzy_contaminated"]))
+                return batch.drop_columns(
+                    ["fuzzy_contaminated", "max_bench_jaccard", "matched_bench_id"]
+                )
+
+            survived = fz.map_batches(
+                drop_fuzzy, batch_format="pyarrow", batch_size=4096
+            )
+
+        return survived
+
+    # Named resumable survivor checkpoint: with ``checkpoint_name`` a
+    # restarted run resumes from the spilled survivor table and skips
+    # every dedup/decontam stage above — the expensive half of the
+    # chain.  The fingerprint (input row count + every option that
+    # shapes the survivor set) gates the resume: same name + different
+    # run raises instead of silently reusing foreign data.
+    _resume_fp = None
+    survived = None
+    if checkpoint_name is not None:
+        import hashlib as _hashlib
+
+        from ..ops.dedup import try_named_checkpoint, write_named_checkpoint
+
+        bench_md5 = (
+            _hashlib.md5("\x00".join(benchmark_texts).encode()).hexdigest()
+            if benchmark_texts
+            else None
         )
+        _resume_fp = {
+            "n_input": ds.count(),
+            "near_dup_threshold": near_dup_threshold,
+            "benchmark_md5": bench_md5,
+            "decontam_ngram": decontam_ngram if benchmark_texts else None,
+            "fuzzy_decontam_threshold": (
+                fuzzy_decontam_threshold if benchmark_texts else None
+            ),
+            "semdedup_eps": semdedup_eps if embeddings is not None else None,
+            "has_embeddings": embeddings is not None,
+            "id_col": id_col,
+            "text_col": text_col,
+        }
+        survived = try_named_checkpoint(
+            "curate_survivors", checkpoint_name, _resume_fp
+        )
+        if survived is not None:
+            _mark("survivor_resume")
+    if survived is None:
+        survived = _compute_survivors()
+        if checkpoint_name is not None:
+            survived = write_named_checkpoint(
+                survived, "curate_survivors", checkpoint_name, _resume_fp
+            )
+            _mark("survivor_checkpoint")
 
     # 3b. multi-consumer checkpoint: the perplexity gate (LM word-count
     #     train, score count, quantile histogram passes) and DSIR
@@ -266,8 +326,11 @@ def curate_corpus(
     #     artifact between dedup and gating (same posture as the
     #     cleaned-corpus checkpoint in the BPE tail below); deliberately
     #     not deleted here — the returned Dataset streams from it.
-    if ppl_tail_quantile is not None or (
-        dsir_target_texts and (dsir_n or dsir_min_logw is not None)
+    #     (With ``checkpoint_name`` the NAMED survivor checkpoint above
+    #     already plays this role, so the anonymous spill is skipped.)
+    if checkpoint_name is None and (
+        ppl_tail_quantile is not None
+        or (dsir_target_texts and (dsir_n or dsir_min_logw is not None))
     ):
         from ..ops.dedup import _checkpoint_parquet
 

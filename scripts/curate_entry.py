@@ -87,6 +87,13 @@ def main() -> None:
         help="also deliver binary token shards (.bin + idx + vocab; requires --tokenizer bpe)",
     )
     ap.add_argument("--n-shards", type=int, default=16)
+    ap.add_argument(
+        "--checkpoint-name",
+        default=None,
+        help="make the run resumable: spill the post-dedup survivor table "
+        "to a keyed dir under FER_CHECKPOINT_DIR; re-submitting with the "
+        "same name skips the dedup/decontamination half of the chain",
+    )
     args = ap.parse_args()
     if args.fuzzy_threshold is not None and not args.benchmark_file:
         ap.error("--fuzzy-threshold requires --benchmark-file")
@@ -127,6 +134,7 @@ def main() -> None:
         tokenizer=args.tokenizer,
         bpe_merges=args.bpe_merges,
         unigram_vocab_size=args.unigram_vocab_size,
+        checkpoint_name=args.checkpoint_name,
         export_path=args.export,
         bin_export_path=args.bin_export,
         n_shards=args.n_shards,

@@ -648,3 +648,68 @@ def test_curate_timing_surface(ray_session, monkeypatch, capsys):
         assert stage in timing and timing[stage] >= 0.0, timing
     assert "dsir_select" not in timing  # option not enabled
     assert "bpe_train" not in timing
+
+
+def test_curate_named_checkpoint_resume(ray_session, monkeypatch, tmp_path, capsys):
+    """checkpoint_name makes curate resumable: the second run reads the
+    named survivor checkpoint (dedup stages skipped, files untouched)
+    and returns identical output; a changed option fingerprint raises
+    instead of resuming foreign data."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(31)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(30)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    monkeypatch.setenv("FER_CHECKPOINT_DIR", str(tmp_path))
+    monkeypatch.setenv("FER_CURATE_TIMING", "1")
+
+    def run(**kw):
+        packed = curate_corpus(
+            ds, max_tokens=256, checkpoint_name="r1", ppl_tail_quantile=0.1, **kw
+        ).to_pandas()
+        out = capsys.readouterr().out
+        timing = json.loads(
+            [l for l in out.splitlines() if "curate_timing_sec" in l][-1]
+        )["curate_timing_sec"]
+        return sorted(d for ids in packed["doc_ids"] for d in ids), timing
+
+    docs1, t1 = run()
+    assert "near_dedup_decisions" in t1 and "survivor_checkpoint" in t1
+    assert 100 not in docs1  # dedup ran
+
+    ckpt = tmp_path / "fer_curate_survivors_r1"
+    marker = ckpt / "_FINGERPRINT.json"
+    assert marker.exists()
+    mtimes = {p.name: p.stat().st_mtime_ns for p in ckpt.iterdir()}
+
+    docs2, t2 = run()
+    assert docs2 == docs1
+    assert "survivor_resume" in t2  # resumed
+    assert "near_dedup_decisions" not in t2  # dedup SKIPPED
+    assert {p.name: p.stat().st_mtime_ns for p in ckpt.iterdir()} == mtimes
+
+    # changed option -> fingerprint mismatch -> loud failure
+    with _pytest.raises(ValueError, match="fingerprint"):
+        run(near_dup_threshold=0.9)
+
+    # an INCOMPLETE checkpoint (marker missing) is discarded and rebuilt
+    os.remove(marker)
+    docs3, t3 = run()
+    assert docs3 == docs1
+    assert "near_dedup_decisions" in t3 and "survivor_checkpoint" in t3
+    assert marker.exists()
