@@ -1410,3 +1410,33 @@ def test_fuzzy_decontamination(ray_session):
     assert not clean["fuzzy_contaminated"].any()
     assert (clean["matched_bench_id"] == -1).all()
     assert (clean["max_bench_jaccard"] == 0.0).all()
+
+
+def test_corpus_diff(ray_session):
+    """Snapshot diff: added/removed/changed verdicts are exact, output
+    is change-sized, identical snapshots diff empty, and
+    include_unchanged restores the full id space."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.diff import corpus_diff
+
+    old = pd.DataFrame(
+        {"doc_id": range(10), "text": [f"text of doc {i}" for i in range(10)]}
+    )
+    new = old[old.doc_id != 3].copy()  # 3 removed
+    new.loc[new.doc_id.isin([5, 7]), "text"] = "EDITED"  # 5, 7 changed
+    new = pd.concat(
+        [new, pd.DataFrame({"doc_id": [100], "text": ["brand new"]})]
+    )  # 100 added
+
+    a, b = ray.data.from_pandas(old), ray.data.from_pandas(new)
+    got = corpus_diff(a, b).to_pandas().set_index("doc_id")["status"].to_dict()
+    assert got == {3: "removed", 5: "changed", 7: "changed", 100: "added"}
+
+    assert corpus_diff(a, a).to_pandas().empty  # identical snapshots
+
+    full = corpus_diff(a, b, include_unchanged=True).to_pandas()
+    assert len(full) == 11  # 10 old ids + 1 added
+    assert (full[~full.doc_id.isin([3, 5, 7, 100])]["status"] == "unchanged").all()
