@@ -162,6 +162,86 @@ def domain_doc_counts(
     return pairs.groupby("domain").map_groups(per_domain, batch_format="pyarrow")
 
 
+def domain_quality(
+    ds: "ray.data.Dataset",
+    score_col: str = "quality_score",
+    url_col: str = "base_url",
+    domain_col: str | None = None,
+) -> "ray.data.Dataset":
+    """(domain, n_docs, mean_score) — per-domain quality rollup.
+
+    Scale shape: each batch PRE-AGGREGATES to (domain, count, sum)
+    partials before the shuffle (hot domains collapse inside every
+    block, so the exchange carries domain-cardinality rows, not
+    doc-cardinality), then one small ``groupby().sum`` over the
+    partials and a vectorized mean."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if domain_col is not None:
+            domains = batch[domain_col].to_pylist()
+        else:
+            domains = [
+                registered_domain(canonicalize_url(u or ""))
+                for u in batch[url_col].to_pylist()
+            ]
+        df = pd.DataFrame(
+            {"domain": domains, "s": batch[score_col].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("domain")["s"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "domain": pa.array(g["domain"], type=pa.string()),
+                "n": pa.array(g["size"], type=pa.int64()),
+                "s": pa.array(g["sum"], type=pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("s", alias_name="s"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(
+            pc.cast(batch["s"], pa.float64()), pc.cast(batch["n_docs"], pa.float64())
+        )
+        return pa.table(
+            {
+                "domain": batch["domain"],
+                "n_docs": batch["n_docs"],
+                "mean_score": mean,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=8192)
+
+
+def induce_domain_blocklist(
+    ds: "ray.data.Dataset",
+    score_col: str = "quality_score",
+    max_mean_score: float = 0.2,
+    min_docs: int = 10,
+    url_col: str = "base_url",
+    domain_col: str | None = None,
+) -> "ray.data.Dataset":
+    """RefinedWeb-style blocklist induction: domains whose MEAN quality
+    score over at least ``min_docs`` documents falls at or below
+    ``max_mean_score``.  Returns a (domain, n_docs, mean_score) Dataset
+    — blocklist-sized, so feeding it to :func:`filter_blocked_domains`
+    (a broadcast) is the intended composition.  The ``min_docs`` gate
+    keeps one unlucky page from banning a whole domain."""
+    dq = domain_quality(ds, score_col=score_col, url_col=url_col, domain_col=domain_col)
+    return dq.filter(
+        expr=f"n_docs >= {int(min_docs)} and mean_score <= {float(max_mean_score)}"
+    )
+
+
 def filter_blocked_domains(
     ds: "ray.data.Dataset",
     blocklist: Iterable[str],

@@ -97,3 +97,39 @@ def test_filter_blocklist_precomputed_domain_col(url_ds):
         with_cols, ["bad-site.com"], domain_col="domain"
     ).to_pandas()
     assert sorted(kept["doc_id"]) == ["d0", "d1", "d2", "d3"]
+
+
+def test_induce_domain_blocklist(ray_session):
+    """Per-domain quality rollup is exact, the min_docs gate protects
+    small domains, and the induced list composes with
+    filter_blocked_domains."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.urlops import (
+        domain_quality,
+        filter_blocked_domains,
+        induce_domain_blocklist,
+    )
+
+    rows = []
+    for i in range(20):  # good.com: 20 docs, mean 0.9
+        rows.append({"doc_id": i, "base_url": f"https://good.com/p{i}", "quality_score": 0.9})
+    for i in range(20, 35):  # spam.net: 15 docs, mean 0.1 -> blocked
+        rows.append({"doc_id": i, "base_url": f"http://www.spam.net/x{i}", "quality_score": 0.1})
+    for i in range(35, 38):  # tiny.org: 3 low-score docs -> under min_docs
+        rows.append({"doc_id": i, "base_url": f"https://tiny.org/{i}", "quality_score": 0.0})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    dq = domain_quality(ds).to_pandas().set_index("domain")
+    assert dq.loc["good.com", "n_docs"] == 20
+    assert abs(dq.loc["spam.net", "mean_score"] - 0.1) < 1e-12
+    assert dq.loc["tiny.org", "n_docs"] == 3
+
+    blocked = induce_domain_blocklist(ds, max_mean_score=0.2, min_docs=10).to_pandas()
+    assert sorted(blocked["domain"]) == ["spam.net"]
+
+    kept = filter_blocked_domains(ds, blocked["domain"].tolist()).to_pandas()
+    assert len(kept) == 23  # 20 good + 3 tiny survive
+    assert not kept["base_url"].str.contains("spam.net").any()
