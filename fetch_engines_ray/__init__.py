@@ -17,10 +17,14 @@ Public surface (reference analog: /root/reference/src/index.ts:1-9):
   training-data operator families (dedup incl. line-level +
   incremental + substring + SemDeDup, similarity incl. PQ/IVFPQ,
   retrieval (BM25/RRF), LM perplexity, DSIR, text stats incl.
-  decontamination + mixture sampling, windows, skew (salting), layout
-  (zone maps), graph (PageRank), expectations, drift, datacard,
-  sketches incl. Bloom, profiling, partitioning incl. sharded export,
-  multimodal codecs).
+  decontamination (exact n-gram + fuzzy MinHash) + mixture sampling,
+  learned tokenizers (BPE + unigram-LM incl. subword-regularization
+  sampling), binary token-shard delivery, windows, skew (salting),
+  layout (zone maps), graph (PageRank), corpus snapshot diff,
+  per-domain quality + blocklist induction, expectations, drift,
+  datacard, sketches incl. Bloom, profiling, partitioning incl.
+  sharded export, multimodal codecs).  ``curate_corpus`` runs are
+  resumable via named fingerprinted checkpoints.
 """
 
 from .functions.converter import convert  # noqa: F401

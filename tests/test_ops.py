@@ -1440,3 +1440,50 @@ def test_corpus_diff(ray_session):
     full = corpus_diff(a, b, include_unchanged=True).to_pandas()
     assert len(full) == 11  # 10 old ids + 1 added
     assert (full[~full.doc_id.isin([3, 5, 7, 100])]["status"] == "unchanged").all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _diff_reference(old_rows, new_rows):
+    old = {i: t for i, t in old_rows}
+    new = {i: t for i, t in new_rows}
+    out = {}
+    for i in old.keys() - new.keys():
+        out[i] = "removed"
+    for i in new.keys() - old.keys():
+        out[i] = "added"
+    for i in old.keys() & new.keys():
+        if old[i] != new[i]:
+            out[i] = "changed"
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 40), st.text(max_size=6), max_size=25),
+    st.dictionaries(st.integers(0, 40), st.text(max_size=6), max_size=25),
+)
+def test_corpus_diff_matches_dict_reference(ray_session, old_map, new_map):
+    """corpus_diff == the obvious dict diff for ANY pair of snapshots
+    (including empty sides, disjoint id spaces, and equal texts)."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.diff import corpus_diff
+
+    def to_ds(m):
+        ids = sorted(m)
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": [m[i] for i in ids]})
+            if ids
+            else pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "text": pd.Series([], dtype="object")})
+        )
+
+    got_df = corpus_diff(to_ds(old_map), to_ds(new_map), n_parts=4).to_pandas()
+    # a fully-empty pair of snapshots yields a schema-less empty frame
+    got = {} if got_df.empty else dict(zip(got_df["doc_id"], got_df["status"]))
+    assert got == _diff_reference(old_map.items(), new_map.items())

@@ -109,3 +109,4 @@ def test_pq_lloyd_deterministic_and_partitions(seed):
     # every centroid is finite and lives in the data's bounding box
     assert np.isfinite(a).all()
     assert (a.min() >= mat.min() - 1e-12) and (a.max() <= mat.max() + 1e-12)
+
