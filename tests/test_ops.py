@@ -1487,3 +1487,55 @@ def test_corpus_diff_matches_dict_reference(ray_session, old_map, new_map):
     # a fully-empty pair of snapshots yields a schema-less empty frame
     got = {} if got_df.empty else dict(zip(got_df["doc_id"], got_df["status"]))
     assert got == _diff_reference(old_map.items(), new_map.items())
+
+
+def test_pack_sequences_bfd(ray_session):
+    """Best-fit-decreasing packing: every doc placed exactly once, no
+    sequence over budget, deterministic — and on the classic instance
+    (sizes 6..1, cap 7) it packs 3 zero-waste bins where in-order
+    greedy needs 4."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.packing import pack_sequences
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [" ".join(["w"] * n) for n in (6, 5, 4, 3, 2, 1)],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    greedy = pack_sequences(ds, max_tokens=7).to_pandas()
+    bfd = pack_sequences(ds, max_tokens=7, strategy="bfd").to_pandas()
+    assert len(greedy) == 4 and len(bfd) == 3
+    assert (bfd["total_tokens"] == 7).all()  # zero padding waste
+    placed = sorted(d for ids in bfd["doc_ids"] for d in ids)
+    assert placed == list(range(6))  # every doc exactly once
+
+    # random invariants + determinism + oversize parity with greedy
+    rng = np.random.RandomState(13)
+    big = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [" ".join(["w"] * int(n)) for n in rng.randint(1, 120, size=300)],
+        }
+    )
+    big.loc[7, "text"] = " ".join(["w"] * 500)  # oversize doc
+    bds = ray.data.from_pandas(big)
+    out1 = pack_sequences(bds, max_tokens=128, strategy="bfd").to_pandas()
+    out2 = pack_sequences(bds, max_tokens=128, strategy="bfd").to_pandas()
+    assert sorted(map(tuple, out1["doc_ids"])) == sorted(map(tuple, out2["doc_ids"]))
+    placed = sorted(d for ids in out1["doc_ids"] for d in ids)
+    assert placed == list(range(300))
+    assert (out1.loc[~out1["oversize"], "total_tokens"] <= 128).all()
+    assert out1.loc[out1["oversize"], "seq_id"].tolist() == [7]
+    # denser or equal vs greedy on the same shard
+    g = pack_sequences(bds, max_tokens=128).to_pandas()
+    assert len(out1) <= len(g)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        pack_sequences(bds, max_tokens=128, strategy="worst-fit").take_all()
