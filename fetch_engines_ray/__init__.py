@@ -19,7 +19,7 @@ Public surface (reference analog: /root/reference/src/index.ts:1-9):
   retrieval (BM25/RRF), LM perplexity, DSIR, text stats incl.
   decontamination (exact n-gram + fuzzy MinHash) + mixture sampling,
   learned tokenizers (BPE + unigram-LM incl. subword-regularization
-  sampling), binary token-shard delivery, windows, skew (salting),
+  sampling), Stupid-Backoff n-gram LM, binary token-shard delivery, windows, skew (salting),
   layout (zone maps), graph (PageRank), corpus snapshot diff,
   per-domain quality + blocklist induction, expectations, drift,
   datacard, sketches incl. Bloom, profiling, partitioning incl.
