@@ -224,7 +224,10 @@ def perplexity_reference(
 
 
 def mean_neg_quantiles(
-    scored: "ray.data.Dataset", qs: Sequence[float] = (1 / 3, 2 / 3)
+    scored: "ray.data.Dataset",
+    qs: Sequence[float] = (1 / 3, 2 / 3),
+    tc_col: str = "lm_token_count",
+    s_col: str = "lm_logprob_micro",
 ) -> list[int]:
     """Corpus-specific bucket cut points: EXACT quantiles of the
     per-token mean negative log-probability via iterative histogram
@@ -235,8 +238,8 @@ def mean_neg_quantiles(
     from fetch_engines_ray.ops.sketches import exact_int_quantiles
 
     def mean_neg(batch: pa.Table) -> pa.Table:
-        tc = batch["lm_token_count"].to_numpy(zero_copy_only=False)
-        s = batch["lm_logprob_micro"].to_numpy(zero_copy_only=False)
+        tc = batch[tc_col].to_numpy(zero_copy_only=False)
+        s = batch[s_col].to_numpy(zero_copy_only=False)
         return pa.table({"mean_neg": pa.array(np.where(tc > 0, (-s) // np.maximum(tc, 1), 0))})
 
     vals = scored.map_batches(mean_neg, batch_format="pyarrow")

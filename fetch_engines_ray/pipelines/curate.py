@@ -69,6 +69,7 @@ def curate_corpus(
     dsir_min_logw: float | None = None,
     dsir_seed: int = 0,
     ppl_tail_quantile: float | None = None,
+    ppl_lm: str = "unigram",
     lm_max_vocab: int | None = 65536,
     export_path: str | None = None,
     bin_export_path: str | None = None,
@@ -106,6 +107,11 @@ def curate_corpus(
     an identical input/option fingerprint skips straight to it; a
     fingerprint mismatch raises rather than silently resuming foreign
     data.
+
+    ``ppl_lm`` picks the perplexity-gate model: ``"unigram"`` (CCNet
+    add-alpha, the default) or ``"backoff"`` (Stupid-Backoff trigram,
+    Brants et al. 2007, singleton contexts cut — catches scrambled /
+    machine-mangled text whose unigram profile looks natural).
 
     With ``FER_CURATE_TIMING=1`` the chain prints one JSON line of
     per-eager-stage wall-time deltas (near-dup decisions, semdedup
@@ -359,21 +365,46 @@ def curate_corpus(
     if ppl_tail_quantile is not None:
         from ..ops.lm import mean_neg_quantiles, score_perplexity, train_unigram_lm
 
-        lm = train_unigram_lm(survived, text_col=text_col, max_vocab=lm_max_vocab)
-        scored = score_perplexity(survived, lm, text_col=text_col)
-        (cut,) = mean_neg_quantiles(scored, qs=(1.0 - ppl_tail_quantile,))
+        if ppl_lm == "backoff":
+            # context-aware gate (Brants et al. 2007): same shape —
+            # train on survivors, broadcast model, vectorized scoring —
+            # but repeated-context text scores better than scrambled
+            # text with identical unigrams.  Count cutoff ≥2 on orders
+            # 2..3 is load-bearing: the LM trains on the corpus being
+            # gated, so a doc's own singleton bigrams/trigrams would
+            # otherwise self-support at ratio 1 (ln = 0) and scrambled
+            # text would score as well as natural text.
+            from ..ops.backoff_lm import score_backoff, train_backoff_lm
+
+            lm = train_backoff_lm(
+                survived,
+                text_col=text_col,
+                min_count=(1, 2, 2),
+                max_ngrams=lm_max_vocab,
+            )
+            scored = score_backoff(survived, lm, text_col=text_col)
+            tc_col, s_col = "sb_token_count", "sb_logscore_micro"
+            score_cols = [tc_col, s_col, "sb_mean_neg"]
+        elif ppl_lm == "unigram":
+            lm = train_unigram_lm(survived, text_col=text_col, max_vocab=lm_max_vocab)
+            scored = score_perplexity(survived, lm, text_col=text_col)
+            tc_col, s_col = "lm_token_count", "lm_logprob_micro"
+            score_cols = [tc_col, s_col, "ppl_bucket"]
+        else:
+            raise ValueError(f"unknown ppl_lm {ppl_lm!r} (unigram|backoff)")
+        (cut,) = mean_neg_quantiles(
+            scored, qs=(1.0 - ppl_tail_quantile,), tc_col=tc_col, s_col=s_col
+        )
         _mark("perplexity_cut")
 
         def ppl_gate(batch: pa.Table) -> pa.Table:
             import numpy as np
 
-            tc = batch["lm_token_count"].to_numpy(zero_copy_only=False)
-            s = batch["lm_logprob_micro"].to_numpy(zero_copy_only=False)
+            tc = batch[tc_col].to_numpy(zero_copy_only=False)
+            s = batch[s_col].to_numpy(zero_copy_only=False)
             mean_neg = np.where(tc > 0, (-s) // np.maximum(tc, 1), 0)
             keep = pa.array(mean_neg <= cut)
-            return batch.filter(keep).drop_columns(
-                ["lm_token_count", "lm_logprob_micro", "ppl_bucket"]
-            )
+            return batch.filter(keep).drop_columns(score_cols)
 
         survived = scored.map_batches(ppl_gate, batch_format="pyarrow", batch_size=4096)
 

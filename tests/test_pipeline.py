@@ -503,6 +503,55 @@ def test_curate_corpus_perplexity_gate(ray_session):
     assert 99 in docs_u  # without the gate it survives (Gopher-passing)
 
 
+def test_curate_corpus_backoff_ppl_gate(ray_session):
+    """ppl_lm="backoff": a scrambled-phrase doc whose UNIGRAM profile
+    matches the corpus (the unigram gate cannot see it) carries novel
+    bigram/trigram contexts -> worst mean negative log-score under the
+    Stupid-Backoff LM -> exactly what the tail cut removes."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(13)
+    stop = "the be to of and that have with".split()
+    phrase = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    ).split()
+    rows = []
+    for i in range(24):
+        toks = (
+            list(rng.choice(stop, size=rng.randint(30, 45)))
+            + phrase
+            + list(rng.choice(stop, size=rng.randint(15, 25)))
+        )
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    scr = list(phrase)
+    rng.shuffle(scr)
+    rows.append(
+        {
+            "doc_id": 99,
+            "text": " ".join(
+                list(rng.choice(stop, size=38)) + scr + list(rng.choice(stop, size=20))
+            ),
+        }
+    )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    gated = curate_corpus(
+        ds, max_tokens=512, ppl_tail_quantile=0.05, ppl_lm="backoff"
+    ).to_pandas()
+    docs = sorted(d for ids in gated["doc_ids"] for d in ids)
+    assert 99 not in docs  # the context-aware tail cut removed it
+    assert len(docs) >= 22
+
+    ungated = curate_corpus(ds, max_tokens=512).to_pandas()
+    docs_u = sorted(d for ids in ungated["doc_ids"] for d in ids)
+    assert 99 in docs_u  # Gopher-passing; survives without the gate
+
+
 def test_curate_corpus_all_stages_compose(ray_session, tmp_path):
     """Kitchen-sink composability: every optional curation stage ON at
     once (near-dup + semantic dedup + decontamination + perplexity gate
