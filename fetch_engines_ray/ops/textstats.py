@@ -556,3 +556,43 @@ def sample_mixture(
 
     ranked = ds.map_batches(add_rank, batch_format="pyarrow", batch_size=8192)
     return ranked.groupby(group_col).map_groups(take_quota, batch_format="pandas")
+
+
+def mixture_weights_temperature(group_counts: dict, alpha: float) -> dict:
+    """Temperature-scaled mixture weights: ``p_g ∝ n_g ** alpha``
+    (XLM-R / mT5 style multilingual rebalancing; Conneau et al. 2020,
+    arXiv:1911.02116 §3.1).  ``alpha=1`` reproduces the corpus's
+    natural proportions, ``alpha=0`` is uniform, and values in between
+    up-sample low-resource groups without letting any head group
+    dominate.  Pure driver-side math over the group-cardinality-sized
+    counts dict; feed the result straight into :func:`sample_mixture`.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    powered = {g: float(n) ** alpha for g, n in group_counts.items() if n > 0}
+    total = sum(powered.values())
+    if total == 0:
+        return {}
+    return {g: v / total for g, v in powered.items()}
+
+
+def sample_mixture_temperature(
+    ds: "ray.data.Dataset",
+    alpha: float,
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Temperature-based data-mixture sampling: derive the weights from
+    the corpus's OWN group counts (one small ``groupby().count()`` —
+    output is group-cardinality-sized) at temperature ``alpha``, then
+    run the deterministic md5-rank :func:`sample_mixture`.  The one
+    extra pass over the input is the price of not knowing the group
+    histogram up front; callers that do should call
+    :func:`mixture_weights_temperature` + :func:`sample_mixture`
+    directly."""
+    counts_df = ds.groupby(group_col).count().to_pandas()
+    count_col = "count()" if "count()" in counts_df.columns else "count"
+    counts = dict(zip(counts_df[group_col], counts_df[count_col].astype(int)))
+    weights = mixture_weights_temperature(counts, alpha)
+    return sample_mixture(ds, weights, total, group_col=group_col, id_col=id_col)

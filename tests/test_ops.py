@@ -1539,3 +1539,52 @@ def test_pack_sequences_bfd(ray_session):
 
     with _pytest.raises(ValueError, match="strategy"):
         pack_sequences(bds, max_tokens=128, strategy="worst-fit").take_all()
+
+
+def test_mixture_weights_temperature(ray_session):
+    """Temperature rebalancing: alpha=1 == natural proportions,
+    alpha=0 == uniform, alpha=0.5 matches the closed form, and the
+    self-counting wrapper realizes the implied quotas exactly."""
+    import math
+
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import (
+        mixture_weights_temperature,
+        sample_mixture_temperature,
+    )
+
+    counts = {"a": 80, "b": 20}
+    w1 = mixture_weights_temperature(counts, alpha=1.0)
+    assert abs(w1["a"] - 0.8) < 1e-12 and abs(w1["b"] - 0.2) < 1e-12
+    w0 = mixture_weights_temperature(counts, alpha=0.0)
+    assert abs(w0["a"] - 0.5) < 1e-12 and abs(w0["b"] - 0.5) < 1e-12
+    wh = mixture_weights_temperature(counts, alpha=0.5)
+    za, zb = math.sqrt(80), math.sqrt(20)
+    assert abs(wh["a"] - za / (za + zb)) < 1e-12
+    assert abs(wh["b"] - zb / (za + zb)) < 1e-12
+    # zero-count groups drop; negative alpha rejected
+    assert "c" not in mixture_weights_temperature({"a": 5, "c": 0}, 0.5)
+    assert mixture_weights_temperature({}, 0.5) == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        mixture_weights_temperature(counts, -0.1)
+
+    rows = [{"doc_id": i, "source": "a" if i < 80 else "b"} for i in range(100)]
+    ds = ray.data.from_items(rows)
+    # sqrt temperature: quotas floor(2/3*30)=20 and floor(1/3*30)=10
+    got = sample_mixture_temperature(ds, alpha=0.5, total=30).to_pandas()
+    sizes = got.groupby("source").size()
+    assert sizes["a"] == 20 and sizes["b"] == 10
+    # natural proportions at alpha=1: 24 / 6
+    got1 = sample_mixture_temperature(ds, alpha=1.0, total=30).to_pandas()
+    sizes1 = got1.groupby("source").size()
+    assert sizes1["a"] == 24 and sizes1["b"] == 6
+    # uniform at alpha=0: 15 / 15
+    got0 = sample_mixture_temperature(ds, alpha=0.0, total=30).to_pandas()
+    sizes0 = got0.groupby("source").size()
+    assert sizes0["a"] == 15 and sizes0["b"] == 15
+    # deterministic row identity across runs
+    got_b = sample_mixture_temperature(ds, alpha=0.5, total=30).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(got_b["doc_id"])
