@@ -121,9 +121,18 @@ def write_jsonl_shards(
         sharded.groupby("shard")
         .map_groups(write_shard, batch_format="pandas")
         .to_pandas()  # bounded: one row per shard
-        .sort_values("shard")
-        .reset_index(drop=True)
     )
+    if manifest.empty or "shard" not in manifest.columns:
+        # empty input (every upstream row filtered): a valid, zero-shard
+        # delivery — not a crash
+        return {
+            "path": path,
+            "compression": compression,
+            "n_shards": 0,
+            "n_rows": 0,
+            "skipped_shards": 0,
+        }
+    manifest = manifest.sort_values("shard").reset_index(drop=True)
     return {
         "path": path,
         "compression": compression,

@@ -73,6 +73,8 @@ def curate_corpus(
     lm_max_vocab: int | None = 65536,
     export_path: str | None = None,
     bin_export_path: str | None = None,
+    jsonl_export_path: str | None = None,
+    jsonl_compression: str | None = None,
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -86,7 +88,11 @@ def curate_corpus(
     (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
     surviving, redacted documents.  With ``export_path`` the packed
     sequences are ALSO shard-exported (seeded shuffle, ``shard=K/``
-    dirs) — the delivery layout a trainer streams.
+    dirs) — the delivery layout a trainer streams.  With
+    ``jsonl_export_path`` the cleaned DOCUMENT table additionally ships
+    as resumable ``.jsonl`` / ``.jsonl.gz`` shards
+    (``jsonl_compression="gzip"``) — the one-doc-per-line interchange
+    export (see :mod:`..ops.jsonl_sink`).
 
     ``tokenizer="bpe"`` trains a real BPE tokenizer on the cleaned
     corpus and packs by learned piece counts (``total_tokens`` becomes
@@ -450,6 +456,26 @@ def curate_corpus(
             clean = weighted.map_batches(
                 keep_selected, batch_format="pyarrow", batch_size=4096
             ).drop_columns(["dsir_logw"])
+
+    # 5c. optional DOCUMENT-level JSONL delivery: the cleaned, redacted,
+    #     selected corpus as .jsonl/.jsonl.gz shards (the interchange
+    #     export trainers and downstream pipelines ingest directly) —
+    #     exported BEFORE packing so each line is one document.  Like
+    #     export_shards below, the clean table is consumed twice
+    #     (export + packing) and the second consumer re-executes the
+    #     lazy chain; the tokenizer branches' clean checkpoint bounds
+    #     that cost when a tokenizer is on.
+    if jsonl_export_path:
+        from ..ops.jsonl_sink import write_jsonl_shards
+
+        write_jsonl_shards(
+            clean,
+            jsonl_export_path,
+            n_shards=n_shards,
+            id_col=id_col,
+            compression=jsonl_compression,
+        )
+        _mark("jsonl_export")
 
     # 6. shard-local packing (+ optional delivery export)
     if tokenizer == "bpe":

@@ -86,6 +86,19 @@ def main() -> None:
         metavar="PATH",
         help="also deliver binary token shards (.bin + idx + vocab; requires --tokenizer bpe)",
     )
+    ap.add_argument(
+        "--jsonl-export",
+        default=None,
+        metavar="PATH",
+        help="also deliver the cleaned document table as resumable "
+        ".jsonl shards (one doc per line)",
+    )
+    ap.add_argument(
+        "--jsonl-compression",
+        default=None,
+        choices=["gzip"],
+        help="compress --jsonl-export shards (.jsonl.gz, byte-reproducible)",
+    )
     ap.add_argument("--n-shards", type=int, default=16)
     ap.add_argument(
         "--checkpoint-name",
@@ -137,6 +150,8 @@ def main() -> None:
         checkpoint_name=args.checkpoint_name,
         export_path=args.export,
         bin_export_path=args.bin_export,
+        jsonl_export_path=args.jsonl_export,
+        jsonl_compression=args.jsonl_compression,
         n_shards=args.n_shards,
     )
     packed.write_parquet(args.output)

@@ -105,3 +105,32 @@ def test_jsonl_shards_rejects_unknown_compression(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         write_jsonl_shards(_corpus(4), str(tmp_path / "x"), compression="zstd")
+
+
+def test_curate_jsonl_export_hook(ray_session, tmp_path):
+    """curate_corpus(jsonl_export_path=...) ships the cleaned document
+    table: one line per surviving doc, ids matching the packed output."""
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(30)
+    ]
+    docs.append({"doc_id": 100, "text": docs[0]["text"]})  # exact clone
+    out = str(tmp_path / "jsonl")
+    packed = curate_corpus(
+        ray.data.from_items(docs),
+        max_tokens=64,
+        jsonl_export_path=out,
+        n_shards=3,
+    ).to_pandas()
+    rows = _read_all(out)
+    packed_ids = {d for ids in packed["doc_ids"] for d in ids}
+    assert {r["doc_id"] for r in rows} == packed_ids
+    assert 100 not in packed_ids  # the clone was deduped before export
+    assert all(r["text"] for r in rows)
