@@ -257,6 +257,56 @@ def _q_doc_bpe_token_counts(sf_dir: str) -> Any:
     )
 
 
+def _q_token_budget_selection(sf_dir: str) -> Any:
+    """Token-budget curation cut (ops/budget.py): keep the best docs by
+    a quantized score until a global 15 000-token budget is spent.
+    Contract = the SQL window rule
+    ``SUM(tokens) OVER (ORDER BY score DESC, doc_id ASC) <= 15000``."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fetch_engines_ray.ops.budget import select_token_budget
+    from fetch_engines_ray.ops.textstats import add_token_count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(ids % 7, type=pa.int64()),
+                "tokens": batch["token_count"],
+            }
+        )
+
+    ds = (
+        _read_documents(sf_dir)
+        .map_batches(add_token_count, batch_format="pyarrow", batch_size=4096)
+        .map_batches(prep, batch_format="pyarrow", batch_size=4096)
+    )
+    out = select_token_budget(ds, 15_000, "score", "tokens")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_row_index(sf_dir: str) -> Any:
+    """Global contiguous row index (Spark ``zipWithIndex`` analog,
+    ops/indexing.py) pinned to the (n_chars DESC, doc_id ASC) sort
+    order — oracle is ``row_number() OVER (...) - 1``."""
+    from fetch_engines_ray.ops.indexing import zip_with_index
+
+    ds = (
+        _read_documents(sf_dir)
+        .select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+    )
+    out = zip_with_index(ds)
+    return (
+        out.select_columns(["doc_id", "row_index"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_normalized_text(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.textstats import add_normalized_text
 
@@ -920,14 +970,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_perplexity": _q_doc_lm_perplexity,
         # relational operator parity (SQL oracles)
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
-        "orders_by_status": rel.orders_by_status,
+        # (the trivial orders_by_status groupby slot was retired for the
+        # oracled token_budget_selection under the 50-query cap; the
+        # rel.orders_by_status kernel stays pytest-covered and groupby
+        # coverage remains via lineitem_pricing_summary et al.)
+        "token_budget_selection": _q_token_budget_selection,
         "events_value_by_type": rel.events_value_by_type,
         "customer_revenue_by_segment": rel.customer_revenue_by_segment,
         "customers_per_nation": rel.customers_per_nation,
         "top10_orders_by_price": rel.top10_orders_by_price,
         "top20_longest_docs": _q_top20_longest_docs,
         "high_value_open_orders": rel.high_value_open_orders,
-        "distinct_part_brands": rel.distinct_part_brands,
+        # (the trivial distinct_part_brands slot was retired for the
+        # oracled doc_row_index under the 50-query cap; DISTINCT
+        # coverage remains via distinct_users_by_event_type and the
+        # rel.distinct_part_brands kernel stays pytest-covered)
+        "doc_row_index": _q_doc_row_index,
         "supplier_count_by_nation": rel.supplier_count_by_nation,
         "orders_per_month": rel.orders_per_month,
         "large_parts_by_brand": rel.large_parts_by_brand,
@@ -1331,12 +1389,13 @@ def oracle_sql() -> dict[str, str]:
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
             " ORDER BY l_returnflag, l_linestatus"
         ),
-        "orders_by_status": (
-            "SELECT o_orderstatus, count(*) AS n_orders,"
-            " round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 3) AS total_price,"
-            " round(min(o_totalprice), 3) AS min_price,"
-            " round(max(o_totalprice), 3) AS max_price"
-            " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        "token_budget_selection": (
+            "WITH t AS (SELECT doc_id, doc_id % 7 AS score,"
+            " CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens"
+            " FROM documents),"
+            " r AS (SELECT doc_id, score, tokens,"
+            " SUM(tokens) OVER (ORDER BY score DESC, doc_id ASC) AS run FROM t)"
+            " SELECT doc_id, score, tokens FROM r WHERE run <= 15000 ORDER BY doc_id"
         ),
         "events_value_by_type": (
             "SELECT event_type, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
@@ -1361,8 +1420,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0"
             " ORDER BY o_orderkey"
         ),
-        "distinct_part_brands": (
-            "SELECT DISTINCT p_brand FROM part ORDER BY p_brand"
+        "doc_row_index": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1"
+            " AS BIGINT) AS row_index FROM documents ORDER BY doc_id"
         ),
         "supplier_count_by_nation": (
             "SELECT n_name, count(*) AS n_suppliers, round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 3) AS total_acctbal"
