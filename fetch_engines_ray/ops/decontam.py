@@ -40,19 +40,58 @@ def benchmark_ngram_hashes(benchmark_texts: list[str], n: int = 13) -> np.ndarra
     return np.sort(h)
 
 
+def benchmark_bloom(
+    benchmark_texts: list[str], n: int = 13, fp_rate: float = 1e-4
+) -> tuple[bytes, int, int]:
+    """``(blob, m_bits, k)`` Bloom filter over the benchmark n-gram set
+    (``ops.sketches`` bit layout).  The compact-broadcast alternative to
+    :func:`benchmark_ngram_hashes` for LARGE reference sides
+    (cross-corpus decontamination, billion-entry blocklists): ~2.4
+    bytes/n-gram at fp 1e-4 vs 8 for the sorted hash array, and false
+    positives only ever DROP a clean document — Bloom filters have no
+    false negatives, so contamination never leaks through."""
+    import math
+
+    from .sketches import _bloom_set
+
+    grams: set[str] = set()
+    for t in benchmark_texts:
+        grams.update(_ngram_strings(t, n))
+    n_items = max(1, len(grams))
+    m_bits = int(math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    m_bits = max(64, (m_bits + 63) // 64 * 64)
+    k = max(1, round(m_bits / n_items * math.log(2)))
+    bits = _bloom_set(np.asarray(sorted(grams), dtype=object), m_bits, k)
+    return bits.tobytes(), m_bits, k
+
+
 def flag_contaminated(
     ds: "ray.data.Dataset",
     benchmark_texts: list[str],
     n: int = 13,
     text_col: str = "text",
+    probe: str = "isin",
+    bloom_fp: float = 1e-4,
 ) -> "ray.data.Dataset":
     """Append ``n_contaminated_ngrams`` (int64) and ``contaminated``
     (bool) to every row: the count of the document's n-grams that occur
-    in the benchmark set, and whether any did.  The benchmark hash set
-    is broadcast once (``ray.put``); each task reads it zero-copy from
+    in the benchmark set, and whether any did.  The benchmark index is
+    broadcast once (``ray.put``); each task reads it zero-copy from
     the local object store — no shuffle, no per-batch reshipping.
+
+    ``probe="isin"`` (default) uses the exact sorted-hash-array index;
+    ``probe="bloom"`` swaps in the :func:`benchmark_bloom` filter —
+    a ~3-7x smaller broadcast for large reference sides, with counts
+    becoming an upper bound (rate ``bloom_fp``) in the conservative
+    direction: extra drops, never leaked contamination.
     """
-    bench_ref = ray.put(benchmark_ngram_hashes(benchmark_texts, n))
+    if probe not in ("isin", "bloom"):
+        raise ValueError("probe must be 'isin' or 'bloom'")
+    if probe == "bloom":
+        blob, m_bits, k = benchmark_bloom(benchmark_texts, n, bloom_fp)
+        bench_ref = ray.put(blob)
+    else:
+        bench_ref = ray.put(benchmark_ngram_hashes(benchmark_texts, n))
 
     def flag(batch: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)  # plasma-local, zero-copy after first task
@@ -61,9 +100,14 @@ def flag_contaminated(
         counts = np.zeros(len(texts), dtype=np.int64)
         flat = [g for grams in per_doc for g in grams]
         if flat and len(bench):
-            hits = np.isin(
-                pd.util.hash_array(np.asarray(flat, dtype=object)), bench
-            )
+            if probe == "bloom":
+                from .sketches import bloom_contains as _bc
+
+                hits = _bc(bench, np.asarray(flat, dtype=object), m_bits, k)
+            else:
+                hits = np.isin(
+                    pd.util.hash_array(np.asarray(flat, dtype=object)), bench
+                )
             lens = np.fromiter((len(g) for g in per_doc), dtype=np.int64, count=len(per_doc))
             # per-doc hit counts via segment sums over the flat layout
             csum = np.concatenate([[0], np.cumsum(hits.astype(np.int64))])

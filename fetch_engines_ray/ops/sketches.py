@@ -373,6 +373,70 @@ def heavy_hitters(ds: "ray.data.Dataset", column: str, k: int = 16) -> pd.DataFr
     return pd.DataFrame(rows, columns=["value", "min_count"])
 
 
+def heavy_hitters_exact(
+    ds: "ray.data.Dataset", column: str, k: int = 16, capacity: int = 4096
+) -> pd.DataFrame:
+    """EXACT top-``k`` most frequent values, two streaming passes:
+
+    1. the Misra-Gries sketch above with ``capacity`` counters yields a
+       candidate superset (any value with frequency > N/(capacity+1)
+       survives — Misra & Gries 1982, mergeable form Agarwal et al.
+       PODS 2012);
+    2. a second pass recounts ONLY the candidates exactly — per-block
+       ``value_counts`` restricted to the broadcast candidate set, then
+       a candidate-sized groupby-sum (the shuffle moves <= capacity
+       rows per block, never one row per occurrence).
+
+    A full ``groupby(value).count()`` would shuffle every distinct
+    value — billions of singleton typo/number strings on web text; this
+    form's state is O(capacity) everywhere.  Returns ``value, count``
+    (exact) descending, ties by value; ``df.attrs["exact_topk"]`` is
+    True when the k-th count clears the survival bound, i.e. no value
+    outside the candidate set could displace the reported top-k.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    if not 1 <= k <= capacity:
+        raise ValueError("need 1 <= k <= capacity")
+    agg = ds.aggregate(
+        HeavyHitters(on=column, k=capacity, alias_name="hh"),
+        _Count(alias_name="n_rows"),
+    )
+    sketch, n_total = agg["hh"], int(agg["n_rows"])
+    if not sketch:
+        out = pd.DataFrame({"value": pd.Series([], dtype=object), "count": pd.Series([], dtype="int64")})
+        out.attrs["exact_topk"] = True
+        return out
+    cand_ref = _ray.put(set(sketch))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(cand_ref)
+        vc = batch.column(column).to_pandas().value_counts()
+        vc = vc[vc.index.isin(cand)]
+        return pa.table(
+            {
+                "value": pa.array(vc.index.tolist()),
+                "n": pa.array(vc.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(count_candidates, batch_format="pyarrow", batch_size=65536)
+        .groupby("value")
+        .aggregate(_Sum("n", alias_name="count"))
+        .to_pandas()  # bounded: <= capacity rows
+    )
+    out = (
+        exact.sort_values(["count", "value"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    kth = int(out["count"].iloc[-1]) if len(out) == k else 0
+    out.attrs["exact_topk"] = len(out) < k or kth > n_total // (capacity + 1)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: compact distributed membership index
 # ---------------------------------------------------------------------------

@@ -1588,3 +1588,110 @@ def test_mixture_weights_temperature(ray_session):
     # deterministic row identity across runs
     got_b = sample_mixture_temperature(ds, alpha=0.5, total=30).to_pandas()
     assert sorted(got["doc_id"]) == sorted(got_b["doc_id"])
+
+
+def test_heavy_hitters_exact_parity(ray_session):
+    """heavy_hitters_exact = sketch candidates + exact recount: counts
+    match a full value_counts, guarantee flag set when the k-th count
+    clears the survival bound."""
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(7)
+    ranks = np.clip(rng.zipf(1.3, 30000), 1, 500)
+    vals = pd.Series([f"tok{r}" for r in ranks], dtype=object)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    out = heavy_hitters_exact(ds, "v", k=15, capacity=2048)
+    vc = vals.value_counts().reset_index()
+    vc.columns = ["value", "count"]
+    want = (
+        vc.sort_values(["count", "value"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    assert list(out["value"]) == list(want["value"])
+    assert list(out["count"]) == list(want["count"])
+    assert out.attrs["exact_topk"] is True
+
+
+def test_heavy_hitters_exact_tight_capacity_counts_still_exact(ray_session):
+    """With a sketch capacity too small for the tail, reported counts
+    stay EXACT (second pass); only the completeness flag may drop."""
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(11)
+    ranks = np.clip(rng.zipf(1.2, 20000), 1, 800)
+    vals = pd.Series([f"t{r}" for r in ranks], dtype=object)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    out = heavy_hitters_exact(ds, "v", k=5, capacity=32)
+    truth = vals.value_counts()
+    for v, c in zip(out["value"], out["count"]):
+        assert int(truth[v]) == int(c)
+
+
+def test_heavy_hitters_exact_fewer_values_than_k(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import heavy_hitters_exact
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": pd.Series(["a", "b", "a", "a", "b", "c"], dtype=object)})
+    ).repartition(2)
+    out = heavy_hitters_exact(ds, "v", k=10, capacity=64)
+    assert list(zip(out["value"], out["count"])) == [("a", 3), ("b", 2), ("c", 1)]
+    assert out.attrs["exact_topk"] is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(ds, "v", k=100, capacity=10)
+
+
+def test_decontamination_bloom_probe(ray_session):
+    """probe='bloom': never misses a true hit (no false negatives),
+    counts upper-bound the exact path, and the broadcast blob is
+    several times smaller than the sorted hash array."""
+    import ray.data
+
+    from fetch_engines_ray.ops.decontam import (
+        benchmark_bloom,
+        benchmark_ngram_hashes,
+        flag_contaminated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+
+    con = duckdb.connect()
+    excerpt = " ".join(
+        con.execute(
+            f"SELECT text FROM read_parquet('{sf}/documents.parquet') WHERE doc_id = 3"
+        ).fetchone()[0].split()[:10]
+    )
+    bench = [excerpt, "zz unseen benchmark zz phrase zz never zz in zz corpus"]
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    cols = ["doc_id", "n_contaminated_ngrams", "contaminated"]
+    exact = (
+        flag_contaminated(ds, bench, n=5)
+        .select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bloom = (
+        flag_contaminated(ds, bench, n=5, probe="bloom")
+        .select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # no false negatives: every exact hit is a bloom hit, counts >=
+    assert (bloom["n_contaminated_ngrams"] >= exact["n_contaminated_ngrams"]).all()
+    assert bool(bloom.loc[exact["contaminated"], "contaminated"].all())
+    assert exact["contaminated"].any()  # the planted excerpt really hits
+    # compactness: blob beats the 8-byte-per-gram sorted array
+    blob, _m, _k = benchmark_bloom(bench, n=5)
+    arr = benchmark_ngram_hashes(bench, n=5)
+    assert len(blob) < arr.nbytes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe"):
+        flag_contaminated(ds, bench, n=5, probe="nope")
