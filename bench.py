@@ -36,7 +36,7 @@ def _sf_of(sf_dir: str) -> str:
     return base.replace("sf", "") if base.startswith("sf") else "0.01"
 
 
-def synth_corpus_parallel(sf_dir: str) -> tuple[str, int]:
+def synth_corpus_parallel(sf_dir: str, n_override: int | None = None) -> tuple[str, int]:
     """Generate (once, cached) the bench corpus using Ray itself."""
     import pyarrow as pa
 
@@ -45,7 +45,7 @@ def synth_corpus_parallel(sf_dir: str) -> tuple[str, int]:
     from fetch_engines_ray.corpus.generate import INPUT_SCHEMA, make_doc
 
     sf = _sf_of(sf_dir)
-    n = BENCH_DOCS.get(sf, 5000)
+    n = n_override or BENCH_DOCS.get(sf, 5000)
     key = hashlib.md5(f"bench:{sf}:{n}:v1".encode()).hexdigest()[:10]
     out = f"/tmp/fer_bench_corpus_{sf}_{key}"
     marker = os.path.join(out, "_COMPLETE")
@@ -96,10 +96,10 @@ def _udf_cpu_seconds(stats: str) -> float:
     return sum(float(v) * mult[u] for v, u in _UDF_RE.findall(stats))
 
 
-def bench_extraction(sf_dir: str, num_cpus: int) -> dict:
+def bench_extraction(sf_dir: str, num_cpus: int, n_override: int | None = None) -> dict:
     from fetch_engines_ray.pipelines.extract import PipelineConfig, extract_corpus
 
-    corpus, n_docs = synth_corpus_parallel(sf_dir)
+    corpus, n_docs = synth_corpus_parallel(sf_dir, n_override)
     out_dir = f"/tmp/fer_bench_out_{os.getpid()}"
     cfg = PipelineConfig()
 
@@ -371,7 +371,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
+def run_single(sf_dir: str, num_cpus: int, include_queries: bool, n_override: int | None = None) -> dict:
     import ray
 
     ray.init(
@@ -390,7 +390,7 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool) -> dict:
     # before the shuffle-heavy secondary queries below.
     ctx.op_resource_reservation_enabled = False
 
-    ext = bench_extraction(sf_dir, num_cpus)
+    ext = bench_extraction(sf_dir, num_cpus, n_override)
     ctx.op_resource_reservation_enabled = True
     queries = {"extraction": round(ext["sec"], 3)}
     curate = None
@@ -500,6 +500,9 @@ def main() -> None:
     parser.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT))
     parser.add_argument("--scale-low", type=int, default=4)
     parser.add_argument("--scale-high", type=int, default=16)
+    # stress override: synthesize an N-doc corpus regardless of sf
+    # (e.g. --docs 480000 = 10x the sf0.1 corpus; cached per N)
+    parser.add_argument("--docs", type=int, default=None)
     args = parser.parse_args()
 
     if args.scaling:
@@ -510,7 +513,10 @@ def main() -> None:
         # this host; full curve in BASELINE.md).
         result = run_scaling(args.sf_dir, args.scale_low, args.scale_high)
     else:
-        result = run_single(args.sf_dir, args.num_cpus, include_queries=not args.single_run)
+        result = run_single(
+            args.sf_dir, args.num_cpus,
+            include_queries=not args.single_run, n_override=args.docs,
+        )
     print(json.dumps(result))
 
 
