@@ -33,3 +33,25 @@ def test_full_corpus_extraction_digest(ray_session):
         f"0x{EXPECTED_DIGEST:016x}). If the converter change is intentional, "
         "re-run scripts/corpus_digest.py and update this constant in the same commit."
     )
+
+
+def test_extraction_digest_partition_invariant(ray_session):
+    """The SAME digest must come out under a different batching /
+    concurrency shape — extraction output is a pure per-document
+    function, so block structure can never leak into results."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from corpus_digest import corpus_digest, sf0001_corpus
+    finally:
+        sys.path.pop(0)
+
+    from fetch_engines_ray.pipelines.extract import PipelineConfig
+
+    n, digest = corpus_digest(
+        sf0001_corpus(), PipelineConfig(batch_size=5, concurrency=(2, 3))
+    )
+    assert n == EXPECTED_N_DOCS
+    assert digest == EXPECTED_DIGEST
