@@ -1695,3 +1695,47 @@ def test_decontamination_bloom_probe(ray_session):
 
     with _pytest.raises(ValueError, match="probe"):
         flag_contaminated(ds, bench, n=5, probe="nope")
+
+
+def test_grouped_quantiles_bounded_error(ray_session):
+    """Per-group histogram-sketch quantiles within one bucket width of
+    numpy's exact per-group quantiles."""
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import grouped_quantiles
+
+    rng = np.random.RandomState(5)
+    groups = np.repeat(["a", "b", "c"], [4000, 2000, 1])
+    vals = np.concatenate(
+        [
+            rng.normal(100, 15, 4000),
+            rng.exponential(40, 2000),
+            [7.5],  # singleton group
+        ]
+    )
+    df = pd.DataFrame({"g": groups, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(6)
+    qs = [0.1, 0.5, 0.9]
+    out = grouped_quantiles(ds, "g", "v", qs, bins=2048).set_index("g")
+    width = (vals.max() - vals.min()) / 2048
+    for g in ("a", "b"):
+        gv = df.loc[df["g"] == g, "v"].to_numpy()
+        for q in qs:
+            got = out.loc[g, f"q{q:g}"]
+            assert abs(got - np.quantile(gv, q)) <= width + 1e-9, (g, q)
+    # singleton group: every quantile lands in its bucket
+    for q in qs:
+        assert abs(out.loc["c", f"q{q:g}"] - 7.5) <= width + 1e-9
+
+
+def test_grouped_quantiles_constant_column(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import grouped_quantiles
+
+    df = pd.DataFrame({"g": ["x"] * 5 + ["y"] * 3, "v": 4.0})
+    out = grouped_quantiles(
+        ray.data.from_pandas(df).repartition(2), "g", "v", [0.5, 0.99]
+    )
+    assert list(out["g"]) == ["x", "y"]
+    assert (out[["q0.5", "q0.99"]] == 4.0).all().all()
