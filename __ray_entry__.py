@@ -394,6 +394,65 @@ def _q_doc_pii_redaction(sf_dir: str) -> Any:
     )
 
 
+# Planted on BOTH engine and oracle side: the synthetic documents are
+# single-line with no sentence punctuation, so without multi-line
+# plants the C4 line rules would be unexercised by the gate.  One plant
+# per rule: blocklist lines, short lines, missing terminal punctuation,
+# lorem-ipsum page, curly-brace (code) page, too-few-sentences page,
+# many-sentences-one-line, empty doc, tab/trailing-space handling.
+_C4_PLANTS = [
+    (
+        2200000,
+        "This is a fine opening sentence.\nshort.\nNo terminal punctuation on this line\n"
+        "Another good sentence follows right here!\nIs this a question, perhaps?\n"
+        "We use javascript on this site.\nPlease read our cookie policy today.\n"
+        'He said "stop right there."\nA final proper sentence, number five.',
+    ),
+    (
+        2200001,
+        "Lorem Ipsum filler is here.\n"
+        + "\n".join(f"A perfectly good sentence number {i}." for i in range(6)),
+    ),
+    (2200002, "function f() {\ngood sentences. here. more. and more. and more.\n}"),
+    (2200003, "Only two good sentences here.\nAnd the second one is here."),
+    (2200004, "Many sentences. In one line! Right? Yes. Indeed. Sure."),
+    (2200005, ""),
+    (
+        2200006,
+        "word\t\tword  word ends.\n   \t \ntrailing spaces sentence here.   \n"
+        "mid\ttab sentence counts fine.\nfourth proper sentence right here.\n"
+        "fifth proper sentence right here.",
+    ),
+]
+
+
+def _q_c4_line_filters(sf_dir: str) -> Any:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2; ops/c4.py):
+    per-line terminal-punctuation / min-words / boilerplate rules plus
+    the page-level sentence-count, curly-brace and lorem-ipsum gates —
+    fully SQL-oracled via DuckDB list lambdas (line order preserved)."""
+    import ray.data
+
+    from fetch_engines_ray.ops.c4 import add_c4_filters
+
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    planted = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in _C4_PLANTS]
+    )
+    ds = docs.union(planted).map_batches(
+        add_c4_filters, batch_format="pyarrow", batch_size=4096
+    )
+    return (
+        ds.select_columns(
+            ["doc_id", "c4_text", "c4_n_lines_kept", "c4_n_lines_total",
+             "c4_n_sentences", "c4_page_pass"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_repetition_stats(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.textstats import add_repetition_stats
 
@@ -1011,7 +1070,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_exact": _q_top_tokens,
         "top10_orders_by_price": rel.top10_orders_by_price,
         "top20_longest_docs": _q_top20_longest_docs,
-        "high_value_open_orders": rel.high_value_open_orders,
+        # (the trivial high_value_open_orders filter slot was retired
+        # for the oracled c4_line_filters under the 50-query cap; the
+        # rel.high_value_open_orders kernel stays pytest-covered in
+        # tests/test_ops.py and plain-filter coverage remains via
+        # large_parts_by_brand)
+        "c4_line_filters": _q_c4_line_filters,
         # (the trivial distinct_part_brands slot was retired for the
         # oracled doc_row_index under the 50-query cap; DISTINCT
         # coverage remains via distinct_users_by_event_type and the
@@ -1059,6 +1123,23 @@ def _pii_oracle_sql() -> str:
         f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text))"
         " ORDER BY doc_id"
     )
+
+
+def _c4_oracle() -> str:
+    """Composed from the engine's own oracle builder (ops/c4.py) so the
+    rule set can never drift between the Ray kernels and the SQL; the
+    plants ride in via UNION ALL VALUES exactly like the PII plants."""
+    from fetch_engines_ray.ops.c4 import c4_oracle_sql
+
+    plants = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in _C4_PLANTS
+    )
+    source = (
+        "SELECT doc_id, text FROM documents"
+        f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text)"
+    )
+    return c4_oracle_sql(source)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1447,11 +1528,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, round(o_totalprice, 3) AS o_totalprice FROM orders"
             " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
-        "high_value_open_orders": (
-            "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 3) AS o_totalprice"
-            " FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0"
-            " ORDER BY o_orderkey"
-        ),
+        "c4_line_filters": _c4_oracle(),
         "doc_row_index": (
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1"
             " AS BIGINT) AS row_index FROM documents ORDER BY doc_id"

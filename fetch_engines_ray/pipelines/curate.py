@@ -22,7 +22,9 @@ chain.
                             shuffle, score with the broadcast table,
                             drop the worst tail by per-token mean
                             negative log-probability)
-      → quality filter     (Gopher-style integer rules, vectorized)
+      → quality filter     (Gopher-style integer rules, vectorized;
+                            optional C4 line-level cleaning runs as
+                            step 0, before dedup — see ops/c4.py)
       → PII redaction      (ordered RE2 replaces)
       → DSIR selection     (optional: hashed-n-gram importance
                             weights vs a target sample; select by
@@ -79,6 +81,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_name: str | None = None,
+    c4_clean: bool = False,
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
     unigram_vocab_size: int = 512,
@@ -134,6 +137,17 @@ def curate_corpus(
     import time as _time
 
     _timing_on = _os.environ.get("FER_CURATE_TIMING") == "1"
+
+    # 0. optional C4 line-level cleaning (Raffel et al. 2020): boilerplate
+    #    lines dropped and failing pages removed BEFORE dedup, as the
+    #    paper orders it — cleaning first means near-identical pages whose
+    #    only differences are boilerplate lines become EXACT duplicates.
+    #    One streaming map stage; participates in the resume fingerprint.
+    if c4_clean:
+        from ..ops.c4 import c4_clean as _c4_clean_fn
+
+        ds = _c4_clean_fn(ds, text_col=text_col)
+
     _marks: list = []
     _t_prev = [_time.perf_counter()]
 
@@ -314,6 +328,7 @@ def curate_corpus(
             "has_embeddings": embeddings is not None,
             "id_col": id_col,
             "text_col": text_col,
+            "c4_clean": c4_clean,
         }
         survived = try_named_checkpoint(
             "curate_survivors", checkpoint_name, _resume_fp

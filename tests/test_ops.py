@@ -714,6 +714,26 @@ def test_anti_and_outer_joins_vs_duckdb(ray_session):
     assert outer["n_orders"].tolist() == want2["n_orders"].astype("int64").tolist()
 
 
+def test_high_value_open_orders_vs_duckdb(ray_session):
+    """Kernel coverage for the retired query slot (its registry entry
+    was swapped for c4_line_filters under the 50-query cap)."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import high_value_open_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = high_value_open_orders(sf)
+    want = duckdb.sql(
+        "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 3) AS o_totalprice"
+        f" FROM read_parquet('{sf}/orders.parquet')"
+        " WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0"
+        " ORDER BY o_orderkey"
+    ).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["o_totalprice"].tolist() == want["o_totalprice"].tolist()
+    assert len(got) > 0
+
+
 def test_word_counts_vocab(ray_session):
     from collections import Counter
 
