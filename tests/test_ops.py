@@ -835,6 +835,55 @@ def test_embed_texts_end_to_end(ray_session):
     assert set(knn["neighbor_id"]) == {900, 901}
 
 
+def test_pairwise_corr_duckdb_parity(ray_session):
+    """One-pass distributed moments == DuckDB corr()/covar_samp() over
+    the real lineitem table, every pair, incl. a null-bearing frame."""
+    import duckdb
+
+    import ray.data
+
+    from fetch_engines_ray.arrowclean import read_parquet_clean
+    from fetch_engines_ray.ops.profile import pairwise_corr
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = pairwise_corr(read_parquet_clean(f"{sf}/lineitem.parquet"), cols)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    for _, row in got.iterrows():
+        a, b = row["col_a"], row["col_b"]
+        want = con.execute(
+            f"SELECT count(*), covar_samp({a}, {b}), corr({a}, {b}) FROM li"
+        ).fetchone()
+        assert row["n"] == want[0]
+        assert row["cov"] == pytest.approx(want[1], rel=1e-6)
+        if a == b:
+            assert row["corr"] == pytest.approx(1.0, rel=1e-9)
+        else:
+            assert row["corr"] == pytest.approx(want[2], rel=1e-6)
+
+    # listwise null deletion: a null in either column drops the row
+    df = pd.DataFrame(
+        {"x": [1.0, 2.0, None, 4.0, 5.0], "y": [2.0, None, 6.0, 8.0, 11.0]}
+    )
+    got2 = pairwise_corr(ray.data.from_pandas(df), ["x", "y"])
+    xy = got2[(got2["col_a"] == "x") & (got2["col_b"] == "y")].iloc[0]
+    want2 = duckdb.sql(
+        "SELECT count(*), corr(x, y) FROM df WHERE x IS NOT NULL AND y IS NOT NULL"
+    ).fetchone()
+    assert xy["n"] == want2[0] == 3
+    assert xy["corr"] == pytest.approx(want2[1], rel=1e-12)
+
+    # zero variance -> NaN corr, 0 cov
+    const = pd.DataFrame({"x": [3.0, 3.0, 3.0], "y": [1.0, 2.0, 3.0]})
+    got3 = pairwise_corr(ray.data.from_pandas(const), ["x", "y"])
+    xy3 = got3[(got3["col_a"] == "x") & (got3["col_b"] == "y")].iloc[0]
+    assert np.isnan(xy3["corr"]) and xy3["cov"] == pytest.approx(0.0)
+
+
 def test_profile_table_duckdb_parity(ray_session):
     """One-pass profiler vs DuckDB ground truth over real testdata:
     exact row/null counts and typed extrema (ints, floats, strings,
