@@ -1227,11 +1227,16 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     rebuild_partitions: int = 64,
+    sep: str = "\n",
 ):
     """C4/RefinedWeb-style cross-corpus line dedup: every distinct
     non-empty line survives exactly ONCE corpus-wide (first occurrence
     by ``(doc_id, line_no)``); documents are rebuilt from their
     surviving lines (docs that lose every line drop out).
+
+    ``sep`` sets the dedup granularity: the default ``"\n"`` dedups
+    LINES; ``"\n\n"`` dedups PARAGRAPHS (the MassiveWeb/Gopher
+    repeated-paragraph rule) — see :func:`paragraph_dedup`.
 
     Reference analog: the converters' per-document boilerplate removal
     (MarkdownConverter.ts postprocess) is within-doc only — this is the
@@ -1269,7 +1274,7 @@ def line_dedup(
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col].fillna("")
-        parts = texts.str.split("\n")
+        parts = texts.str.split(sep, regex=False)
         lens = parts.str.len().to_numpy(dtype=np.int64)
         total = int(lens.sum())
         if total == 0:
@@ -1319,7 +1324,7 @@ def line_dedup(
         g = g.sort_values("pack", kind="stable")
         doc = (g["pack"].to_numpy() >> 32).astype(np.int64)
         grp = g.assign(doc_id=doc).groupby("doc_id", sort=True)
-        text = grp["line"].agg("\n".join)
+        text = grp["line"].agg(sep.join)
         return pd.DataFrame(
             {
                 "doc_id": text.index.to_numpy(dtype=np.int64),
@@ -1352,4 +1357,25 @@ def line_dedup(
         winners.map_batches(unpack_part, batch_format="pandas", batch_size=65536)
         .groupby("part")
         .map_groups(rebuild_part, batch_format="pandas")
+    )
+
+
+def paragraph_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rebuild_partitions: int = 64,
+):
+    """Cross-corpus exact PARAGRAPH dedup (the MassiveWeb/Gopher
+    repeated-paragraph rule, Rae et al. 2021): every distinct non-empty
+    blank-line-separated paragraph survives exactly once corpus-wide,
+    first occurrence by ``(doc_id, paragraph_no)``.  Same two-shuffle
+    machinery as :func:`line_dedup` with ``sep="\\n\\n"`` — paragraphs
+    keep their internal single newlines intact."""
+    return line_dedup(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        rebuild_partitions=rebuild_partitions,
+        sep="\n\n",
     )

@@ -37,6 +37,39 @@ def test_exact_dedup_finds_planted_dups(docs_with_dups):
     assert (out["n_dups"] >= 1).all()
 
 
+def test_paragraph_dedup_corpus(ray_session):
+    """Paragraph-granularity dedup (MassiveWeb repeated-paragraph rule):
+    blank-line-separated paragraphs dedup corpus-wide with internal
+    single newlines preserved; line-level differences inside a
+    paragraph keep it distinct."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import paragraph_dedup
+
+    shared = "first line of shared para\nsecond line of shared para"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"intro one\n\n{shared}\n\noutro one",
+                f"{shared}\n\nunique two",
+                # same first line, different second -> distinct paragraph
+                "first line of shared para\nDIFFERENT second line",
+            ],
+        }
+    )
+    out = (
+        paragraph_dedup(ray.data.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "text"] == f"intro one\n\n{shared}\n\noutro one"
+    assert out.loc[1, "n_lines"] == 3  # 3 paragraphs
+    assert out.loc[2, "text"] == "unique two"  # shared para lost to doc 1
+    assert out.loc[3, "text"] == "first line of shared para\nDIFFERENT second line"
+
+
 def test_line_dedup_corpus(ray_session):
     """Cross-document line dedup vs a direct DuckDB restatement of the
     rule (same SQL shape as the driver oracle): first occurrence by
