@@ -453,6 +453,48 @@ def _q_c4_line_filters(sf_dir: str) -> Any:
     )
 
 
+# Planted beside the real documents (which are repetitive word soup —
+# good natural coverage): degenerate shapes the corpus lacks — empty /
+# whitespace-only docs, single-word docs, saturating overlap-repeats.
+_DUP_NGRAM_PLANTS = [
+    (2300000, "the cat sat on the mat the cat sat again on the mat"),
+    (2300001, "a a a a a a a a"),
+    (2300002, ""),
+    (2300003, "   \t \n "),
+    (2300004, "repeat phrase here now repeat phrase here now repeat phrase here now"),
+    (2300005, "  spaced   out\twords\nnewline words spaced   out\twords "),
+    (2300006, "solo"),
+]
+
+
+def _q_doc_dup_ngram_stats(sf_dir: str) -> Any:
+    """Gopher repeated-n-gram quality signals (Rae et al. 2021 Table A1;
+    ops/textstats.py::add_dup_ngram_stats): per-doc top-n-gram and
+    duplicated-n-gram character-coverage fractions, n = 2-4 / 5-10 —
+    fully SQL-oracled (the oracle groups by the gram STRING, bounding
+    the engine's 64-bit rolling-hash collision rate every sweep)."""
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import add_dup_ngram_stats
+
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    planted = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in _DUP_NGRAM_PLANTS]
+    )
+    ds = docs.union(planted).map_batches(
+        add_dup_ngram_stats, batch_format="pyarrow", batch_size=4096
+    )
+    cols = ["doc_id", "total_chars"]
+    cols += [f"top{n}gram_frac_x1000" for n in (2, 3, 4)]
+    cols += [f"dup{n}gram_frac_x1000" for n in (5, 6, 7, 8, 9, 10)]
+    return (
+        ds.select_columns(cols)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_repetition_stats(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.textstats import add_repetition_stats
 
@@ -1068,7 +1110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join+groupby shape stays oracled via supplier_count_by_nation
         # and rel.customers_per_nation stays pytest-covered)
         "top_tokens_exact": _q_top_tokens,
-        "top10_orders_by_price": rel.top10_orders_by_price,
+        # (the trivial top10_orders_by_price slot was retired for the
+        # oracled doc_dup_ngram_stats under the 50-query cap; sort+limit
+        # coverage remains via top20_longest_docs and the
+        # rel.top10_orders_by_price kernel stays pytest-covered)
+        "doc_dup_ngram_stats": _q_doc_dup_ngram_stats,
         "top20_longest_docs": _q_top20_longest_docs,
         # (the trivial high_value_open_orders filter slot was retired
         # for the oracled c4_line_filters under the 50-query cap; the
@@ -1123,6 +1169,28 @@ def _pii_oracle_sql() -> str:
         f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text))"
         " ORDER BY doc_id"
     )
+
+
+def _dup_ngram_oracle() -> str:
+    """Composed from the engine's own oracle builder (ops/textstats.py)
+    so the n-gram definitions can never drift; plants ride in via
+    UNION ALL VALUES with control characters spliced as chr() calls."""
+    from fetch_engines_ray.ops.textstats import dup_ngram_oracle_sql
+
+    plants = ", ".join(
+        "({}, '{}')".format(
+            i,
+            t.replace("'", "''")
+            .replace("\t", "' || chr(9) || '")
+            .replace("\n", "' || chr(10) || '"),
+        )
+        for i, t in _DUP_NGRAM_PLANTS
+    )
+    source = (
+        "SELECT doc_id, text FROM documents"
+        f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text)"
+    )
+    return dup_ngram_oracle_sql(source)
 
 
 def _c4_oracle() -> str:
@@ -1524,10 +1592,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents WHERE trim(text) <> '')"
             " GROUP BY t ORDER BY n DESC, token LIMIT 15"
         ),
-        "top10_orders_by_price": (
-            "SELECT o_orderkey, round(o_totalprice, 3) AS o_totalprice FROM orders"
-            " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
-        ),
+        "doc_dup_ngram_stats": _dup_ngram_oracle(),
         "c4_line_filters": _c4_oracle(),
         "doc_row_index": (
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1"

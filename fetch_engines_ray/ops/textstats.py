@@ -12,6 +12,7 @@ import hashlib
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -332,6 +333,137 @@ def add_gopher_quality_flags(batch: pa.Table, text_col: str = "text") -> pa.Tabl
     batch = batch.append_column("symbol_ratio_x1000", symbol_ratio_1000)
     batch = batch.append_column("stopword_hits", n_stop)
     return batch.append_column("gopher_pass", passes)
+
+
+def add_dup_ngram_stats(
+    batch: pa.Table,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> pa.Table:
+    """Gopher repeated-n-gram quality signals (Rae et al. 2021, Table A1
+    — the half of the rule family ``add_gopher_quality_flags`` doesn't
+    cover).  Per document, over whitespace-delimited words:
+
+    * ``top{n}gram_frac_x1000`` (n in ``top_ns``): character coverage of
+      the single heaviest n-gram — ``max(count x gram_chars)`` over the
+      doc's n-grams, as a fraction of the doc's normalized character
+      count (words joined by single spaces), integer x1000, clipped at
+      1000 (overlapping repeats can cover more than the doc).
+    * ``dup{n}gram_frac_x1000`` (n in ``dup_ns``): summed character
+      coverage of every n-gram occurring 2+ times, same scaling.
+
+    Also appends ``total_chars`` (the normalized character count).
+
+    Per-record and fully vectorized: words explode once per batch
+    (object-array fill, the ``line_dedup`` pattern), each n reuses the
+    same hashed word array via a rolling polynomial combine + one
+    pandas ``groupby`` — no shuffle, embarrassingly parallel.  Word =
+    a run of ``[^\\t\\n\\f\\r ]`` (RE2's ASCII ``\\s`` complement, so
+    pandas and the DuckDB oracle agree on every byte); 64-bit gram-hash
+    collisions could only merge two distinct grams within one document
+    (~2^-64 per pair — the oracle groups by the gram STRING, so the
+    green hash bounds the real collision rate).
+    """
+    s = batch[text_col].to_pandas().fillna("")
+    s.index = pd.RangeIndex(len(s))
+    words = s.str.findall(r"[^\t\n\f\r ]+")
+    lens = words.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in words:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    doc = np.arange(len(s), dtype=np.int64).repeat(lens)
+    if total:
+        wlen = pd.Series(flat).str.len().to_numpy(np.int64)
+        h = pd.util.hash_array(flat)
+    else:
+        wlen = np.empty(0, np.int64)
+        h = np.empty(0, np.uint64)
+    char_sum = np.bincount(doc, weights=wlen, minlength=len(s)).astype(np.int64)
+    total_chars = np.where(lens > 0, char_sum + lens - 1, 0)
+    cs = np.concatenate([[0], np.cumsum(wlen)])
+
+    batch = batch.append_column("total_chars", pa.array(total_chars, type=pa.int64()))
+    for n, kind in [(n, "top") for n in top_ns] + [(n, "dup") for n in dup_ns]:
+        m = total - n + 1
+        cov_doc = np.zeros(len(s), np.int64)
+        if m > 0:
+            k = h[0:m].copy()
+            for j in range(1, n):
+                k = k * np.uint64(1099511628211) ^ h[j : j + m]
+            valid = doc[0:m] == doc[n - 1 : total]
+            gc = (cs[n : n + m] - cs[0:m]) + (n - 1)
+            df = pd.DataFrame(
+                {"doc": doc[0:m][valid], "key": k[valid], "gc": gc[valid]}
+            )
+            if len(df):
+                grp = df.groupby(["doc", "key"], sort=False).agg(
+                    cnt=("gc", "size"), gc=("gc", "first")
+                )
+                grp["cov"] = grp["cnt"] * grp["gc"]
+                if kind == "top":
+                    per = grp.groupby(level=0)["cov"].max()
+                else:
+                    per = grp.loc[grp["cnt"] >= 2].groupby(level=0)["cov"].sum()
+                cov_doc[per.index.to_numpy()] = per.to_numpy()
+        frac = np.minimum(1000, cov_doc * 1000 // np.maximum(total_chars, 1))
+        batch = batch.append_column(
+            f"{kind}{n}gram_frac_x1000", pa.array(frac, type=pa.int64())
+        )
+    return batch
+
+
+def dup_ngram_oracle_sql(
+    source_sql: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """The exactly-equivalent DuckDB form of :func:`add_dup_ngram_stats`
+    (grams built by list slicing so order/boundaries match the rolling
+    hash; the oracle groups by the gram STRING, so agreement also bounds
+    the engine's 64-bit collision rate).  ``source_sql`` must yield
+    ``(doc_id, text)``."""
+    ws_expr = (
+        "string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(12) || chr(13)),"
+        " '\\s+')"
+    )
+    # string_split_regex('') yields [''] — one empty word; normalize to 0
+    tc = "(CASE WHEN ws = [''] THEN 0 ELSE len(array_to_string(ws, ' ')) END)"
+
+    def per_n(n: int, kind: str) -> str:
+        agg = (
+            "max(cnt * gl)"
+            if kind == "top"
+            else "sum(CASE WHEN cnt >= 2 THEN cnt * gl ELSE 0 END)"
+        )
+        return (
+            f"SELECT doc_id, {agg} AS cov FROM ("
+            f" SELECT doc_id, gram, count(*) AS cnt, len(gram) AS gl FROM ("
+            f"  SELECT doc_id, array_to_string(ws[i+1:i+{n}], ' ') AS gram"
+            f"  FROM w, unnest(range(0, greatest(len(ws) - {n} + 1, 0))) t(i))"
+            f" GROUP BY doc_id, gram) GROUP BY doc_id"
+        )
+
+    sel = [
+        "d.doc_id",
+        f"CAST({tc} AS BIGINT) AS total_chars",
+    ]
+    joins = ""
+    for n, kind in [(n, "top") for n in top_ns] + [(n, "dup") for n in dup_ns]:
+        name = f"{kind}{n}gram_frac_x1000"
+        joins += f" LEFT JOIN ({per_n(n, kind)}) q{kind}{n} USING (doc_id)"
+        sel.append(
+            f"CAST(least(1000, COALESCE(q{kind}{n}.cov, 0) * 1000"
+            f" // greatest({tc}, 1)) AS BIGINT) AS {name}"
+        )
+    return (
+        f"WITH w AS (SELECT doc_id, {ws_expr} AS ws FROM ({source_sql}))"
+        f" SELECT {', '.join(sel)} FROM (SELECT doc_id, ws FROM w) d"
+        f"{joins} ORDER BY doc_id"
+    )
 
 
 def sample_per_group(

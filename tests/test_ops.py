@@ -747,6 +747,90 @@ def test_anti_and_outer_joins_vs_duckdb(ray_session):
     assert outer["n_orders"].tolist() == want2["n_orders"].astype("int64").tolist()
 
 
+def test_dup_ngram_stats_reference_and_oracle(ray_session):
+    """Gopher repeated-n-gram fractions: independent Counter reference
+    plus exact DuckDB parity (via the engine's own oracle builder) over
+    planted repetition shapes AND the real documents table."""
+    from collections import Counter
+
+    import duckdb
+
+    from fetch_engines_ray.ops.textstats import (
+        add_dup_ngram_stats,
+        dup_ngram_oracle_sql,
+    )
+
+    texts = [
+        "the cat sat on the mat the cat sat again on the mat",
+        "a a a a a a a a",
+        "alpha beta gamma delta epsilon zeta",
+        "",
+        "   \t \n ",
+        "one two one two one two one two one two one two",
+        "repeat phrase here now repeat phrase here now repeat phrase here now",
+        "  spaced   out\twords\nnewline words spaced   out\twords ",
+        "solo",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = add_dup_ngram_stats(pa.Table.from_pandas(df)).to_pandas()
+
+    # independent single-doc reference
+    import re
+
+    for i, t in enumerate(texts):
+        ws = re.findall(r"[^\t\n\f\r ]+", t)
+        total = len(" ".join(ws)) if ws else 0
+        assert got.loc[i, "total_chars"] == total
+        for n, kind in [(2, "top"), (3, "top"), (4, "top"), (5, "dup"), (10, "dup")]:
+            grams = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            c = Counter(grams)
+            if kind == "top":
+                cov = max((cnt * len(g) for g, cnt in c.items()), default=0)
+            else:
+                cov = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+            want = min(1000, cov * 1000 // max(total, 1))
+            assert got.loc[i, f"{kind}{n}gram_frac_x1000"] == want, (i, n, kind)
+
+    # DuckDB parity over plants + the real corpus (string-keyed oracle
+    # also bounds the engine's 64-bit gram-hash collision rate)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    real = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    plants = df.copy()
+    plants["doc_id"] += 7_000_000
+    both = pd.concat([real, plants], ignore_index=True)
+    eng = (
+        add_dup_ngram_stats(pa.Table.from_pandas(both))
+        .to_pandas()
+        .drop(columns=["text"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.register("bothdocs", both)
+    orc = con.sql(dup_ngram_oracle_sql("SELECT doc_id, text FROM bothdocs")).df()
+    pd.testing.assert_frame_equal(eng, orc, check_dtype=False)
+
+
+def test_top10_orders_by_price_vs_duckdb(ray_session):
+    """Kernel coverage for the retired query slot (its registry entry
+    was swapped for doc_dup_ngram_stats under the 50-query cap)."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import top10_orders_by_price
+
+    sf = "/root/testdata/sf0.001"
+    got = top10_orders_by_price(sf)
+    want = duckdb.sql(
+        "SELECT o_orderkey, round(o_totalprice, 3) AS o_totalprice"
+        f" FROM read_parquet('{sf}/orders.parquet')"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["o_totalprice"].tolist() == want["o_totalprice"].tolist()
+
+
 def test_high_value_open_orders_vs_duckdb(ray_session):
     """Kernel coverage for the retired query slot (its registry entry
     was swapped for c4_line_filters under the 50-query cap)."""
