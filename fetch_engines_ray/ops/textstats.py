@@ -416,6 +416,39 @@ def add_dup_ngram_stats(
     return batch
 
 
+# Published Gopher repetition thresholds (Rae et al. 2021, Table A1),
+# as integer x1000 bounds on the fractions add_dup_ngram_stats emits:
+# top-n-gram coverage n=2,3,4 and duplicate-n-gram coverage n=5..10.
+GOPHER_REP_THRESHOLDS_X1000: dict[str, int] = {
+    "top2gram_frac_x1000": 200,
+    "top3gram_frac_x1000": 180,
+    "top4gram_frac_x1000": 160,
+    "dup5gram_frac_x1000": 150,
+    "dup6gram_frac_x1000": 140,
+    "dup7gram_frac_x1000": 130,
+    "dup8gram_frac_x1000": 120,
+    "dup9gram_frac_x1000": 110,
+    "dup10gram_frac_x1000": 100,
+}
+
+
+def add_gopher_repetition_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """The repetition half of the Gopher quality rules: compute the
+    repeated-n-gram fractions (:func:`add_dup_ngram_stats`) and gate
+    each against its published Table-A1 threshold — ``gopher_rep_pass``
+    is True iff every fraction is AT OR BELOW its bound (the paper
+    removes documents exceeding any).  Composes with
+    ``add_gopher_quality_flags`` (the length/symbol/stopword half) for
+    the full published rule set."""
+    batch = add_dup_ngram_stats(batch, text_col=text_col)
+    passes = pa.array([True] * batch.num_rows, type=pa.bool_())
+    for col, bound in GOPHER_REP_THRESHOLDS_X1000.items():
+        passes = pc.and_(
+            passes, pc.less_equal(batch[col], pa.scalar(bound, type=pa.int64()))
+        )
+    return batch.append_column("gopher_rep_pass", passes)
+
+
 def dup_ngram_oracle_sql(
     source_sql: str,
     top_ns: tuple[int, ...] = (2, 3, 4),

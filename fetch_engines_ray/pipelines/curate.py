@@ -82,6 +82,7 @@ def curate_corpus(
     text_col: str = "text",
     checkpoint_name: str | None = None,
     c4_clean: bool = False,
+    gopher_repetition: bool = False,
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
     unigram_vocab_size: int = 512,
@@ -368,6 +369,11 @@ def curate_corpus(
     def quality_and_redact(batch: pa.Table) -> pa.Table:
         batch = add_gopher_quality_flags(batch, text_col=text_col)
         batch = batch.filter(batch.column("gopher_pass"))
+        if gopher_repetition:
+            from ..ops.textstats import add_gopher_repetition_flags
+
+            batch = add_gopher_repetition_flags(batch, text_col=text_col)
+            batch = batch.filter(batch.column("gopher_rep_pass"))
         batch = add_pii_redacted(batch, text_col=text_col)
         # downstream packs the REDACTED text
         return pa.table(

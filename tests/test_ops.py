@@ -813,6 +813,41 @@ def test_dup_ngram_stats_reference_and_oracle(ray_session):
     pd.testing.assert_frame_equal(eng, orc, check_dtype=False)
 
 
+def test_gopher_repetition_flags_and_curate_gate(ray_session):
+    """Published Table-A1 repetition thresholds: loopy boilerplate
+    fails, natural prose passes; curate_corpus(gopher_repetition=True)
+    drops the repetitive doc the base Gopher rules let through."""
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import add_gopher_repetition_flags
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    # repetitive doc: one 4-word phrase looped — passes the base rules
+    # (length/symbols/stopwords fine) but tops every n-gram bound
+    loopy = " ".join(["click here to buy the best deal of the day"] * 12)
+    natural = (
+        "The quick brown fox jumps over one lazy dog while the patient "
+        "heron waits beside a quiet river and watches the water flow "
+        "past reeds that bend with every breath of wind in the valley "
+        "below the old stone bridge near the village market square "
+        "where traders have gathered to sell bread and fruit since dawn."
+    )
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [loopy, natural]})
+    out = add_gopher_repetition_flags(pa.Table.from_pandas(df)).to_pandas()
+    out = out.set_index("doc_id")
+    assert not bool(out.loc[1, "gopher_rep_pass"])
+    assert bool(out.loc[2, "gopher_rep_pass"])
+    assert out.loc[1, "top4gram_frac_x1000"] > 160
+
+    ds = ray.data.from_pandas(df)
+    with_gate = curate_corpus(ds, gopher_repetition=True, max_tokens=10_000).to_pandas()
+    without = curate_corpus(ds, max_tokens=10_000).to_pandas()
+    ids_with = sorted(i for ids in with_gate["doc_ids"] for i in ids)
+    ids_without = sorted(i for ids in without["doc_ids"] for i in ids)
+    assert ids_with == [2]
+    assert ids_without == [1, 2]
+
+
 def test_top10_orders_by_price_vs_duckdb(ray_session):
     """Kernel coverage for the retired query slot (its registry entry
     was swapped for doc_dup_ngram_stats under the 50-query cap)."""
