@@ -159,3 +159,120 @@ def mine_hard_negatives(
     top = cand.groupby("anchor_id", sort=True).head(k).copy()
     top["rank"] = top.groupby("anchor_id").cumcount() + 1
     return top[["anchor_id", "negative_id", "rank"]].reset_index(drop=True)
+
+
+class LexicalOverlapReranker:
+    """Default rerank backend: token-set F1 between query and document
+    (2.|Q∩D| / (|Q|+|D|)), integer x1e6.  Deterministic and cheap — the
+    slot where a real cross-encoder plugs in via ``reranker_factory``
+    (same backend-protocol posture as ``stages/structured.ProviderSpec``:
+    the factory runs ONCE per worker in ``__init__``, scoring per batch).
+    """
+
+    def __init__(self) -> None:
+        self._q: Optional[frozenset] = None
+
+    def score(self, query: str, texts: "pd.Series") -> np.ndarray:
+        if self._q is None:
+            self._q = frozenset(query.lower().split())
+        q = self._q
+        toks = texts.str.lower().str.split()
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(toks):
+            d = set(t or ())
+            denom = len(q) + len(d)
+            if denom:
+                out[i] = (2 * len(q & d) * 1_000_000) // denom
+        return out
+
+
+def rerank_topk(
+    docs: "ray.data.Dataset",
+    candidate_ids: list[int],
+    query: str,
+    k: int = 10,
+    reranker_factory=None,
+    concurrency: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Second-stage reranking: re-score ``candidate_ids`` (a first-stage
+    top-k — tiny) against ``query`` with a pairwise model and return the
+    best ``k`` as ``(doc_id, rerank_score_x1e6, rank)``.
+
+    Scale shape: the candidate id set broadcasts inside the closure
+    (k-sized); ONE streaming filter+score pass over the documents table
+    fetches and scores the candidate texts where they live — candidate
+    texts never ship to the driver, only (id, score) pairs come back.
+    The reranker is built once per worker (``reranker_factory``, actor
+    pool when ``concurrency`` is set) — the cross-encoder slot.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    factory = reranker_factory or LexicalOverlapReranker
+    want = pa.array([int(i) for i in candidate_ids], type=pa.int64())
+
+    class _Score:
+        def __init__(self) -> None:
+            self.model = factory()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_in(batch[id_col], value_set=want))
+            texts = batch[text_col].to_pandas().fillna("")
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "rerank_score_x1e6": pa.array(
+                        self.model.score(query, texts), type=pa.int64()
+                    ),
+                }
+            )
+
+    # task-pool default: one instance built here and serialized into
+    # every task (fine for light backends); concurrency=N switches to
+    # the actor-pool form where the factory runs once per ACTOR — the
+    # expensive-model slot (mirrors stages/structured.structured_extract)
+    if concurrency is None:
+        scored = docs.map_batches(
+            _Score(), batch_format="pyarrow", batch_size=4096
+        ).to_pandas()  # candidate-sized
+    else:
+        scored = docs.map_batches(
+            _Score,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+            num_cpus=1,
+        ).to_pandas()  # candidate-sized
+    scored.sort_values(
+        ["rerank_score_x1e6", id_col], ascending=[False, True], kind="stable", inplace=True
+    )
+    top = scored.head(k).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1)
+    return top
+
+
+def hybrid_search_rerank(
+    docs: "ray.data.Dataset",
+    index_path: str,
+    query: str,
+    k: int = 10,
+    fetch_k: int = 30,
+    reranker_factory=None,
+    **kwargs,
+) -> pd.DataFrame:
+    """Retrieve-then-rerank: RRF-fused hybrid top-``fetch_k`` candidates
+    (recall stage), reranked pairwise down to ``k`` (precision stage) —
+    the standard two-stage serving shape."""
+    fused = hybrid_search(docs, index_path, query, k=fetch_k, **kwargs)
+    id_col = kwargs.get("id_col", "doc_id")
+    return rerank_topk(
+        docs,
+        fused[id_col].tolist(),
+        query,
+        k=k,
+        reranker_factory=reranker_factory,
+        id_col=id_col,
+        text_col=kwargs.get("text_col", "text"),
+    )

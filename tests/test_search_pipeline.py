@@ -101,3 +101,58 @@ def test_hard_negatives_multiple_anchors_and_missing_id(ray_session):
     out = mine_hard_negatives(emb, anchor_ids=[3, 7, 9999], k=3)
     assert set(out["anchor_id"]) == {3, 7}  # unknown anchor silently absent
     assert out.groupby("anchor_id").size().tolist() == [3, 3]
+
+
+def test_rerank_topk_orders_by_pairwise_overlap(corpus, ray_session):
+    from fetch_engines_ray.pipelines.search import rerank_topk
+
+    # candidates drawn from the planted cluster + filler: the pairwise
+    # token-F1 stage must put the full-phrase docs above the partial one
+    out = rerank_topk(corpus, [200, 201, 202, 5, 9], "ray data engine", k=4)
+    assert list(out.columns) == ["doc_id", "rerank_score_x1e6", "rank"]
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    top2 = set(out.head(2)["doc_id"])
+    assert top2 == {200, 201}
+    assert out.iloc[0]["rerank_score_x1e6"] >= out.iloc[-1]["rerank_score_x1e6"]
+    # deterministic across runs
+    again = rerank_topk(corpus, [200, 201, 202, 5, 9], "ray data engine", k=4)
+    assert again["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_rerank_custom_backend_in_actor_pool(corpus, ray_session):
+    """A mock cross-encoder drops into the reranker_factory slot (actor
+    pool): scoring flips to doc_id order, proving the custom model is
+    the one consulted."""
+    import numpy as np
+
+    from fetch_engines_ray.pipelines.search import rerank_topk
+
+    class MockCrossEncoder:
+        def __init__(self):
+            self.calls = 0  # built once per actor
+
+        def score(self, query, texts):
+            self.calls += 1
+            return np.asarray([len(t) for t in texts], dtype=np.int64)
+
+    out = rerank_topk(
+        corpus,
+        [200, 201, 202],
+        "whatever",
+        k=3,
+        reranker_factory=MockCrossEncoder,
+        concurrency=2,
+    )
+    # longest text wins under the mock scorer
+    texts = {r["doc_id"]: r["text"] for r in corpus.take_all() if r["doc_id"] in (200, 201, 202)}
+    want = sorted(texts, key=lambda i: (-len(texts[i]), i))
+    assert out["doc_id"].tolist() == want
+
+
+def test_hybrid_search_rerank_end_to_end(corpus, index):
+    from fetch_engines_ray.pipelines.search import hybrid_search_rerank
+
+    path, _ = index
+    out = hybrid_search_rerank(corpus, path, "ray data engine", k=5, fetch_k=15)
+    assert len(out) == 5
+    assert set(out.head(2)["doc_id"]) == {200, 201}
