@@ -335,6 +335,55 @@ def add_gopher_quality_flags(batch: pa.Table, text_col: str = "text") -> pa.Tabl
     return batch.append_column("gopher_pass", passes)
 
 
+# Common UTF-8-decoded-as-Latin-1 artifact SEQUENCES (written as
+# escapes so the source can never silently re-encode them).  Each is a
+# mangled form of a frequent accented letter / punctuation mark
+# ("e-acute" -> U+00C3 U+00A9, smart quotes -> U+00E2 U+20AC prefix,
+# NBSP -> U+00C2 U+00A0); single U+00C3/U+00E2 are NOT markers —
+# legitimate text contains them ("S\u00e3o", "ch\u00e2teau").
+MOJIBAKE_MARKERS: tuple[str, ...] = (
+    "\u00e2\u20ac",  # mangled smart quote / dash prefix
+    "\u00c3\u00a9",  # mangled e-acute
+    "\u00c3\u00a8",  # mangled e-grave
+    "\u00c3\u00a4",  # mangled a-umlaut
+    "\u00c3\u00b6",  # mangled o-umlaut
+    "\u00c3\u00bc",  # mangled u-umlaut
+    "\u00c3\u00b1",  # mangled n-tilde
+    "\u00c3\u00b3",  # mangled o-acute
+    "\u00c2\u00a0",  # mangled non-breaking space
+)
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def add_encoding_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Encoding-health signals for crawled text (the pre-filter every
+    web pipeline runs before spending tokenizer/LM compute on garbage):
+    ``n_replacement_chars`` (U+FFFD — a decoder already gave up),
+    ``n_mojibake_markers`` (UTF-8-as-Latin-1 artifact prefixes),
+    ``n_control_chars`` (C0 controls minus tab/newline/CR), and the
+    combined ``encoding_ok`` verdict.  All pyarrow compute kernels —
+    zero-copy, no Python loop."""
+    text = pc.fill_null(batch[text_col], "")
+    n_repl = pc.cast(pc.count_substring(text, "�"), pa.int64())
+    n_moji = pc.cast(pc.count_substring(text, MOJIBAKE_MARKERS[0]), pa.int64())
+    for marker in MOJIBAKE_MARKERS[1:]:
+        n_moji = pc.add(
+            n_moji, pc.cast(pc.count_substring(text, marker), pa.int64())
+        )
+    n_ctrl = pc.cast(pc.count_substring_regex(text, _CONTROL_RE), pa.int64())
+    ok = pc.and_(
+        pc.and_(
+            pc.equal(n_repl, pa.scalar(0, type=pa.int64())),
+            pc.equal(n_moji, pa.scalar(0, type=pa.int64())),
+        ),
+        pc.equal(n_ctrl, pa.scalar(0, type=pa.int64())),
+    )
+    batch = batch.append_column("n_replacement_chars", n_repl)
+    batch = batch.append_column("n_mojibake_markers", n_moji)
+    batch = batch.append_column("n_control_chars", n_ctrl)
+    return batch.append_column("encoding_ok", ok)
+
+
 def add_dup_ngram_stats(
     batch: pa.Table,
     text_col: str = "text",

@@ -813,6 +813,44 @@ def test_dup_ngram_stats_reference_and_oracle(ray_session):
     pd.testing.assert_frame_equal(eng, orc, check_dtype=False)
 
 
+def test_encoding_quality_signals(ray_session):
+    """Mojibake/encoding health: planted artifact sequences flag, clean
+    accented text does not, DuckDB agrees on every count."""
+    import duckdb
+
+    from fetch_engines_ray.ops.textstats import MOJIBAKE_MARKERS, add_encoding_quality
+
+    texts = [
+        "perfectly clean text with tabs\tand\nnewlines and CR\r fine.",
+        "the broken caf\u00c3\u00a9 door",            # mangled e-acute
+        "smart quote gone wrong: \u00e2\u20ac\u2122s",  # mangled right quote
+        "decoder bailed here: \ufffd\ufffd done",        # U+FFFD x2
+        "null byte \x00 and bell \x07 inside",           # C0 controls
+        "",
+        "S\u00e3o Paulo ch\u00e2teau caf\u00e9 na\u00efve stay clean",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = add_encoding_quality(pa.Table.from_pandas(df)).to_pandas()
+    assert got["encoding_ok"].tolist() == [True, False, False, False, False, True, True]
+    assert got.loc[3, "n_replacement_chars"] == 2
+    assert got.loc[4, "n_control_chars"] == 2
+    assert got.loc[1, "n_mojibake_markers"] == 1
+    assert got.loc[2, "n_mojibake_markers"] == 1
+
+    con = duckdb.connect()
+    con.register("t", df)
+    marker_alt = "|".join(MOJIBAKE_MARKERS)
+    orc = con.sql(
+        "SELECT len(regexp_extract_all(text, '\ufffd')) AS r,"
+        f" len(regexp_extract_all(text, '{marker_alt}')) AS m,"
+        " len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS c"
+        " FROM t ORDER BY doc_id"
+    ).df()
+    assert got["n_replacement_chars"].tolist() == orc["r"].astype("int64").tolist()
+    assert got["n_mojibake_markers"].tolist() == orc["m"].astype("int64").tolist()
+    assert got["n_control_chars"].tolist() == orc["c"].astype("int64").tolist()
+
+
 def test_gopher_repetition_flags_and_curate_gate(ray_session):
     """Published Table-A1 repetition thresholds: loopy boilerplate
     fails, natural prose passes; curate_corpus(gopher_repetition=True)
