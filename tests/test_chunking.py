@@ -1,0 +1,86 @@
+"""Sliding-window document chunking: boundary math, overlap semantics,
+token conservation, id coverage, and embed-pipeline integration."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from fetch_engines_ray.ops.chunking import chunk_batch, chunk_documents
+
+
+def _mk(texts):
+    return pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def _words(n, tag="w"):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_boundary_counts():
+    out = chunk_batch(
+        _mk([_words(10), _words(16), _words(17), _words(33), ""]),
+        max_tokens=16,
+        overlap=4,
+    ).to_pandas()
+    by = out.groupby("doc_id")["chunk_idx"].count()
+    # stride 12: 10 tokens -> 1; 16 -> 1; 17 -> 2; 33 -> 1+ceil(17/12)=3
+    assert by.tolist() == [1, 1, 2, 3, 1]
+    assert (out["n_chunks"] == out.groupby("doc_id")["chunk_idx"].transform("count")).all()
+    empty = out[out["doc_id"] == 4]
+    assert empty["text"].tolist() == [""] and empty["n_tokens"].tolist() == [0]
+
+
+def test_overlap_and_conservation():
+    n, mt, ov = 100, 16, 4
+    out = chunk_batch(_mk([_words(n)]), max_tokens=mt, overlap=ov).to_pandas()
+    chunks = out.sort_values("chunk_idx")["text"].tolist()
+    # consecutive chunks share exactly `ov` tokens
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.split()[-ov:] == b.split()[:ov]
+    # zero overlap conserves the token sequence exactly
+    out0 = chunk_batch(_mk([_words(n)]), max_tokens=mt, overlap=0).to_pandas()
+    joined = " ".join(out0.sort_values("chunk_idx")["text"])
+    assert joined == _words(n)
+    assert out0["n_tokens"].sum() == n
+
+
+def test_every_token_covered_and_lengths():
+    out = chunk_batch(_mk([_words(57)]), max_tokens=10, overlap=3).to_pandas()
+    assert (out["n_tokens"] <= 10).all()
+    # union of windows covers all 57 tokens
+    seen = set()
+    for t in out["text"]:
+        seen.update(t.split())
+    assert len(seen) == 57
+
+
+def test_streaming_and_embed_integration(ray_session):
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [_words(500, "a"), _words(30, "b")],
+            }
+        )
+    )
+    chunks = chunk_documents(docs, max_tokens=64, overlap=8)
+    df = chunks.to_pandas()
+    assert set(df["doc_id"]) == {1, 2}
+    assert df[df["doc_id"] == 2]["n_chunks"].iloc[0] == 1
+
+    from fetch_engines_ray.ops.embed import embed_texts
+
+    # chunk rows embed directly; (doc_id, chunk_idx) is the vector key
+    emb = embed_texts(chunks, dim=16, id_col="doc_id").to_pandas()
+    assert len(emb) == len(df)
+    assert len(emb["embedding"].iloc[0]) == 16
+
+
+def test_bad_overlap_rejected():
+    with pytest.raises(ValueError):
+        chunk_batch(_mk(["x"]), max_tokens=8, overlap=8)
