@@ -286,15 +286,41 @@ def write_token_shards(
     }
 
 
-def read_token_shards(path: str) -> "ray.data.Dataset":
+def _mix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 (public constants — the scalar form lives
+    in ops/dedup.py): pure uint64 arithmetic, so epoch orders are
+    stable across runs, machines and library versions."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def read_token_shards(path: str, epoch: int | None = None) -> "ray.data.Dataset":
     """Distributed read-back: one task per shard file parses its
     ``.bin`` against the sidecar idx (``np.frombuffer`` reshape — the
     same zero-copy access pattern a trainer's mmap loader uses) and
     yields ``(shard, seq_idx, token_ids, n_tokens)`` rows.  File bytes
-    never transit the driver; only the file LIST does."""
+    never transit the driver; only the file LIST does.
+
+    ``epoch`` turns this into the multi-epoch trainer feed: shard ORDER
+    and the row order WITHIN each shard both permute deterministically
+    per epoch (splitmix64 of (epoch, shard[, row]) — no RNG state, so
+    any worker reproduces any epoch), while the row multiset stays
+    identical.  ``epoch=None`` keeps the written sequential order.
+    The write-time seeded shuffle decorrelates neighbors once; epoch
+    reshuffling here is the cheap per-pass reorder on top."""
     idx_files = sorted(
         f for f in os.listdir(path) if f.endswith(".idx.json") and f.startswith("shard_")
     )
+    if epoch is not None:
+        shard_nos = np.array(
+            [int(f.split("_")[1].split(".")[0]) for f in idx_files], dtype=np.uint64
+        )
+        order = np.argsort(
+            _mix64(shard_nos ^ (np.uint64(epoch) << np.uint64(32))), kind="stable"
+        )
+        idx_files = [idx_files[i] for i in order]
     files = ray.data.from_items(
         [{"idx": os.path.join(path, f)} for f in idx_files]
     )
@@ -309,7 +335,12 @@ def read_token_shards(path: str) -> "ray.data.Dataset":
                 ipath.replace(".idx.json", ".bin"),
                 dtype=np.dtype(meta["dtype"]).newbyteorder("<"),
             ).reshape(meta["n_seqs"], meta["seq_len"])
-            for i in range(meta["n_seqs"]):
+            rows = np.arange(meta["n_seqs"], dtype=np.uint64)
+            if epoch is not None and meta["n_seqs"]:
+                key = rows ^ (np.uint64(shard) << np.uint64(20))
+                key ^= np.uint64(epoch) << np.uint64(40)
+                rows = rows[np.argsort(_mix64(key), kind="stable")]
+            for i in rows.tolist():
                 shards.append(shard)
                 seq_idx.append(i)
                 toks.append(raw[i].astype(np.int32))

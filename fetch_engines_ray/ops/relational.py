@@ -664,3 +664,56 @@ def customer_order_counts_outer(sf_dir: str, num_partitions: int = 4) -> pd.Data
     ).to_pandas()[["c_custkey", "n_orders"]]
     out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customer_order_full_outer(
+    sf_dir: str,
+    min_acctbal: float = 7000.0,
+    min_total: float = 400000.0,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Distributed FULL OUTER join (the last Ray-native join type the
+    relational family didn't exercise): high-balance customers vs
+    per-customer counts of high-value orders.  Both sides keep
+    unmatched rows — customers with no qualifying order carry
+    ``n_orders`` 0, qualifying orders whose customer misses the balance
+    cut carry ``c_acctbal_cents`` -1 — so the result is the union of
+    both key spaces (the reconciliation-report shape).  Orders
+    pre-aggregate to one row per customer before the exchange."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def keep_high(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["c_acctbal"], pa.scalar(min_acctbal))
+        )
+        cents = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())
+        return pa.table({"c_custkey": batch["c_custkey"], "c_acctbal_cents": cents})
+
+    left = cust.map_batches(keep_high, batch_format="pyarrow", batch_size=8192)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = (
+        orders.map_batches(
+            lambda b: b.filter(pc.greater(b["o_totalprice"], pa.scalar(min_total))),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    out = left.join(
+        per_cust,
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).to_pandas()
+    # surviving key = customer key where present, else the order side's
+    key = out["c_custkey"].where(out["c_custkey"].notna(), out.get("o_custkey"))
+    res = pd.DataFrame(
+        {
+            "custkey": key.astype("int64"),
+            "c_acctbal_cents": out["c_acctbal_cents"].fillna(-1).astype("int64"),
+            "n_orders": out["n_orders"].fillna(0).astype("int64"),
+        }
+    )
+    return res.sort_values("custkey").reset_index(drop=True)

@@ -165,3 +165,32 @@ def test_shuffle_is_seeded_and_reproducible(delivery, tmp_path):
     for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
         assert ra["shard"] == rb["shard"] and ra["seq_idx"] == rb["seq_idx"]
         np.testing.assert_array_equal(np.asarray(ra["token_ids"]), np.asarray(rb["token_ids"]))
+
+
+def test_epoch_reshuffle_same_multiset_new_order(delivery):
+    """Multi-epoch trainer feed: each epoch is a deterministic
+    permutation of the same rows — shard order AND within-shard order
+    both move, nothing appears or vanishes."""
+    from fetch_engines_ray.ops.binshard import read_token_shards
+
+    def key(df):
+        return sorted(
+            (s, i) for s, i in zip(df["shard"], df["seq_idx"])
+        )
+
+    base = read_token_shards(delivery["path"]).to_pandas()
+    e0 = read_token_shards(delivery["path"], epoch=0).to_pandas()
+    e1 = read_token_shards(delivery["path"], epoch=1).to_pandas()
+    e1b = read_token_shards(delivery["path"], epoch=1).to_pandas()
+
+    assert key(base) == key(e0) == key(e1)  # identical row multiset
+    order0 = list(zip(e0["shard"], e0["seq_idx"]))
+    order1 = list(zip(e1["shard"], e1["seq_idx"]))
+    assert order0 != order1  # epochs differ
+    assert order1 == list(zip(e1b["shard"], e1b["seq_idx"]))  # reproducible
+    # within at least one shard, the row order itself is permuted
+    s0 = e1[e1["shard"] == int(e1["shard"].iloc[0])]["seq_idx"].tolist()
+    assert s0 != sorted(s0) or len(s0) < 3
+    # epoch=None preserves the written sequential order per shard
+    for s, g in base.groupby("shard"):
+        assert g["seq_idx"].tolist() == sorted(g["seq_idx"].tolist())

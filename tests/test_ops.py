@@ -924,6 +924,37 @@ def test_high_value_open_orders_vs_duckdb(ray_session):
     assert len(got) > 0
 
 
+def test_full_outer_join_vs_duckdb(ray_session):
+    """Ray-native full_outer join against DuckDB: both sides keep their
+    orphans (order-less high-balance customers, high-value orders whose
+    customer misses the balance cut)."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import customer_order_full_outer
+
+    sf = "/root/testdata/sf0.001"
+    got = customer_order_full_outer(sf)
+    con = duckdb.connect()
+    want = con.execute(
+        "WITH hc AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT)"
+        "   AS c_acctbal_cents"
+        f"  FROM read_parquet('{sf}/customer.parquet') WHERE c_acctbal > 7000.0),"
+        " hv AS (SELECT o_custkey, count(*) AS n_orders"
+        f"  FROM read_parquet('{sf}/orders.parquet')"
+        "   WHERE o_totalprice > 400000.0 GROUP BY o_custkey)"
+        " SELECT COALESCE(c_custkey, o_custkey) AS custkey,"
+        "  COALESCE(c_acctbal_cents, -1) AS c_acctbal_cents,"
+        "  COALESCE(n_orders, 0) AS n_orders"
+        " FROM hc FULL OUTER JOIN hv ON c_custkey = o_custkey ORDER BY custkey"
+    ).fetchdf()
+    assert got["custkey"].tolist() == want["custkey"].astype("int64").tolist()
+    assert got["c_acctbal_cents"].tolist() == want["c_acctbal_cents"].astype("int64").tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].astype("int64").tolist()
+    # both orphan classes genuinely present
+    assert (got["n_orders"] == 0).any()
+    assert (got["c_acctbal_cents"] == -1).any()
+
+
 def test_word_counts_vocab(ray_session):
     from collections import Counter
 
