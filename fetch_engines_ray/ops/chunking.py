@@ -90,6 +90,72 @@ def chunk_batch(
     )
 
 
+# chunk_idx fits comfortably in 20 bits (1M chunks = 256M tokens/doc at
+# the default window); doc_id keeps the high 43 bits.
+_CHUNK_BITS = 20
+
+
+def pack_chunk_id(doc_id, chunk_idx):
+    """Pack ``(doc_id, chunk_idx)`` into one int64 — the vector key the
+    ANN index family needs (they key on a single int64 id).  Vectorized
+    over numpy arrays or scalars; inverse is :func:`unpack_chunk_id`."""
+    return np.int64(doc_id) * np.int64(1 << _CHUNK_BITS) + np.int64(chunk_idx)
+
+
+def unpack_chunk_id(chunk_key):
+    """Inverse of :func:`pack_chunk_id` → ``(doc_id, chunk_idx)``."""
+    k = np.int64(chunk_key)
+    return k >> np.int64(_CHUNK_BITS), k & np.int64((1 << _CHUNK_BITS) - 1)
+
+
+def add_chunk_key(
+    batch: pa.Table, id_col: str = "doc_id", out_col: str = "chunk_key"
+) -> pa.Table:
+    """Append the packed int64 ``chunk_key`` to a chunked batch (run
+    after :func:`chunk_batch`) so chunk rows can flow through the
+    int64-keyed embed/ANN/dedup chain unchanged."""
+    keys = pack_chunk_id(
+        batch[id_col].to_numpy(zero_copy_only=False),
+        batch["chunk_idx"].to_numpy(zero_copy_only=False),
+    )
+    return batch.append_column(out_col, pa.array(keys, type=pa.int64()))
+
+
+def resolve_chunk_hits(
+    hits: "pd.DataFrame",
+    key_col: str = "chunk_key",
+    score_col: str | None = None,
+    k: int | None = None,
+) -> "pd.DataFrame":
+    """Collapse chunk-level search hits to PARENT documents: per doc,
+    keep the best chunk (max ``score_col``, or min rank when no score
+    column), re-rank, optionally cut to top ``k``.  Hits frames are
+    k-sized — this is driver-side by design.  Returns
+    ``(doc_id, best_chunk_idx, <score_col|rank>, rank)``."""
+    df = hits.copy()
+    doc, idx = unpack_chunk_id(df[key_col].to_numpy())
+    df["doc_id"] = doc
+    df["best_chunk_idx"] = idx
+    if score_col is not None:
+        df.sort_values(
+            [score_col, "doc_id", "best_chunk_idx"],
+            ascending=[False, True, True],
+            kind="stable",
+            inplace=True,
+        )
+        keep_cols = ["doc_id", "best_chunk_idx", score_col]
+    else:
+        df.sort_values(
+            ["rank", "doc_id", "best_chunk_idx"], kind="stable", inplace=True
+        )
+        keep_cols = ["doc_id", "best_chunk_idx"]
+    best = df.drop_duplicates("doc_id", keep="first")[keep_cols].reset_index(drop=True)
+    if k is not None:
+        best = best.head(k)
+    best["rank"] = np.arange(1, len(best) + 1)
+    return best
+
+
 def chunk_documents(
     ds: "ray.data.Dataset",
     max_tokens: int = 256,

@@ -84,3 +84,64 @@ def test_streaming_and_embed_integration(ray_session):
 def test_bad_overlap_rejected():
     with pytest.raises(ValueError):
         chunk_batch(_mk(["x"]), max_tokens=8, overlap=8)
+
+
+def test_chunk_key_pack_roundtrip():
+    from fetch_engines_ray.ops.chunking import pack_chunk_id, unpack_chunk_id
+
+    for d, c in [(0, 0), (7, 3), (10**9, 1048575), (42, 1)]:
+        k = pack_chunk_id(d, c)
+        dd, cc = unpack_chunk_id(k)
+        assert (int(dd), int(cc)) == (d, c)
+    arr_d = np.array([1, 2, 3], dtype=np.int64)
+    arr_c = np.array([0, 5, 9], dtype=np.int64)
+    ks = pack_chunk_id(arr_d, arr_c)
+    dd, cc = unpack_chunk_id(ks)
+    assert dd.tolist() == [1, 2, 3] and cc.tolist() == [0, 5, 9]
+
+
+def test_long_doc_retrieval_via_chunks(ray_session):
+    """The composition the chunker exists for: a topic buried deep in a
+    long document is findable through chunk-level vectors (and resolves
+    back to the parent doc) where the whole-doc embedding dilutes it."""
+    from fetch_engines_ray.ops.chunking import (
+        add_chunk_key,
+        chunk_documents,
+        pack_chunk_id,
+        resolve_chunk_hits,
+    )
+    from fetch_engines_ray.ops.embed import embed_texts
+    from fetch_engines_ray.ops.similarity import knn_bruteforce
+
+    rng = np.random.RandomState(11)
+    filler_words = [f"f{i:03d}" for i in range(400)]
+    topic = "quantum flux capacitor resonance"
+
+    def filler(n):
+        return " ".join(rng.choice(filler_words, size=n))
+
+    # doc 3 buries the topic ~75% in; docs 0-5 are long filler
+    docs = []
+    for i in range(6):
+        body = filler(600)
+        if i == 3:
+            words = body.split()
+            words[450:450] = (topic + " ") * 6
+            words = " ".join(words).split()
+            body = " ".join(words)
+        docs.append({"doc_id": i, "text": body})
+    docs.append({"doc_id": 999, "text": topic})  # the query as its own doc
+    ds = ray.data.from_pandas(pd.DataFrame(docs))
+
+    chunks = chunk_documents(ds, max_tokens=64, overlap=8).map_batches(
+        add_chunk_key, batch_format="pyarrow", batch_size=4096
+    )
+    emb = embed_texts(chunks, dim=32, id_col="chunk_key")
+    qkey = int(pack_chunk_id(999, 0))
+    hits = knn_bruteforce(emb, [qkey], k=8, id_col="chunk_key")
+    hits = hits.rename(columns={"neighbor_id": "chunk_key"})
+    resolved = resolve_chunk_hits(hits, k=3)
+    assert resolved.iloc[0]["doc_id"] == 3  # parent doc wins
+    assert resolved.iloc[0]["rank"] == 1
+    # one row per doc even though doc 3 contributed multiple chunk hits
+    assert resolved["doc_id"].is_unique
