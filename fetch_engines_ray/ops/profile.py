@@ -99,8 +99,23 @@ def profile_table(
         batch_format="pyarrow",
         batch_size=65536,
     ).to_pandas()
+    return _render(_merge_partial_frame(parts, columns))
 
-    out = []
+
+def _merge_partial_frame(parts: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
+    """Merge partial rows (per block, or per RUN when merging saved
+    artifacts) to one mergeable-state row per column: exact counts,
+    typed pickled extrema, max-merged HLL registers.  HLL register max
+    IS the union sketch, so merging artifacts from disjoint runs gives
+    bit-identical registers to one pass over the concatenated data."""
+    if "column" not in parts.columns:
+        # an EMPTY dataset's to_pandas() is column-less (the recurring
+        # empty-partition hazard): profile it as zero rows per column
+        parts = pd.DataFrame(
+            {"column": pd.Series(dtype=object), "n_rows": [], "n_nulls": [],
+             "min_max": [], "hll": []}
+        )
+    rows = []
     for name in columns:
         p = parts[parts["column"] == name]
         regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
@@ -116,15 +131,33 @@ def profile_table(
             vmin, vmax = pickle.loads(blob)
             mn = vmin if mn is None or vmin < mn else mn
             mx = vmax if mx is None or vmax > mx else mx
-        n_valid = int(p["n_rows"].sum()) - int(p["n_nulls"].sum())
-        out.append(
+        rows.append(
             {
                 "column": name,
                 "n_rows": int(p["n_rows"].sum()),
                 "n_nulls": int(p["n_nulls"].sum()),
+                "min_max": pickle.dumps((mn, mx)) if mn is not None else b"",
+                "hll": regs.tobytes() if sketched else b"",
+            }
+        )
+    return pd.DataFrame(rows, columns=["column", "n_rows", "n_nulls", "min_max", "hll"])
+
+
+def _render(merged: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for _, r in merged.iterrows():
+        mn = mx = None
+        if r["min_max"]:
+            mn, mx = pickle.loads(r["min_max"])
+        n_valid = int(r["n_rows"]) - int(r["n_nulls"])
+        out.append(
+            {
+                "column": r["column"],
+                "n_rows": int(r["n_rows"]),
+                "n_nulls": int(r["n_nulls"]),
                 "approx_distinct": (
-                    float(_estimate(regs, _HLL_P))
-                    if sketched
+                    float(_estimate(np.frombuffer(r["hll"], dtype=np.uint8), _HLL_P))
+                    if r["hll"]
                     else (0.0 if n_valid == 0 else float("nan"))
                 ),
                 "min_repr": "" if mn is None else str(mn),
@@ -142,6 +175,47 @@ def profile_table(
             "max_repr",
         ],
     )
+
+
+def write_profile_artifact(
+    ds: "ray.data.Dataset",
+    path: str,
+    columns: list[str] | None = None,
+) -> pd.DataFrame:
+    """Profile ``ds`` and persist the MERGEABLE state (one row per
+    column: counts, pickled extrema, HLL registers) as a parquet
+    artifact — the cross-run story: profile each crawl increment where
+    it lands, then :func:`merge_profile_artifacts` folds any set of
+    artifacts into the profile of the union without touching the data
+    again.  Returns the rendered profile of this run."""
+    columns = columns or ds.schema().names
+    parts = ds.map_batches(
+        lambda b: _batch_partials(b, columns),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).to_pandas()
+    merged = _merge_partial_frame(parts, columns)
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+    import os
+
+    os.replace(tmp, path)  # artifact appears atomically
+    return _render(merged)
+
+
+def merge_profile_artifacts(paths: list[str]) -> pd.DataFrame:
+    """Fold saved profile artifacts into the profile of the UNION of
+    their inputs: counts add, extrema compare typed, HLL registers
+    max-merge (lossless for distinct-count union).  Driver-side over
+    O(runs × columns) rows — never the data."""
+    import pyarrow.parquet as pq
+
+    frames = [pq.read_table(p).to_pandas() for p in paths]
+    allp = pd.concat(frames, ignore_index=True)
+    columns = list(dict.fromkeys(allp["column"]))
+    return _render(_merge_partial_frame(allp, columns))
 
 
 def pairwise_corr(

@@ -1105,6 +1105,52 @@ def test_pairwise_corr_duckdb_parity(ray_session):
     assert np.isnan(xy3["corr"]) and xy3["cov"] == pytest.approx(0.0)
 
 
+def test_profile_artifacts_merge_equals_one_pass(ray_session, tmp_path):
+    """Cross-run profile merging: profile two disjoint halves into
+    artifacts, merge them, and get EXACTLY the one-pass profile of the
+    whole table (counts/extrema exact; HLL register max-merge is
+    lossless for union, so even the estimate matches bit-for-bit)."""
+    import pyarrow.compute as pc_
+
+    from fetch_engines_ray.arrowclean import read_parquet_clean
+    from fetch_engines_ray.ops.profile import (
+        merge_profile_artifacts,
+        profile_table,
+        write_profile_artifact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"]
+    full = read_parquet_clean(f"{sf}/lineitem.parquet", columns=cols)
+    lo = full.map_batches(
+        lambda b: b.filter(pc_.less(b["l_orderkey"], pa.scalar(750))),
+        batch_format="pyarrow",
+    )
+    hi = full.map_batches(
+        lambda b: b.filter(pc_.greater_equal(b["l_orderkey"], pa.scalar(750))),
+        batch_format="pyarrow",
+    )
+    p1, p2 = str(tmp_path / "lo.parquet"), str(tmp_path / "hi.parquet")
+    r1 = write_profile_artifact(lo, p1, columns=cols)
+    write_profile_artifact(hi, p2, columns=cols)
+    assert r1["n_rows"].iloc[0] < full.count()  # halves are proper subsets
+
+    merged = merge_profile_artifacts([p1, p2])
+    want = profile_table(full, columns=cols)
+    pd.testing.assert_frame_equal(merged, want)
+
+    # an EMPTY increment profiles as zero rows and merges as a no-op
+    empty = full.map_batches(
+        lambda b: b.filter(pc_.less(b["l_orderkey"], pa.scalar(-1))),
+        batch_format="pyarrow",
+    )
+    p3 = str(tmp_path / "empty.parquet")
+    r3 = write_profile_artifact(empty, p3, columns=cols)
+    assert r3["n_rows"].tolist() == [0, 0, 0, 0]
+    merged3 = merge_profile_artifacts([p1, p2, p3])
+    pd.testing.assert_frame_equal(merged3, want)
+
+
 def test_profile_table_duckdb_parity(ray_session):
     """One-pass profiler vs DuckDB ground truth over real testdata:
     exact row/null counts and typed extrema (ints, floats, strings,
