@@ -149,6 +149,22 @@ def curate_corpus(
 
         ds = _c4_clean_fn(ds, text_col=text_col)
 
+    # Empty-corpus short-circuit (fuzz-found): an empty Dataset is
+    # SCHEMA-LESS in Ray, and the minhash bucket self-join (and every
+    # join after it) dies on a schema-less side ("No match ... for key
+    # field reference").  Aggressive gates (C4 can legally wipe a
+    # boilerplate-only corpus) make empty a NORMAL case, not an error —
+    # return the typed empty packed table the chain would produce.
+    # one count pass serves the short-circuit, the join sizing AND the
+    # resume fingerprint (it was already paid for sizing before)
+    n_input = ds.count()
+    if n_input == 0:
+        from ..ops.packing import _OUT_SCHEMA
+
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+    if join_partitions is None:
+        join_partitions = max(2, min(64, n_input // 200_000 + 1))
+
     _marks: list = []
     _t_prev = [_time.perf_counter()]
 
@@ -162,13 +178,10 @@ def curate_corpus(
         """Steps 1-3a (exact dedup semi-join, near-dup drop, optional
         SemDeDup / exact / fuzzy decontamination) — the whole upstream a
         named survivor checkpoint lets a restarted run SKIP."""
-        nonlocal join_partitions
         # 1. exact dedup winners — corpus-sized set, so semi-join.  The
-        #    shuffle partition count scales with the input (engine-wide
-        #    formula); pass ``join_partitions`` to skip the sizing count
-        #    when the caller already knows the corpus size.
-        if join_partitions is None:
-            join_partitions = max(2, min(64, ds.count() // 200_000 + 1))
+        #    shuffle partition count scales with the input (sized once
+        #    at the top of the chain from the same count pass that
+        #    gates the empty-corpus short-circuit).
         _mark("size_count")
         winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
         docs = ds.select_columns([id_col, text_col])
@@ -318,7 +331,7 @@ def curate_corpus(
             else None
         )
         _resume_fp = {
-            "n_input": ds.count(),
+            "n_input": n_input,
             "near_dup_threshold": near_dup_threshold,
             "benchmark_md5": bench_md5,
             "decontam_ngram": decontam_ngram if benchmark_texts else None,

@@ -18,6 +18,8 @@ CORPUS = st.fixed_dictionaries(
         "plant_exact_dup": st.booleans(),
         "with_decontam": st.booleans(),
         "with_dsir": st.booleans(),
+        "with_c4": st.booleans(),
+        "with_rep_gate": st.booleans(),
     }
 )
 
@@ -63,6 +65,13 @@ def test_curate_never_crashes_and_holds_invariants(ray_session, cfg):
     if target:
         kwargs["dsir_target_texts"] = target
         kwargs["dsir_n"] = max(1, cfg["n_docs"] // 2)
+    if cfg["with_c4"]:
+        # single-line unpunctuated docs: C4 wipes everything unless the
+        # page rule is relaxed — exercise the stage with permissive
+        # thresholds so BOTH empty-out and survive paths get fuzzed
+        kwargs["c4_clean"] = True
+    if cfg["with_rep_gate"]:
+        kwargs["gopher_repetition"] = True
     packed = curate_corpus(ds, **kwargs).to_pandas()
     if packed.empty:
         return  # everything filtered: a legal outcome, not a crash
