@@ -101,6 +101,16 @@ def main() -> None:
     )
     ap.add_argument("--n-shards", type=int, default=16)
     ap.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="run C4 line-level cleaning (Raffel 2020) before dedup",
+    )
+    ap.add_argument(
+        "--gopher-repetition",
+        action="store_true",
+        help="also gate on the published Gopher repeated-n-gram thresholds",
+    )
+    ap.add_argument(
         "--checkpoint-name",
         default=None,
         help="make the run resumable: spill the post-dedup survivor table "
@@ -136,6 +146,8 @@ def main() -> None:
         docs,
         max_tokens=args.max_tokens,
         near_dup_threshold=args.near_dup_threshold,
+        c4_clean=args.c4_clean,
+        gopher_repetition=args.gopher_repetition,
         benchmark_texts=bench,
         decontam_ngram=args.decontam_ngram,
         fuzzy_decontam_threshold=args.fuzzy_threshold,
