@@ -68,3 +68,35 @@ def test_datacard_failing_gate_and_drift(docs, ray_session):
     assert "0/1 gates pass." in md and "ATTENTION" in md
     assert "## Drift vs reference snapshot" in md
     assert "ACTION REQUIRED" in md  # constant n_chars shift + unseen lang
+
+
+def test_datacard_text_quality_section(docs):
+    from fetch_engines_ray.ops.datacard import build_datacard
+
+    md = build_datacard(docs, "documents-sf0.001", text_col="text")
+    assert "## Text quality" in md
+    for metric in (
+        "gopher_pass_rate",
+        "gopher_repetition_pass_rate",
+        "c4_page_pass_rate",
+        "encoding_ok_rate",
+        "mean_whitespace_tokens",
+    ):
+        assert metric in md
+    # the synthetic docs are single-line and unpunctuated: C4 page rate
+    # must be 0, encoding must be clean, and the card must agree with a
+    # direct computation of the gopher rate
+    import pyarrow as pa
+
+    from fetch_engines_ray.ops.textstats import add_gopher_quality_flags
+
+    df = docs.to_pandas()
+    flags = add_gopher_quality_flags(
+        pa.Table.from_pandas(df[["text"]]), text_col="text"
+    ).to_pandas()
+    want_rate = round(flags["gopher_pass"].mean(), 4)
+    assert f"| gopher_pass_rate | {want_rate}" in md
+    assert "| c4_page_pass_rate | 0 |" in md
+    assert "| encoding_ok_rate | 1 |" in md
+    # re-render deterministic
+    assert md == build_datacard(docs, "documents-sf0.001", text_col="text")
