@@ -133,3 +133,122 @@ def pruned_read(
         read_fragments, batch_format="pyarrow", batch_size=1
     )
     return out, stats
+
+
+def compact_sorted_runs(
+    run_paths: list[str],
+    out_path: str,
+    key: str,
+    target_rows_per_file: int = 250_000,
+    row_group_rows: int = 16_384,
+) -> dict:
+    """Merge several :func:`write_sorted` runs into ONE sorted layout
+    WITHOUT a global shuffle — the LSM-style compaction a continuously
+    ingested corpus needs (each crawl increment lands as its own sorted
+    run; queries degrade as runs pile up; compaction restores the
+    single-layout pruning contract).
+
+    Scale shape: the driver reads ONLY footers (one (min, max, rows)
+    triple per row group across all runs) and cuts the key space into
+    row-balanced buckets; each bucket is one Ray task that range-reads
+    its slice from every run via the same footer-planned row-group
+    pruning as :func:`pruned_read`, merges + sorts locally (bucket ≈
+    ``target_rows_per_file`` rows, a worker-heap-sized unit), and
+    writes one output file tmp+rename — so a killed compaction resumes
+    by skipping already-written buckets.  Output files carry
+    non-overlapping key ranges by construction.
+    """
+    import ray
+    import ray.data
+
+    os.makedirs(out_path, exist_ok=True)
+    entries = []  # (rg_min, rg_max, n_rows) across every run
+    for rp in run_paths:
+        for f in _files(rp):
+            md = pq.ParquetFile(f).metadata
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ki = col_idx[key]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ki).statistics
+                if st is None or st.min is None:
+                    raise ValueError(
+                        f"{f} row group {rg} lacks {key} statistics — "
+                        "compaction needs zone maps (write via write_sorted)"
+                    )
+                entries.append((st.min, st.max, md.row_group(rg).num_rows))
+    if not entries:
+        return {"buckets": 0, "rows": 0, "files": 0}
+    entries.sort(key=lambda e: (e[0], e[1]))
+    total_rows = sum(e[2] for e in entries)
+
+    # bucket boundaries at row-group minima, cut when the running row
+    # count passes the target (approximate by one row group — fine)
+    cuts = []
+    acc = 0
+    for mn, _mx, rows in entries:
+        if acc >= target_rows_per_file:
+            cuts.append(mn)
+            acc = 0
+        acc += rows
+    bounds = [None] + cuts + [None]  # (lo, hi): lo inclusive, hi exclusive
+    buckets = [
+        {"i": i, "lo": bounds[i], "hi": bounds[i + 1]}
+        for i in range(len(bounds) - 1)
+    ]
+
+    runs = list(run_paths)
+    gmin = entries[0][0]
+    gmax = max(e[1] for e in entries)
+
+    def compact_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_rows = []
+        for spec in batch.to_pylist():
+            i, lo, hi = spec["i"], spec["lo"], spec["hi"]
+            dest = os.path.join(out_path, f"part-{i:05d}.parquet")
+            if os.path.exists(dest):
+                out_rows.append({"bucket": i, "rows": -1, "skipped": True})
+                continue
+            tables = []
+            # plan with inclusive bounds typed like the key (no float
+            # infinities — string keys must compare); the residual
+            # filter below applies the exclusive hi
+            plan_lo = lo if lo is not None else gmin
+            plan_hi = hi if hi is not None else gmax
+            for rp in runs:
+                plan, _ = plan_key_range(rp, key, plan_lo, plan_hi)
+                for f, rgs in plan:
+                    t = pq.ParquetFile(f).read_row_groups(list(rgs))
+                    m = pa.array([True] * t.num_rows)
+                    if lo is not None:
+                        m = pc.and_(m, pc.greater_equal(t[key], lo))
+                    if hi is not None:
+                        m = pc.and_(m, pc.less(t[key], hi))
+                    tables.append(t.filter(m))
+            merged = pa.concat_tables(tables, promote_options="default")
+            merged = merged.sort_by([(key, "ascending")])
+            tmp = dest + ".tmp"
+            pq.write_table(merged, tmp, row_group_size=row_group_rows)
+            os.replace(tmp, dest)
+            out_rows.append({"bucket": i, "rows": merged.num_rows, "skipped": False})
+        return pa.Table.from_pylist(
+            out_rows,
+            schema=pa.schema(
+                [("bucket", pa.int64()), ("rows", pa.int64()), ("skipped", pa.bool_())]
+            ),
+        )
+
+    report = (
+        ray.data.from_items(buckets)
+        .map_batches(compact_bucket, batch_format="pyarrow", batch_size=1)
+        .to_pandas()  # bucket-count-sized
+    )
+    done = report[~report["skipped"]]
+    return {
+        "buckets": int(len(report)),
+        "skipped_buckets": int(report["skipped"].sum()),
+        "rows": int(done["rows"].sum()),
+        "files": len(_files(out_path)),
+        "input_rows": total_rows,
+    }

@@ -155,3 +155,89 @@ def test_salted_join_matches_plain_join(skewed_ds, ray_session):
     assert out["k"].tolist() == want["k"].tolist()
     assert out["v"].tolist() == want["v"].tolist()
     assert out["name"].tolist() == want["name"].tolist()
+
+
+def test_compact_sorted_runs_merges_without_shuffle(ray_session, tmp_path):
+    """LSM-style compaction: three overlapping sorted runs merge into
+    one layout with non-overlapping file key ranges, exact row parity,
+    intact pruning, and killed-run resume."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    from fetch_engines_ray.ops.layout import (
+        _files,
+        compact_sorted_runs,
+        pruned_read,
+        write_sorted,
+    )
+
+    rng = np.random.RandomState(17)
+    runs = []
+    frames = []
+    for r in range(3):
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 10_000, size=4000),
+                "run": r,
+                "payload": rng.randint(0, 1 << 30, size=4000),
+            }
+        )
+        frames.append(df)
+        rp = str(tmp_path / f"run{r}")
+        write_sorted(
+            ray.data.from_pandas(df), rp, "k",
+            target_rows_per_file=1500, row_group_rows=256,
+        )
+        runs.append(rp)
+
+    out = str(tmp_path / "compacted")
+    rep = compact_sorted_runs(runs, out, "k", target_rows_per_file=2500, row_group_rows=256)
+    assert rep["rows"] == 12_000 == rep["input_rows"]
+    assert rep["buckets"] >= 4 and rep["skipped_buckets"] == 0
+
+    # exact multiset parity with the union of the runs
+    got = (
+        pq_.read_table(out)
+        .to_pandas()
+        .sort_values(["k", "run", "payload"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.concat(frames)
+        .sort_values(["k", "run", "payload"])
+        .reset_index(drop=True)[["k", "run", "payload"]]
+    )
+    pd.testing.assert_frame_equal(got[["k", "run", "payload"]], want)
+
+    # files carry NON-OVERLAPPING key ranges, in file order
+    ranges = []
+    for f in _files(out):
+        md = pq_.ParquetFile(f).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}["k"]
+        mins = [md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo or a_hi <= b_lo  # strictly ordered buckets
+        assert a_hi <= b_lo
+
+    # pruning contract intact on the compacted layout
+    ds_r, stats = pruned_read(out, "k", 100, 400)
+    got_r = ds_r.to_pandas()
+    assert sorted(got_r["k"].unique()) == sorted(
+        want[(want["k"] >= 100) & (want["k"] <= 400)]["k"].unique()
+    )
+    assert stats["files_read"] < stats["files_total"]
+
+    # resume: drop one output file, re-run — only that bucket rebuilds
+    victim = _files(out)[1]
+    mtimes = {f: os.path.getmtime(f) for f in _files(out) if f != victim}
+    os.remove(victim)
+    rep2 = compact_sorted_runs(runs, out, "k", target_rows_per_file=2500, row_group_rows=256)
+    assert rep2["skipped_buckets"] == rep2["buckets"] - 1
+    assert os.path.exists(victim)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m  # untouched
