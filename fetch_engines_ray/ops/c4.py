@@ -137,6 +137,39 @@ def c4_clean(
     return ds.map_batches(clean, batch_format="pyarrow", batch_size=4096)
 
 
+def dedup_lines_within_doc(
+    batch: pa.Table, text_col: str = "text", sep: str = "\n"
+) -> pa.Table:
+    """WITHIN-document repeated-line removal (each line keeps its first
+    occurrence inside its own document; order preserved) — the
+    per-record cleanup that pairs with the cross-corpus
+    ``ops.dedup.line_dedup``: run this first to strip per-page repeated
+    boilerplate (nav fragments repeated per section), then the
+    corpus-wide pass for cross-page boilerplate.  ``sep="\\n\\n"``
+    dedups paragraphs instead.  Vectorized: one explode + one
+    first-occurrence mask (pandas duplicated on (doc, line), C level)
+    + one groupby-join reassembly — no shuffle, per-record parallel.
+
+    Appends ``text_line_deduped`` and ``n_dropped_lines``; empty lines
+    are NOT deduped (blank separators stay)."""
+    s = batch[text_col].to_pandas().fillna("")
+    s.index = pd.RangeIndex(len(s))
+    ex = s.str.split(sep, regex=False).explode()
+    doc = ex.index.to_numpy()
+    dup = pd.DataFrame({"doc": doc, "line": ex.to_numpy()}).duplicated(
+        ["doc", "line"]
+    ).to_numpy() & (ex.to_numpy() != "")
+    kept = ex[~dup]
+    text = kept.groupby(level=0).agg(sep.join).reindex(s.index, fill_value="")
+    n_drop = (
+        pd.Series(dup).groupby(doc).sum().reindex(s.index, fill_value=0).astype("int64")
+    )
+    batch = batch.append_column(
+        "text_line_deduped", pa.array(text, type=pa.string())
+    )
+    return batch.append_column("n_dropped_lines", pa.array(n_drop, type=pa.int64()))
+
+
 def c4_oracle_sql(
     source_sql: str,
     min_words: int = 3,

@@ -790,6 +790,48 @@ def mixture_weights_temperature(group_counts: dict, alpha: float) -> dict:
     return {g: v / total for g, v in powered.items()}
 
 
+def mix_corpora(
+    sources: "dict[str, ray.data.Dataset]",
+    total: int,
+    weights: dict | None = None,
+    alpha: float | None = None,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """The data-recipe entry point: take NAMED corpora (one Dataset per
+    source — web, books, code, ...), tag each with a ``source`` column,
+    union lazily, and draw the deterministic mixture — either at
+    explicit ``weights`` or self-weighted at temperature ``alpha``
+    (``p_g ∝ n_g^alpha``, the XLM-R/mT5 recipe).  Exactly one of
+    ``weights`` / ``alpha`` must be given.
+
+    Ids must be unique ACROSS sources (the md5-rank selection and
+    every downstream dedup key on them); offset per-source ids
+    upstream if needed.  The union is lazy — nothing reads until the
+    mixture executes — and tagging is one constant-column append per
+    batch."""
+    if (weights is None) == (alpha is None):
+        raise ValueError("pass exactly one of weights / alpha")
+
+    def tag(name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "source", pa.array([name] * batch.num_rows, type=pa.string())
+            )
+
+        return f
+
+    tagged = [
+        ds.map_batches(tag(name), batch_format="pyarrow", batch_size=8192)
+        for name, ds in sources.items()
+    ]
+    union = tagged[0]
+    if len(tagged) > 1:
+        union = union.union(*tagged[1:])
+    if weights is not None:
+        return sample_mixture(union, weights, total, id_col=id_col)
+    return sample_mixture_temperature(union, alpha, total, id_col=id_col)
+
+
 def sample_mixture_temperature(
     ds: "ray.data.Dataset",
     alpha: float,

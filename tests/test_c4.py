@@ -152,3 +152,41 @@ def test_blocklist_is_paper_set():
     # and apostrophe-free so the SQL stays valid
     for p in LINE_BLOCKLIST:
         assert p == p.lower() and "'" not in p
+
+
+def test_dedup_lines_within_doc():
+    """First occurrence kept per doc, blanks preserved, docs independent,
+    DuckDB agrees on the rebuilt text."""
+    import duckdb
+
+    from fetch_engines_ray.ops.c4 import dedup_lines_within_doc
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "nav bar\nbody one.\nnav bar\n\nbody two.\n\nnav bar",
+                "nav bar\nother body.",  # cross-doc repeats untouched
+                "",
+            ],
+        }
+    )
+    out = dedup_lines_within_doc(pa.Table.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text_line_deduped"] == "nav bar\nbody one.\n\nbody two.\n"
+    assert out.loc[1, "n_dropped_lines"] == 2
+    assert out.loc[2, "text_line_deduped"] == "nav bar\nother body."
+    assert out.loc[2, "n_dropped_lines"] == 0
+    assert out.loc[3, "text_line_deduped"] == ""
+
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,"
+        "  generate_subscripts(string_split(text, chr(10)), 1) AS ln FROM t),"
+        " first AS (SELECT doc_id, line, ln, row_number() OVER"
+        "   (PARTITION BY doc_id, line ORDER BY ln) AS occ FROM lines)"
+        " SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY ln)"
+        "   FILTER (WHERE occ = 1 OR line = ''), '') AS rebuilt"
+        " FROM first GROUP BY doc_id ORDER BY doc_id"
+    ).df()
+    assert out["text_line_deduped"].tolist() == want["rebuilt"].tolist()

@@ -813,6 +813,41 @@ def test_dup_ngram_stats_reference_and_oracle(ray_session):
     pd.testing.assert_frame_equal(eng, orc, check_dtype=False)
 
 
+def test_mix_corpora_recipe(ray_session):
+    """Named-source mixing: explicit weights hit their quotas, the
+    temperature form rebalances toward small sources, and the selection
+    is deterministic across calls."""
+    import ray.data
+
+    from fetch_engines_ray.ops.textstats import mix_corpora
+
+    def corpus(name, lo, n):
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(lo, lo + n), "text": [f"{name} doc"] * n})
+        )
+
+    sources = {
+        "web": corpus("web", 0, 800),
+        "books": corpus("books", 10_000, 100),
+        "code": corpus("code", 20_000, 100),
+    }
+    out = mix_corpora(sources, total=200, weights={"web": 0.5, "books": 0.25, "code": 0.25}).to_pandas()
+    comp = out["source"].value_counts().to_dict()
+    assert comp == {"web": 100, "books": 50, "code": 50}
+    again = mix_corpora(sources, total=200, weights={"web": 0.5, "books": 0.25, "code": 0.25}).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])  # deterministic
+
+    # temperature alpha=0 → uniform over sources despite 8:1:1 sizes
+    t = mix_corpora(sources, total=150, alpha=0.0).to_pandas()
+    compt = t["source"].value_counts().to_dict()
+    assert compt == {"web": 50, "books": 50, "code": 50}
+
+    with pytest.raises(ValueError):
+        mix_corpora(sources, total=10)
+    with pytest.raises(ValueError):
+        mix_corpora(sources, total=10, weights={"web": 1}, alpha=0.5)
+
+
 def test_encoding_quality_signals(ray_session):
     """Mojibake/encoding health: planted artifact sequences flag, clean
     accented text does not, DuckDB agrees on every count."""
