@@ -241,3 +241,47 @@ def test_compact_sorted_runs_merges_without_shuffle(ray_session, tmp_path):
     assert os.path.exists(victim)
     for f, m in mtimes.items():
         assert os.path.getmtime(f) == m  # untouched
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_compact_randomized_runs_property(ray_session, tmp_path, seed):
+    """Randomized run shapes (skewed keys, duplicate keys, uneven run
+    sizes, single-row runs): compaction preserves the exact multiset
+    and the non-overlap contract."""
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    from fetch_engines_ray.ops.layout import _files, compact_sorted_runs, write_sorted
+
+    rng = np.random.RandomState(seed)
+    runs, frames = [], []
+    for r in range(rng.randint(2, 5)):
+        n = int(rng.choice([1, 17, 400, 2000]))
+        # skew: half the keys from a hot band
+        keys = np.where(
+            rng.rand(n) < 0.5, rng.randint(0, 50, n), rng.randint(0, 100_000, n)
+        )
+        df = pd.DataFrame({"k": keys, "v": rng.randint(0, 1 << 30, n)})
+        frames.append(df)
+        rp = str(tmp_path / f"r{r}")
+        write_sorted(ray.data.from_pandas(df), rp, "k", target_rows_per_file=700, row_group_rows=128)
+        runs.append(rp)
+
+    out = str(tmp_path / "out")
+    rep = compact_sorted_runs(runs, out, "k", target_rows_per_file=900, row_group_rows=128)
+    want = pd.concat(frames).sort_values(["k", "v"]).reset_index(drop=True)
+    got = pq_.read_table(out).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+    assert rep["rows"] == len(want)
+
+    prev_hi = None
+    for f in _files(out):
+        md = pq_.ParquetFile(f).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}["k"]
+        lo = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+        if prev_hi is not None:
+            assert lo > prev_hi or lo >= prev_hi  # ordered
+            assert lo >= prev_hi
+        prev_hi = hi
