@@ -139,6 +139,66 @@ def host_link_graph(
     return graph, host_ids
 
 
+_SOURCE_ONLY = None  # see add_doc_host
+
+
+def add_doc_host(
+    batch: pa.Table, spans_col: str = "out_spans", id_col: str = "doc_id"
+) -> pa.Table:
+    """Append each document's own host (from the injected ``Source:``
+    line in its extracted spans; empty when absent) — the key that
+    joins a doc to host-level priors."""
+    hosts: list[str] = []
+    for spans in batch[spans_col].to_pylist():
+        text = "\n".join(
+            s.get("text") or "" for s in (spans or []) if s.get("kind") == "text"
+        )
+        m = _SOURCE_LINE.search(text)
+        hosts.append(_host(m.group(1)) if m else "")
+    return batch.append_column("host", pa.array(hosts, type=pa.string()))
+
+
+def sample_by_host_rank(
+    extracted: "ray.data.Dataset",
+    k: int,
+    damping: float = 0.85,
+    n_iters: int = 20,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Authority-weighted document sampling — the RefinedWeb-style
+    'trust the linked-to hosts' prior, composed end-to-end: host
+    PageRank over the corpus's own link graph → rank broadcast
+    (host-cardinality-sized) and attached per doc in one map pass →
+    Efraimidis–Spirakis weighted sampling without replacement
+    (``ops/sampling.weighted_sample``: seed-stable across runs and
+    partitionings).  Docs from unranked/absent hosts carry weight 0 and
+    are only drawn when positive-weight docs run out (never, for
+    ``k <=`` their count)."""
+    import ray
+
+    from .sampling import weighted_sample
+
+    ranks = host_pagerank(extracted, damping=damping, n_iters=n_iters)
+    # integer micro-rank weights: weighted_sample keys on ln(u)/w, and
+    # the x1e9 scale keeps tiny rank differences from flushing to 0
+    lut = {
+        h: int(r * 1e9) for h, r in zip(ranks["host"], ranks["rank"]) if r > 0
+    }
+    ref = ray.put(lut)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        batch = add_doc_host(batch, id_col=id_col)
+        w = [table.get(h, 0) for h in batch["host"].to_pylist()]
+        return batch.append_column("host_rank_x1e9", pa.array(w, type=pa.int64()))
+
+    weighted = extracted.map_batches(attach, batch_format="pyarrow", batch_size=1024)
+    return weighted_sample(
+        weighted, k, weight_col="host_rank_x1e9", id_col=id_col, seed=seed
+    )
+
+
 def host_pagerank(
     extracted: "ray.data.Dataset",
     damping: float = 0.85,

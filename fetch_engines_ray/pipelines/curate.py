@@ -82,6 +82,9 @@ def curate_corpus(
     text_col: str = "text",
     checkpoint_name: str | None = None,
     c4_clean: bool = False,
+    c4_min_words: int = 3,
+    c4_min_sentences: int = 5,
+    c4_badwords: tuple = (),
     gopher_repetition: bool = False,
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
@@ -147,7 +150,13 @@ def curate_corpus(
     if c4_clean:
         from ..ops.c4 import c4_clean as _c4_clean_fn
 
-        ds = _c4_clean_fn(ds, text_col=text_col)
+        ds = _c4_clean_fn(
+            ds,
+            text_col=text_col,
+            min_words=c4_min_words,
+            min_sentences=c4_min_sentences,
+            badwords=tuple(c4_badwords),
+        )
 
     # Empty-corpus short-circuit (fuzz-found): an empty Dataset is
     # SCHEMA-LESS in Ray, and the minhash bucket self-join (and every
@@ -343,6 +352,11 @@ def curate_corpus(
             "id_col": id_col,
             "text_col": text_col,
             "c4_clean": c4_clean,
+            "c4_rules": (
+                (c4_min_words, c4_min_sentences, tuple(c4_badwords))
+                if c4_clean
+                else None
+            ),
         }
         survived = try_named_checkpoint(
             "curate_survivors", checkpoint_name, _resume_fp

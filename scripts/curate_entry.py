@@ -105,6 +105,13 @@ def main() -> None:
         action="store_true",
         help="run C4 line-level cleaning (Raffel 2020) before dedup",
     )
+    ap.add_argument("--c4-min-sentences", type=int, default=5)
+    ap.add_argument("--c4-min-words", type=int, default=3)
+    ap.add_argument(
+        "--c4-badwords-file",
+        default=None,
+        help="one badword/phrase per line; pages containing any are dropped",
+    )
     ap.add_argument(
         "--gopher-repetition",
         action="store_true",
@@ -147,6 +154,9 @@ def main() -> None:
         max_tokens=args.max_tokens,
         near_dup_threshold=args.near_dup_threshold,
         c4_clean=args.c4_clean,
+        c4_min_words=args.c4_min_words,
+        c4_min_sentences=args.c4_min_sentences,
+        c4_badwords=tuple(_read_lines(args.c4_badwords_file)) if args.c4_badwords_file else (),
         gopher_repetition=args.gopher_repetition,
         benchmark_texts=bench,
         decontam_ngram=args.decontam_ngram,

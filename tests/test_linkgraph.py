@@ -87,3 +87,34 @@ def test_host_pagerank_on_real_extraction(ray_session):
     ranks = host_pagerank(ds)
     assert (ranks["rank"] >= 0).all()
     assert abs(ranks["rank"].sum() - 1.0) < 1e-6
+
+
+def test_sample_by_host_rank_prefers_authority(ray_session):
+    """Rank-weighted sampling: docs on the hub host dominate the draw;
+    docs with no Source line carry weight 0 and never appear while
+    positive-weight docs remain; the draw is seed-stable."""
+    import ray.data
+
+    from fetch_engines_ray.ops.linkgraph import sample_by_host_rank
+
+    rows = []
+    # 8 spoke hosts each link to the hub; the hub hosts 10 docs
+    for i in range(8):
+        rows.append(
+            _doc(f"s{i}", f"https://spoke{i}.example/p", ["https://hub.example/h"])
+        )
+    for j in range(10):
+        rows.append(
+            _doc(f"h{j}", f"https://hub.example/h{j}", ["https://spoke0.example/p"])
+        )
+    rows.append({"doc_id": "orphan", "out_spans": [{"kind": "text", "text": "no source"}]})
+
+    ds = ray.data.from_items(rows).repartition(3)
+    got = sample_by_host_rank(ds, k=6, seed=1).to_pandas()
+    assert len(got) == 6
+    ids = set(got["doc_id"])
+    assert "orphan" not in ids
+    hub_share = sum(1 for i in ids if i.startswith("h"))
+    assert hub_share >= 4  # authority host dominates the draw
+    again = sample_by_host_rank(ds.repartition(5), k=6, seed=1).to_pandas()
+    assert set(again["doc_id"]) == ids  # partitioning- and seed-stable
