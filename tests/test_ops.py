@@ -939,6 +939,36 @@ def test_top10_orders_by_price_vs_duckdb(ray_session):
     assert got["o_totalprice"].tolist() == want["o_totalprice"].tolist()
 
 
+def test_retired_rollup_kernels_vs_duckdb(ray_session):
+    """Kernel coverage for the two slots retired in favor of
+    doc_encoding_quality / customer_order_full_outer."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import (
+        large_parts_by_brand,
+        orders_per_month,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    got = orders_per_month(sf)
+    want = con.execute(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders"
+        f" FROM read_parquet('{sf}/orders.parquet') GROUP BY month ORDER BY month"
+    ).fetchdf()
+    assert got["month"].tolist() == want["month"].tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].astype("int64").tolist()
+
+    got2 = large_parts_by_brand(sf)
+    want2 = con.execute(
+        "SELECT p_brand, count(*) AS n_parts"
+        f" FROM read_parquet('{sf}/part.parquet') WHERE p_size >= 25"
+        " GROUP BY p_brand ORDER BY p_brand"
+    ).fetchdf()
+    assert got2["p_brand"].tolist() == want2["p_brand"].tolist()
+    assert got2["n_parts"].tolist() == want2["n_parts"].astype("int64").tolist()
+
+
 def test_high_value_open_orders_vs_duckdb(ray_session):
     """Kernel coverage for the retired query slot (its registry entry
     was swapped for c4_line_filters under the 50-query cap)."""
