@@ -82,6 +82,8 @@ def curate_corpus(
     text_col: str = "text",
     checkpoint_name: str | None = None,
     c4_clean: bool = False,
+    within_doc_line_dedup: bool = False,
+    corpus_line_dedup: bool = False,
     c4_min_words: int = 3,
     c4_min_sentences: int = 5,
     c4_badwords: tuple = (),
@@ -164,6 +166,43 @@ def curate_corpus(
     # field reference").  Aggressive gates (C4 can legally wipe a
     # boilerplate-only corpus) make empty a NORMAL case, not an error —
     # return the typed empty packed table the chain would produce.
+    # 0b. optional WITHIN-document repeated-line removal (per-page
+    #     boilerplate; ops/c4.dedup_lines_within_doc) and 0c. optional
+    #     CROSS-corpus line dedup (C4/RefinedWeb rule; ops/dedup.line_dedup
+    #     — two int64-keyed shuffles, text rebuilt from surviving lines).
+    #     Both run BEFORE exact dedup, as the published pipelines order
+    #     them, and both fold into the resume fingerprint below.
+    if within_doc_line_dedup:
+        from ..ops.c4 import dedup_lines_within_doc
+
+        def _within(batch: pa.Table) -> pa.Table:
+            out = dedup_lines_within_doc(batch, text_col=text_col)
+            idx = out.schema.get_field_index(text_col)
+            out = out.set_column(idx, text_col, out.column("text_line_deduped"))
+            return out.drop_columns(["text_line_deduped", "n_dropped_lines"])
+
+        ds = ds.map_batches(_within, batch_format="pyarrow", batch_size=4096)
+    if corpus_line_dedup:
+        from ..ops.dedup import line_dedup as _line_dedup_fn
+
+        view = ds.select_columns([id_col, text_col])
+        renames = {
+            old: new
+            for old, new in ((id_col, "doc_id"), (text_col, "text"))
+            if old != new
+        }
+        if renames:
+            view = view.rename_columns(renames)
+        deduped_lines = _line_dedup_fn(view).drop_columns(["n_lines"])
+        back = {
+            old: new
+            for old, new in (("doc_id", id_col), ("text", text_col))
+            if old != new
+        }
+        if back:
+            deduped_lines = deduped_lines.rename_columns(back)
+        ds = deduped_lines
+
     # one count pass serves the short-circuit, the join sizing AND the
     # resume fingerprint (it was already paid for sizing before)
     n_input = ds.count()
@@ -352,6 +391,8 @@ def curate_corpus(
             "id_col": id_col,
             "text_col": text_col,
             "c4_clean": c4_clean,
+            "within_doc_line_dedup": within_doc_line_dedup,
+            "corpus_line_dedup": corpus_line_dedup,
             "c4_rules": (
                 (c4_min_words, c4_min_sentences, tuple(c4_badwords))
                 if c4_clean

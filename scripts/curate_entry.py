@@ -105,6 +105,16 @@ def main() -> None:
         action="store_true",
         help="run C4 line-level cleaning (Raffel 2020) before dedup",
     )
+    ap.add_argument(
+        "--within-doc-line-dedup",
+        action="store_true",
+        help="drop repeated lines within each document before dedup",
+    )
+    ap.add_argument(
+        "--corpus-line-dedup",
+        action="store_true",
+        help="C4/RefinedWeb cross-corpus line dedup before exact dedup",
+    )
     ap.add_argument("--c4-min-sentences", type=int, default=5)
     ap.add_argument("--c4-min-words", type=int, default=3)
     ap.add_argument(
@@ -154,6 +164,8 @@ def main() -> None:
         max_tokens=args.max_tokens,
         near_dup_threshold=args.near_dup_threshold,
         c4_clean=args.c4_clean,
+        within_doc_line_dedup=args.within_doc_line_dedup,
+        corpus_line_dedup=args.corpus_line_dedup,
         c4_min_words=args.c4_min_words,
         c4_min_sentences=args.c4_min_sentences,
         c4_badwords=tuple(_read_lines(args.c4_badwords_file)) if args.c4_badwords_file else (),

@@ -190,3 +190,43 @@ def test_dedup_lines_within_doc():
         " FROM first GROUP BY doc_id ORDER BY doc_id"
     ).df()
     assert out["text_line_deduped"].tolist() == want["rebuilt"].tolist()
+
+
+def test_curate_line_dedup_stages(ray_session):
+    """The published line-cleanup ordering: within-doc repeats collapse
+    first, then cross-corpus repeated lines survive only at their first
+    (doc_id, line_no) occurrence — making boilerplate-only page
+    variants exact duplicates for the dedup stage after."""
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    body_a = "\n".join(
+        f"Unique article sentence number {i} sits at the heart of the page." for i in range(8)
+    )
+    body_b = "\n".join(
+        f"A different article sentence number {i} lives at the top of the list." for i in range(8)
+    )
+    boiler = "Subscribe to the newsletter of the site today."
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                f"{boiler}\n{body_a}\n{boiler}",  # within-doc repeat
+                f"{boiler}\n{body_b}",            # cross-doc repeat (loses to doc 1)
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    packed = curate_corpus(
+        ds,
+        within_doc_line_dedup=True,
+        corpus_line_dedup=True,
+        max_tokens=10_000,
+    ).to_pandas()
+    kept = sorted(i for ids in packed["doc_ids"] for i in ids)
+    assert kept == [1, 2]
+    # token count proves the cleanup: doc 1 keeps ONE boiler line (first
+    # occurrence corpus-wide), doc 2 keeps none
+    toks = {r["seq_id"]: r["total_tokens"] for _, r in packed.iterrows()}
+    n_body_a = len(body_a.split()) + len(boiler.split())  # doc 1
+    n_body_b = len(body_b.split())                        # doc 2
+    assert sum(toks.values()) == n_body_a + n_body_b

@@ -20,6 +20,7 @@ CORPUS = st.fixed_dictionaries(
         "with_dsir": st.booleans(),
         "with_c4": st.booleans(),
         "with_rep_gate": st.booleans(),
+        "with_line_dedup": st.booleans(),
     }
 )
 
@@ -72,6 +73,9 @@ def test_curate_never_crashes_and_holds_invariants(ray_session, cfg):
         kwargs["c4_clean"] = True
     if cfg["with_rep_gate"]:
         kwargs["gopher_repetition"] = True
+    if cfg["with_line_dedup"]:
+        kwargs["within_doc_line_dedup"] = True
+        kwargs["corpus_line_dedup"] = True
     packed = curate_corpus(ds, **kwargs).to_pandas()
     if packed.empty:
         return  # everything filtered: a legal outcome, not a crash
