@@ -30,18 +30,37 @@ def _id_hash_side(
     from .dedup import _mix_mod
 
     def collapse(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # 64-bit content hash (md5 high half): a collision can only hide
-        # a CHANGED verdict for one id, w.p. 2^-64 per changed doc
+        id_arr = batch[id_col]
+        # string ids route through a 64-bit hash for PARTITIONING only —
+        # the key column keeps the original values, so verdicts carry
+        # real ids and hash collisions merely co-locate two ids
+        if pa.types.is_integer(id_arr.type):
+            ids = id_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            part = _mix_mod(ids, n_parts)
+            key = pa.array(ids, type=pa.int64())
+        else:
+            raw = np.asarray(id_arr.to_pylist(), dtype=object)
+            part = pd.util.hash_array(
+                np.asarray([x.encode() for x in raw], dtype=object)
+            ).view(np.int64) % n_parts
+            key = pa.array(raw, type=pa.string())
+        # 64-bit content hash: a collision can only hide a CHANGED
+        # verdict for one id, w.p. 2^-64 per changed doc.  Hash the
+        # UTF-8 BYTES, not the str objects — pandas' object-string
+        # hashing truncates at the first NUL (C-string semantics), so
+        # str hashing would mask any change after an embedded \x00
         h = pd.util.hash_array(
-            np.asarray([t or "" for t in batch[text_col].to_pylist()], dtype=object)
+            np.asarray(
+                [(t or "").encode() for t in batch[text_col].to_pylist()],
+                dtype=object,
+            )
         ).view(np.int64)
         return pa.table(
             {
-                "part": pa.array(_mix_mod(ids, n_parts), type=pa.int64()),
-                "key": pa.array(ids, type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+                "key": key,
                 "h": pa.array(h, type=pa.int64()),
-                "role": pa.array(np.full(len(ids), role, dtype=np.int8)),
+                "role": pa.array(np.full(len(key), role, dtype=np.int8)),
             }
         )
 
@@ -88,7 +107,11 @@ def corpus_diff(
         keep = np.ones(len(m), dtype=bool) if include_unchanged else status != "unchanged"
         return pa.table(
             {
-                id_col: pa.array(m["key"].to_numpy()[keep].astype(np.int64)),
+                id_col: pa.array(
+                    m["key"].to_numpy()[keep].astype(np.int64)
+                    if np.issubdtype(group["key"].dtype, np.integer)
+                    else m["key"].to_numpy()[keep].astype(object),
+                ),
                 "status": pa.array(status[keep].tolist(), type=pa.string()),
             }
         )

@@ -139,7 +139,6 @@ def host_link_graph(
     return graph, host_ids
 
 
-_SOURCE_ONLY = None  # see add_doc_host
 
 
 def add_doc_host(

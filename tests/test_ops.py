@@ -989,6 +989,24 @@ def test_high_value_open_orders_vs_duckdb(ray_session):
     assert len(got) > 0
 
 
+def test_corpus_diff_detects_change_after_nul_byte(ray_session):
+    """Regression: pandas' object-string hashing truncates at NUL
+    (C-string semantics), which masked any change AFTER an embedded
+    \x00; the diff now hashes UTF-8 bytes.  Also covers string ids."""
+    import ray.data
+
+    from fetch_engines_ray.ops.diff import corpus_diff
+
+    a = pd.DataFrame(
+        {"doc_id": ["x", "y"], "text": ["prefix\x00old tail", "clean"]}
+    )
+    b = pd.DataFrame(
+        {"doc_id": ["x", "y"], "text": ["prefix\x00NEW TAIL", "clean"]}
+    )
+    d = corpus_diff(ray.data.from_pandas(a), ray.data.from_pandas(b)).to_pandas()
+    assert list(zip(d["doc_id"], d["status"])) == [("x", "changed")]
+
+
 def test_full_outer_join_vs_duckdb(ray_session):
     """Ray-native full_outer join against DuckDB: both sides keep their
     orphans (order-less high-balance customers, high-value orders whose
