@@ -36,6 +36,11 @@ def benchmark_ngram_hashes(benchmark_texts: list[str], n: int = 13) -> np.ndarra
         grams.update(_ngram_strings(t, n))
     if not grams:
         return np.array([], dtype=np.uint64)
+    # NOTE: pandas object-string hashing truncates at NUL bytes; both
+    # the benchmark side (here) and the corpus pass hash through the
+    # SAME function, so the comparison stays symmetric — a NUL-bearing
+    # gram can only create a FALSE POSITIVE (drops a clean doc), never
+    # leak contamination.
     h = pd.util.hash_array(np.asarray(sorted(grams), dtype=object))
     return np.sort(h)
 

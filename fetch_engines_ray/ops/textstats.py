@@ -426,8 +426,12 @@ def add_dup_ngram_stats(
         pos += len(w)
     doc = np.arange(len(s), dtype=np.int64).repeat(lens)
     if total:
-        wlen = pd.Series(flat).str.len().to_numpy(np.int64)
-        h = pd.util.hash_array(flat)
+        fs = pd.Series(flat)
+        wlen = fs.str.len().to_numpy(np.int64)
+        # hash UTF-8 BYTES: pandas' object-STRING hashing truncates at
+        # the first NUL (C-string semantics), which would merge distinct
+        # grams on NUL-bearing text and break the string-keyed oracle
+        h = pd.util.hash_array(fs.str.encode("utf-8").to_numpy())
     else:
         wlen = np.empty(0, np.int64)
         h = np.empty(0, np.uint64)
