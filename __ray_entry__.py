@@ -1103,7 +1103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rel.orders_by_status kernel stays pytest-covered and groupby
         # coverage remains via lineitem_pricing_summary et al.)
         "token_budget_selection": _q_token_budget_selection,
-        "events_value_by_type": rel.events_value_by_type,
+        # (the trivial events_value_by_type groupby-sum slot was retired
+        # for the oracled lineitem_pricing_rollup under the 50-query
+        # cap; the rel.events_value_by_type kernel stays pytest-covered
+        # and plain groupby-sum coverage remains via
+        # customer_revenue_by_segment / lineitem_pricing_summary)
+        "lineitem_pricing_rollup": _q_lineitem_rollup,
         "customer_revenue_by_segment": rel.customer_revenue_by_segment,
         # (the customers_per_nation join-count slot was retired for the
         # oracled top_tokens_exact under the 50-query cap; the same
@@ -1272,6 +1277,23 @@ def _q_customer_order_full_outer(sf_dir: str) -> Any:
     from fetch_engines_ray.ops.relational import customer_order_full_outer
 
     return customer_order_full_outer(sf_dir)
+
+
+def _q_lineitem_rollup(sf_dir: str) -> Any:
+    """Multi-level GROUPING SETS aggregation in ONE shuffle
+    (ops/rollup.py): the TPC-H-Q1 pricing summary at leaf, per-flag,
+    and grand-total levels, vs DuckDB's native GROUP BY ROLLUP."""
+    from fetch_engines_ray.ops.rollup import lineitem_pricing_rollup
+
+    return lineitem_pricing_rollup(sf_dir)
+
+
+def _rollup_oracle() -> str:
+    """Composed from the engine's own SQL builder (ops/rollup.py) so
+    the integer-space money arithmetic can never drift."""
+    from fetch_engines_ray.ops.rollup import lineitem_pricing_rollup_sql
+
+    return lineitem_pricing_rollup_sql()
 
 
 def _dup_ngram_oracle() -> str:
@@ -1680,10 +1702,7 @@ def oracle_sql() -> dict[str, str]:
             " SUM(tokens) OVER (ORDER BY score DESC, doc_id ASC) AS run FROM t)"
             " SELECT doc_id, score, tokens FROM r WHERE run <= 15000 ORDER BY doc_id"
         ),
-        "events_value_by_type": (
-            "SELECT event_type, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
-            " FROM events GROUP BY event_type ORDER BY event_type"
-        ),
+        "lineitem_pricing_rollup": _rollup_oracle(),
         "customer_revenue_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_orders, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 3) AS revenue"
             " FROM orders JOIN customer ON o_custkey = c_custkey"

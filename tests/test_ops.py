@@ -939,6 +939,26 @@ def test_top10_orders_by_price_vs_duckdb(ray_session):
     assert got["o_totalprice"].tolist() == want["o_totalprice"].tolist()
 
 
+def test_events_value_by_type_vs_duckdb(ray_session):
+    """Kernel coverage for the retired query slot (its registry entry
+    was swapped for lineitem_pricing_rollup under the 50-query cap)."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import events_value_by_type
+
+    sf = "/root/testdata/sf0.001"
+    got = events_value_by_type(sf)
+    want = duckdb.sql(
+        "SELECT event_type, count(*) AS n_events,"
+        " round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 3) AS total_value"
+        f" FROM read_parquet('{sf}/events.parquet')"
+        " GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["total_value"].tolist() == want["total_value"].tolist()
+
+
 def test_retired_rollup_kernels_vs_duckdb(ray_session):
     """Kernel coverage for the two slots retired in favor of
     doc_encoding_quality / customer_order_full_outer."""
