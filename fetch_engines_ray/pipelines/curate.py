@@ -507,6 +507,21 @@ def curate_corpus(
         quality_and_redact, batch_format="pyarrow", batch_size=4096
     )
 
+    # 4c. the repetition kernel inside quality_and_redact is the one
+    #     EXPENSIVE per-batch gate (9 per-batch n-gram groupbys); DSIR
+    #     runs two eager passes over ``clean`` (raw bucket counts, then
+    #     the Gumbel select over the weighted stream) and a JSONL export
+    #     adds another, each re-executing the kernel.  When both
+    #     conditions hold, spill the gated table once (same posture as
+    #     the survivor spill in 3b) so every pass streams a plain
+    #     columnar read instead of re-running the kernel.
+    _dsir_on = bool(dsir_target_texts and (dsir_n or dsir_min_logw is not None))
+    if gopher_repetition and (_dsir_on or jsonl_export_path):
+        from ..ops.dedup import _checkpoint_parquet
+
+        clean, _clean_gate_ckpt = _checkpoint_parquet(clean, "curate_clean_gated")
+        _mark("clean_gate_checkpoint")
+
     # 5b. optional DSIR selection toward a target sample (Xie et al.
     #     2023): importance weights stream; selection is either Gumbel
     #     top-k (the selected id set is dsir_n-sized — driver-resident
