@@ -88,6 +88,10 @@ def curate_corpus(
     c4_min_sentences: int = 5,
     c4_badwords: tuple = (),
     gopher_repetition: bool = False,
+    clf_pos_texts: list[str] | None = None,
+    clf_neg_texts: list[str] | None = None,
+    clf_threshold: float = 0.5,
+    clf_iters: int = 200,
     tokenizer: str = "whitespace",
     bpe_merges: int = 200,
     unigram_vocab_size: int = 512,
@@ -122,6 +126,13 @@ def curate_corpus(
     an identical input/option fingerprint skips straight to it; a
     fingerprint mismatch raises rather than silently resuming foreign
     data.
+
+    ``clf_pos_texts`` + ``clf_neg_texts`` enable the LEARNED quality
+    gate (FineWeb-Edu recipe shape): a logistic-regression classifier
+    trains on the seed lists' text features, weights broadcast once,
+    and docs scoring below ``clf_threshold`` are dropped before
+    redaction — the model-based cut that composes with (not replaces)
+    the rule-based Gopher gate.
 
     ``ppl_lm`` picks the perplexity-gate model: ``"unigram"`` (CCNet
     add-alpha, the default) or ``"backoff"`` (Stupid-Backoff trigram,
@@ -502,6 +513,61 @@ def curate_corpus(
             return batch.filter(keep).drop_columns(score_cols)
 
         survived = scored.map_batches(ppl_gate, batch_format="pyarrow", batch_size=4096)
+
+    # 4b2. optional LEARNED quality gate (the FineWeb-Edu recipe shape,
+    #      Penedo et al. 2024: seed examples -> small classifier ->
+    #      corpus-wide scored cut).  The logreg trains on the tiny seed
+    #      lists (driver-provided, like dsir_target_texts), weights
+    #      broadcast once via ray.put, and the gate is one vectorized
+    #      map stage: features -> sigmoid -> filter.  Runs BEFORE
+    #      redaction so the model sees natural text, same as the
+    #      perplexity gate.
+    if clf_pos_texts and clf_neg_texts:
+        import numpy as _np
+
+        from ..ops.classifier import _sigmoid, logreg_fit_reference
+        from ..ops.textstats import text_features_pipeline
+
+        _CLF_FEATS = ["punct_ratio", "stopword_ratio", "quality"]
+        seeds = ray.data.from_items(
+            [{text_col: t, "label": 1} for t in clf_pos_texts]
+            + [{text_col: t, "label": 0} for t in clf_neg_texts]
+        )
+        # seed lists are driver-provided and tiny — featurize
+        # distributed, finish the fit driver-side on standardized
+        # features (z-scores from the seed stats; raw ratio/score
+        # scales differ by 50x and stall full-batch GD)
+        seed_df = text_features_pipeline(seeds, text_col=text_col).to_pandas()
+        _clf_x = seed_df[_CLF_FEATS].to_numpy(dtype=_np.float64)
+        _clf_mu = _clf_x.mean(axis=0)
+        _clf_sd = _clf_x.std(axis=0)
+        _clf_sd[_clf_sd == 0.0] = 1.0
+        _clf_w = logreg_fit_reference(
+            (_clf_x - _clf_mu) / _clf_sd,
+            seed_df["label"].to_numpy(dtype=_np.float64),
+            n_iters=clf_iters,
+            lr=1.0,
+        )
+        _clf_ref = ray.put((_clf_w, _clf_mu, _clf_sd))
+        _mark("clf_fit")
+
+        def clf_gate(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from ..ops.textstats import add_quality_features
+
+            wv, mu, sd = ray.get(_clf_ref)
+            feats = add_quality_features(batch, text_col)
+            x = np.column_stack(
+                [feats[c].to_numpy(zero_copy_only=False) for c in _CLF_FEATS]
+            )
+            xs = np.column_stack([(x - mu) / sd, np.ones(len(x))])
+            p = _sigmoid(xs @ wv)
+            return batch.filter(pa.array(p >= clf_threshold))
+
+        survived = survived.map_batches(
+            clf_gate, batch_format="pyarrow", batch_size=4096
+        )
 
     clean = survived.map_batches(
         quality_and_redact, batch_format="pyarrow", batch_size=4096

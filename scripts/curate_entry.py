@@ -70,6 +70,19 @@ def main() -> None:
         help="drop the worst-perplexity tail at this quantile (CCNet-style gate)",
     )
     ap.add_argument(
+        "--clf-pos-file",
+        default=None,
+        help="UTF-8 text file of GOOD seed docs (one per line); with "
+        "--clf-neg-file enables the learned quality gate "
+        "(FineWeb-Edu-style seed classifier cut)",
+    )
+    ap.add_argument(
+        "--clf-neg-file",
+        default=None,
+        help="UTF-8 text file of BAD seed docs (one per line)",
+    )
+    ap.add_argument("--clf-threshold", type=float, default=0.5)
+    ap.add_argument(
         "--tokenizer", choices=["whitespace", "bpe", "unigram"], default="whitespace"
     )
     ap.add_argument("--bpe-merges", type=int, default=200)
@@ -137,6 +150,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.fuzzy_threshold is not None and not args.benchmark_file:
         ap.error("--fuzzy-threshold requires --benchmark-file")
+    if bool(args.clf_pos_file) != bool(args.clf_neg_file):
+        ap.error("--clf-pos-file and --clf-neg-file must be given together")
     if args.bin_export and args.tokenizer != "bpe":
         ap.error("--bin-export requires --tokenizer bpe")
 
@@ -178,6 +193,9 @@ def main() -> None:
         dsir_target_texts=dsir_target,
         dsir_n=args.dsir_n,
         ppl_tail_quantile=args.ppl_tail_quantile,
+        clf_pos_texts=_read_lines(args.clf_pos_file) if args.clf_pos_file else None,
+        clf_neg_texts=_read_lines(args.clf_neg_file) if args.clf_neg_file else None,
+        clf_threshold=args.clf_threshold,
         tokenizer=args.tokenizer,
         bpe_merges=args.bpe_merges,
         unigram_vocab_size=args.unigram_vocab_size,

@@ -326,6 +326,62 @@ def test_curate_corpus_end_to_end(ray_session):
     assert (ok["total_tokens"] <= 256).all()
 
 
+def test_curate_learned_quality_gate(ray_session):
+    """clf_pos_texts/clf_neg_texts train a seed classifier
+    (FineWeb-Edu recipe shape) whose cut composes with the rule-based
+    gate: stopword-free keyword spam that PASSES every Gopher rule is
+    dropped by the learned gate, natural prose survives, and without
+    the seeds the spam sails through (proving the cut is the
+    classifier's)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(17)
+    stop = "the be to of and that have with is for in".split()
+    prose_words = stop + [f"word{i:03d}xx" for i in range(40)]
+    # keyword spam: content words only, plus exactly two stopword hits
+    # so the Gopher >=2-stopword rule passes — the learned gate is the
+    # ONLY thing that can tell it from prose
+    # 7-char words keep the mean word length inside the Gopher window
+    spam_pools = [[f"sp{j}{i:03d}z" for i in range(40)] for j in range(8)]
+
+    rows = []
+    good_ids, bad_ids = [], []
+    for i in range(8):
+        rows.append(
+            {"doc_id": i, "text": " ".join(rng.choice(prose_words, size=75))}
+        )
+        good_ids.append(i)
+    for j in range(6):
+        body = " ".join(rng.choice(spam_pools[j], size=70))
+        rows.append({"doc_id": 200 + j, "text": body + " the of"})
+        bad_ids.append(200 + j)
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+
+    pos_seeds = [" ".join(rng.choice(prose_words, size=80)) for _ in range(4)]
+    neg_seeds = [
+        " ".join(rng.choice(spam_pools[6 + (k % 2)], size=75)) + " the of"
+        for k in range(4)
+    ]
+
+    kwargs = dict(max_tokens=100_000, near_dup_threshold=0.95)
+    gated = curate_corpus(
+        ds, clf_pos_texts=pos_seeds, clf_neg_texts=neg_seeds, **kwargs
+    ).to_pandas()
+    gated_docs = sorted(d for ids in gated["doc_ids"] for d in ids)
+    assert set(good_ids) <= set(gated_docs)
+    assert not set(bad_ids) & set(gated_docs)
+
+    ungated = curate_corpus(ds, **kwargs).to_pandas()
+    ungated_docs = sorted(d for ids in ungated["doc_ids"] for d in ids)
+    # spam passes every RULE-based gate — only the classifier cuts it
+    assert set(bad_ids) <= set(ungated_docs)
+
+
 def test_curate_corpus_sharded_export(ray_session, tmp_path):
     """The optional export tail writes hive-partitioned shard dirs whose
     union is exactly the packed output (list columns survive the sort
