@@ -60,6 +60,57 @@ def lag_lead(
     )
 
 
+def rank_window(
+    ds: "ray.data.Dataset",
+    partition_by: str,
+    order_by: str,
+    value_col: Optional[str] = None,
+    ntile: Optional[int] = None,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """SQL ranking-window family per partition: ``rank``,
+    ``dense_rank``, ``percent_rank``, ``cume_dist`` (all
+    ``OVER (PARTITION BY partition_by ORDER BY order_by)`` with SQL tie
+    semantics — equal order keys share a rank) and, with ``ntile=k``,
+    the row-number-based ``ntile_k`` bucket (ties broken by
+    ``value_col`` for a deterministic, hash-comparable assignment —
+    pass a unique tiebreaker column exactly as you would add one to a
+    SQL ``ORDER BY`` for a stable NTILE).  Same bounded hash-partition
+    + one-vectorized-pandas-pass shape as :func:`lag_lead`."""
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"ntile must be >= 1, got {ntile}")
+
+    def window_part(group: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [partition_by, order_by] + ([value_col] if value_col else [])
+        g = group.sort_values(sort_cols, kind="mergesort")
+        grp = g.groupby(partition_by, sort=False)
+        n = grp[order_by].transform("size").to_numpy().astype(np.int64)
+        r_min = grp[order_by].rank(method="min").to_numpy().astype(np.int64)
+        g["rank"] = r_min
+        g["dense_rank"] = grp[order_by].rank(method="dense").to_numpy().astype(np.int64)
+        g["percent_rank"] = np.where(n > 1, (r_min - 1) / np.maximum(n - 1, 1), 0.0)
+        g["cume_dist"] = grp[order_by].rank(method="max").to_numpy() / n
+        if ntile is not None:
+            # SQL NTILE: the first n%k buckets get one extra row,
+            # assigned by row number in the deterministic sort order
+            rn = grp.cumcount().to_numpy()
+            q, rem = n // ntile, n % ntile
+            big = rem * (q + 1)
+            tile = np.where(
+                rn < big,
+                rn // np.maximum(q + 1, 1),
+                rem + (rn - big) // np.maximum(q, 1),
+            )
+            g[f"ntile_{ntile}"] = (tile + 1).astype(np.int64)
+        return g.drop(columns=["__part"])
+
+    return (
+        _with_part(ds, partition_by, n_parts)
+        .groupby("__part")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
 def rolling_agg(
     ds: "ray.data.Dataset",
     partition_by: str,

@@ -90,3 +90,56 @@ def test_unsupported_agg_raises(events_ds):
 
     with pytest.raises(ValueError, match="unsupported agg"):
         rolling_agg(events_ds, "user_id", "ts", "value", agg="median")
+
+
+def test_rank_window_matches_duckdb(events_ds):
+    """rank/dense_rank/percent_rank/cume_dist with SQL tie semantics
+    (ties = equal ts within a user) and row-number-based NTILE with the
+    value tiebreaker, all vs DuckDB's native window functions."""
+    from fetch_engines_ray.ops.window import rank_window
+
+    got = (
+        rank_window(events_ds, "user_id", "ts", value_col="value", ntile=4)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "value"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = _oracle(
+        "SELECT user_id, ts, value,"
+        " rank() OVER w AS rank,"
+        " dense_rank() OVER w AS dense_rank,"
+        " percent_rank() OVER w AS percent_rank,"
+        " cume_dist() OVER w AS cume_dist,"
+        " ntile(4) OVER (PARTITION BY user_id ORDER BY ts, value) AS ntile_4"
+        " FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        " ORDER BY user_id, ts, value"
+    )
+    assert len(got) == len(want)
+    for c in ("rank", "dense_rank", "ntile_4"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    for c in ("percent_rank", "cume_dist"):
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-12, err_msg=c)
+
+
+def test_rank_window_small_partitions_and_validation(ray_session):
+    """n < k gives each row its own tile (SQL rule); single-row
+    partitions pin percent_rank=0 / cume_dist=1; bad ntile rejected."""
+    import ray.data
+
+    from fetch_engines_ray.ops.window import rank_window
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b"], "t": [1, 2, 5], "v": [10.0, 20.0, 30.0]}
+    )
+    out = (
+        rank_window(ray.data.from_pandas(df), "k", "t", value_col="v", ntile=5)
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert out["ntile_5"].tolist() == [1, 2, 1]
+    assert out[out["k"] == "b"]["percent_rank"].tolist() == [0.0]
+    assert out[out["k"] == "b"]["cume_dist"].tolist() == [1.0]
+    with pytest.raises(ValueError, match="ntile"):
+        rank_window(ray.data.from_pandas(df), "k", "t", ntile=0)
