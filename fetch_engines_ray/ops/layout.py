@@ -135,6 +135,143 @@ def pruned_read(
     return out, stats
 
 
+def _rg_entries(paths: list[str], key: str) -> list[tuple]:
+    """(min, max, n_rows) per row group across every layout in
+    ``paths`` — footer metadata only, nothing row-scaled."""
+    entries = []
+    for rp in paths:
+        for f in _files(rp):
+            md = pq.ParquetFile(f).metadata
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ki = col_idx[key]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ki).statistics
+                if st is None or st.min is None:
+                    raise ValueError(
+                        f"{f} row group {rg} lacks {key} statistics — "
+                        "zone-map ops need stats (write via write_sorted)"
+                    )
+                entries.append((st.min, st.max, md.row_group(rg).num_rows))
+    return entries
+
+
+def _cut_buckets(entries: list[tuple], target_rows: int) -> list[dict]:
+    """Row-balanced key-space buckets from sorted row-group entries;
+    (lo inclusive, hi exclusive), None = unbounded."""
+    entries = sorted(entries, key=lambda e: (e[0], e[1]))
+    cuts = []
+    acc = 0
+    for mn, _mx, rows in entries:
+        if acc >= target_rows:
+            cuts.append(mn)
+            acc = 0
+        acc += rows
+    bounds = [None] + cuts + [None]
+    return [
+        {"i": i, "lo": bounds[i], "hi": bounds[i + 1]}
+        for i in range(len(bounds) - 1)
+    ]
+
+
+def merge_join_sorted(
+    left_path: str,
+    right_path: str,
+    key: str,
+    how: str = "inner",
+    columns_left: Optional[list[str]] = None,
+    columns_right: Optional[list[str]] = None,
+    target_rows_per_bucket: int = 250_000,
+    suffixes: tuple = ("", "_right"),
+) -> tuple["ray.data.Dataset", dict]:
+    """JOIN WITHOUT A SHUFFLE over two key-sorted layouts.
+
+    Ray Data's native ``join`` is an all-to-all hash exchange — correct
+    for arbitrary inputs, but when BOTH sides are already
+    :func:`write_sorted` by the join key (the lakehouse норm for a
+    primary key), the exchange is pure waste: every key lives in a
+    known file/row-group range on both sides.  This operator is the
+    storage-level merge join: the driver cuts the key space into
+    row-balanced buckets from the two layouts' FOOTERS alone, and each
+    bucket is one Ray task that footer-plan-reads its slice from each
+    side (:func:`plan_key_range` — non-matching row groups never leave
+    storage) and joins locally with one C-level pandas merge.  Keys
+    cannot straddle buckets (disjoint [lo, hi) ranges with exact
+    residual filters), so the per-bucket joins concatenate to the
+    exact global join — zero exchange, zero driver data.
+
+    ``how``: inner / left / outer (pandas semantics on the bucket —
+    valid globally because bucket ranges partition BOTH key spaces).
+    Returns ``(dataset, stats)``; stats carry bucket count and total
+    footer row groups per side.
+    """
+    import ray
+    import ray.data
+
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"unsupported how: {how!r} (inner|left|outer)")
+    left_entries = _rg_entries([left_path], key)
+    right_entries = _rg_entries([right_path], key)
+    if not left_entries:
+        raise ValueError(f"no parquet row groups under {left_path}")
+    buckets = _cut_buckets(left_entries + right_entries, target_rows_per_bucket)
+    all_entries = left_entries + right_entries
+    gmin = min(e[0] for e in all_entries)
+    gmax = max(e[1] for e in all_entries)
+
+    if columns_left is not None and key not in columns_left:
+        columns_left = [key] + list(columns_left)
+    if columns_right is not None and key not in columns_right:
+        columns_right = [key] + list(columns_right)
+
+    def _read_side(path, cols, lo, hi):
+        import pyarrow.compute as pc
+
+        plan, _ = plan_key_range(
+            path, key, lo if lo is not None else gmin, hi if hi is not None else gmax
+        )
+        tables = []
+        for f, rgs in plan:
+            t = pq.ParquetFile(f).read_row_groups(list(rgs), columns=cols)
+            m = pa.array([True] * t.num_rows)
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(t[key], lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less(t[key], hi))
+            tables.append(t.filter(m))
+        if not tables:
+            # typed empty from the layout's own schema
+            first = _files(path)[0]
+            return pq.ParquetFile(first).schema_arrow.empty_table().select(
+                cols or pq.ParquetFile(first).schema_arrow.names
+            )
+        return pa.concat_tables(tables, promote_options="default")
+
+    def join_bucket(batch: pa.Table) -> "pa.Table":
+        import pandas as pd  # noqa: F401  (pandas merge is the kernel)
+
+        out = []
+        for spec in batch.to_pylist():
+            lo, hi = spec["lo"], spec["hi"]
+            lt = _read_side(left_path, columns_left, lo, hi).to_pandas()
+            rt = _read_side(right_path, columns_right, lo, hi).to_pandas()
+            out.append(lt.merge(rt, on=key, how=how, suffixes=suffixes))
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+    ds = ray.data.from_items(
+        [{"i": b["i"], "lo": b["lo"], "hi": b["hi"]} for b in buckets]
+    ).map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+    stats = {
+        "buckets": len(buckets),
+        "left_row_groups": len(left_entries),
+        "right_row_groups": len(right_entries),
+    }
+    return ds, stats
+
+
 def compact_sorted_runs(
     run_paths: list[str],
     out_path: str,
@@ -162,20 +299,7 @@ def compact_sorted_runs(
     import ray.data
 
     os.makedirs(out_path, exist_ok=True)
-    entries = []  # (rg_min, rg_max, n_rows) across every run
-    for rp in run_paths:
-        for f in _files(rp):
-            md = pq.ParquetFile(f).metadata
-            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            ki = col_idx[key]
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ki).statistics
-                if st is None or st.min is None:
-                    raise ValueError(
-                        f"{f} row group {rg} lacks {key} statistics — "
-                        "compaction needs zone maps (write via write_sorted)"
-                    )
-                entries.append((st.min, st.max, md.row_group(rg).num_rows))
+    entries = _rg_entries(list(run_paths), key)
     if not entries:
         return {"buckets": 0, "rows": 0, "files": 0}
     entries.sort(key=lambda e: (e[0], e[1]))
@@ -183,18 +307,7 @@ def compact_sorted_runs(
 
     # bucket boundaries at row-group minima, cut when the running row
     # count passes the target (approximate by one row group — fine)
-    cuts = []
-    acc = 0
-    for mn, _mx, rows in entries:
-        if acc >= target_rows_per_file:
-            cuts.append(mn)
-            acc = 0
-        acc += rows
-    bounds = [None] + cuts + [None]  # (lo, hi): lo inclusive, hi exclusive
-    buckets = [
-        {"i": i, "lo": bounds[i], "hi": bounds[i + 1]}
-        for i in range(len(bounds) - 1)
-    ]
+    buckets = _cut_buckets(entries, target_rows_per_file)
 
     runs = list(run_paths)
     gmin = entries[0][0]
