@@ -315,6 +315,48 @@ class PngDecoder:
         return pa.Table.from_pylist(rows, schema=PNG_DECODE_SCHEMA)
 
 
+JPEG_DECODE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("level", pa.int64()),
+        ("pixel_sum", pa.int64()),
+    ]
+)
+
+
+class JpegDecoder:
+    """Actor-pool stage for the oracled REAL-JPEG-decode query:
+    (doc_id, payload) batches in, decoded metadata out.  ``level`` is
+    the top-left decoded sample and ``pixel_sum`` the sum over every
+    decoded pixel — both recoverable only by actually Huffman-decoding
+    the entropy-coded scan and running the IDCT (ops/jpeg.py); the
+    planted solid tiles quantize LOSSILY at quality 50, so the values
+    differ from the encoder input by the closed quantization form the
+    SQL oracle mirrors."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg
+
+        rows = []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            dec = decode_jpeg(payload)
+            px = dec["pixels"].astype(np.int64)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": dec["width"],
+                    "height": dec["height"],
+                    "level": int(px.flat[0]),
+                    "pixel_sum": int(px.sum()),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=JPEG_DECODE_SCHEMA)
+
+
 GIF_DECODE_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),

@@ -959,6 +959,27 @@ def test_events_value_by_type_vs_duckdb(ray_session):
     assert got["total_value"].tolist() == want["total_value"].tolist()
 
 
+def test_customer_revenue_by_segment_vs_duckdb(ray_session):
+    """Kernel coverage for the retired query slot (its registry entry
+    was swapped for jpeg_decode under the 50-query cap)."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import customer_revenue_by_segment
+
+    sf = "/root/testdata/sf0.001"
+    got = customer_revenue_by_segment(sf)
+    want = duckdb.sql(
+        "SELECT c_mktsegment, count(*) AS n_orders,"
+        " round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 3) AS revenue"
+        f" FROM read_parquet('{sf}/orders.parquet') o"
+        f" JOIN read_parquet('{sf}/customer.parquet') c ON o_custkey = c_custkey"
+        " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ).df()
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got["revenue"].tolist() == want["revenue"].tolist()
+
+
 def test_retired_rollup_kernels_vs_duckdb(ray_session):
     """Kernel coverage for the two slots retired in favor of
     doc_encoding_quality / customer_order_full_outer."""
