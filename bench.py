@@ -334,7 +334,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "line_dedup",
         "knn_bruteforce",
         "lineitem_pricing_summary",
-        "customer_revenue_by_segment",
+        "lineitem_pricing_rollup",
         "revenue_by_orderpriority",
         "events_tumbling_window",
         "events_hopping_window",
