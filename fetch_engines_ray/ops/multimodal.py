@@ -106,9 +106,19 @@ class MediaDecoder:
         self.target_size = target_size
 
     def real_decode(self, media_ref: str, payload: bytes) -> dict:
-        """Decode genuine PNG bytes to typed metadata + pixel feature."""
+        """Decode genuine image bytes (PNG or baseline JPEG, dispatched
+        on the magic bytes like a real pipeline sniffs content types)
+        to typed metadata + pixel feature."""
         try:
-            dec = decode_png(payload)
+            if payload[:2] == b"\xff\xd8":  # JPEG SOI
+                from .jpeg import JpegFormatError, decode_jpeg
+
+                try:
+                    dec = decode_jpeg(payload)
+                except JpegFormatError:
+                    raise PngFormatError("bad JPEG payload")
+            else:
+                dec = decode_png(payload)
         except PngFormatError:
             return {
                 "media_ref": media_ref,

@@ -162,3 +162,34 @@ def test_jpeg_decoder_actor_stage(ray_session):
         assert out.loc[i, "width"] == w and out.loc[i, "height"] == h
         assert out.loc[i, "level"] == planted_decoded_gray(i)
         assert out.loc[i, "pixel_sum"] == w * h * planted_decoded_gray(i)
+
+
+def test_media_decoder_sniffs_jpeg(ray_session):
+    """The media stage dispatches image payloads on magic bytes: a
+    JPEG payload under kind='image' REAL-decodes alongside PNGs, and
+    garbage still dead-letters as decode_error."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.multimodal import MediaDecoder
+    from fetch_engines_ray.ops.png import planted_png
+
+    rows = pd.DataFrame(
+        {
+            "media_ref": ["media://a", "media://b", "media://c"],
+            "kind": ["image", "image", "image"],
+            "payload": [planted_jpeg(7), planted_png(7), b"not an image"],
+        }
+    )
+    out = (
+        ray.data.from_pandas(rows)
+        .map_batches(MediaDecoder, batch_format="pyarrow", batch_size=8, concurrency=1)
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    w, h = planted_dims(7)
+    assert out.loc["media://a", "decode_status"] == "real"
+    assert out.loc["media://a", "width"] == w and out.loc["media://a", "height"] == h
+    assert out.loc["media://b", "decode_status"] == "real"
+    assert out.loc["media://c", "decode_status"] == "decode_error"
