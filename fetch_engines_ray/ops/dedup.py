@@ -274,6 +274,38 @@ def _decode_sigs(col) -> np.ndarray:
     return np.stack([np.frombuffer(b, dtype="<i8") for b in col.to_pylist()])
 
 
+def lsh_curve(s: float, num_bands: int, rows_per_band: int) -> float:
+    """Candidate probability of a pair with Jaccard ``s`` under
+    (b, r)-banded LSH: ``1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets ch. 3 — public textbook formula)."""
+    return 1.0 - (1.0 - s**rows_per_band) ** num_bands
+
+
+def lsh_params(threshold: float, num_perm: int = 64) -> tuple:
+    """Pick ``(num_bands, rows_per_band)`` for a target Jaccard
+    ``threshold``: over every exact factorization ``b * r == num_perm``,
+    minimize the sum of false-positive area below the threshold and
+    false-negative area above it (the MMDS criterion, integrated
+    numerically).  Use it to size ``minhash_pairs(num_bands=...)``
+    instead of hand-tuning: lower thresholds want more bands (shorter
+    rows), higher thresholds fewer bands (longer rows)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    ss = np.linspace(0.0, 1.0, 201)
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        p = 1.0 - (1.0 - ss**r) ** b
+        fp = np.trapz(np.where(ss < threshold, p, 0.0), ss)
+        fn = np.trapz(np.where(ss >= threshold, 1.0 - p, 0.0), ss)
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
+
+
 def _fold_band_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
     """Fold ``(n_docs, num_perm)`` int64 signatures into ``(n_docs,
     num_bands)`` int64 band keys — the LSH bucket identity.  Equal band

@@ -2199,3 +2199,28 @@ def test_grouped_quantiles_constant_column(ray_session):
     )
     assert list(out["g"]) == ["x", "y"]
     assert (out[["q0.5", "q0.99"]] == 4.0).all().all()
+
+
+def test_lsh_params_picker():
+    """(b, r) picker follows the MMDS S-curve trade: low thresholds get
+    more bands, high thresholds longer rows; the curve at the chosen
+    params crosses ~0.5 near the threshold; exact factorizations only."""
+    from fetch_engines_ray.ops.dedup import lsh_curve, lsh_params
+
+    import pytest as _pytest
+
+    b_lo, r_lo = lsh_params(0.3, num_perm=64)
+    b_mid, r_mid = lsh_params(0.5, num_perm=64)
+    b_hi, r_hi = lsh_params(0.85, num_perm=64)
+    assert b_lo * r_lo == 64 and b_mid * r_mid == 64 and b_hi * r_hi == 64
+    assert b_lo >= b_mid >= b_hi
+    assert r_lo <= r_mid <= r_hi
+    for t, (b, r) in ((0.3, (b_lo, r_lo)), (0.5, (b_mid, r_mid)), (0.85, (b_hi, r_hi))):
+        # the 50% candidate point lands near the target threshold
+        ss = np.linspace(0.01, 0.99, 99)
+        cross = ss[np.argmin(np.abs([lsh_curve(s, b, r) - 0.5 for s in ss]))]
+        assert abs(cross - t) < 0.15, (t, b, r, cross)
+    assert lsh_curve(1.0, 16, 4) == _pytest.approx(1.0)
+    assert lsh_curve(0.0, 16, 4) == _pytest.approx(0.0)
+    with _pytest.raises(ValueError):
+        lsh_params(1.5)

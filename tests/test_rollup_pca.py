@@ -191,3 +191,107 @@ def test_pca_on_real_embeddings_table(ray_session):
     projected = pca_project(ds, model, keep_input=False)
     row = projected.take(1)[0]
     assert len(row["pca"]) == 4
+
+
+def test_grouping_sets_property_random(ray_session):
+    """Property: for randomized frames and random grouping sets, the
+    one-shuffle operator equals a per-set pandas reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data
+    from fetch_engines_ray.ops.rollup import _grouping_id, grouping_sets_aggregate
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(1, 400),
+        sets_mask=st.integers(1, 15),
+    )
+    def check(seed, n, sets_mask):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y", "z", "w"], n),
+                "b": rng.choice(["p", "q", "r"], n),
+                "v": rng.integers(-50, 50, n).astype("int64"),
+            }
+        )
+        all_sets = [("a", "b"), ("a",), ("b",), ()]
+        sets = [s for i, s in enumerate(all_sets) if (sets_mask >> i) & 1]
+        got = grouping_sets_aggregate(
+            ray.data.from_pandas(df).repartition(3),
+            keys=["a", "b"],
+            sum_cols=["v"],
+            sets=sets,
+            count_alias="n",
+        )
+        frames = []
+        for s in sets:
+            if s:
+                ref = df.groupby(list(s), as_index=False).agg(
+                    n=("v", "size"), v=("v", "sum")
+                )
+            else:
+                ref = pd.DataFrame({"n": [len(df)], "v": [df["v"].sum()]})
+            for k in ("a", "b"):
+                if k not in s:
+                    ref[k] = None
+            ref["grouping_id"] = _grouping_id(["a", "b"], s)
+            frames.append(ref[["a", "b", "grouping_id", "n", "v"]])
+        want = pd.concat(frames, ignore_index=True)
+        for fr in (got, want):
+            fr["a"] = fr["a"].where(fr["a"].notna(), "<null>")
+            fr["b"] = fr["b"].where(fr["b"].notna(), "<null>")
+            fr.sort_values(["grouping_id", "a", "b"], inplace=True)
+            fr.reset_index(drop=True, inplace=True)
+        assert got["n"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+        assert got["v"].astype("int64").tolist() == want["v"].astype("int64").tolist()
+        assert got["a"].tolist() == want["a"].tolist()
+        assert got["b"].tolist() == want["b"].tolist()
+
+    check()
+
+
+def test_pca_projection_preserves_knn_neighbors(ray_session):
+    """Composition with the similarity stack: brute-force kNN in the
+    4-dim PCA space of a 32-dim clustered cloud recovers the raw-space
+    neighbors (high recall) — the dimensionality-reduction-before-ANN
+    recipe."""
+    import ray.data
+
+    from fetch_engines_ray.ops.pca import fit_pca, pca_project
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(5, 32)) * 4.0
+    x = np.vstack(
+        [c + rng.normal(size=(60, 32)) * 0.4 for c in centers]
+    ).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(len(x)), "embedding": list(x)})
+    ds = ray.data.from_pandas(df).repartition(6)
+    model = fit_pca(ds, n_components=4)
+    proj = (
+        pca_project(ds, model)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    p = np.stack(proj["pca"].to_numpy())
+
+    def topk(mat, k=10):
+        d = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        return np.argsort(d, axis=1)[:, :k]
+
+    # what dimensionality reduction must preserve for the ANN/SemDeDup
+    # recipe is the CLUSTER structure, not the noise-dominated
+    # within-cluster ordering (the discarded 28 dims are isotropic
+    # noise by construction): every PCA-space neighbor must come from
+    # the same cluster as its query
+    labels = np.repeat(np.arange(5), 60)
+    pca_nn = topk(p)
+    same_cluster = np.mean(labels[pca_nn] == labels[:, None])
+    assert same_cluster > 0.99, same_cluster
+    # and the variance story holds: 4 components of a 5-cluster cloud
+    # capture most of the energy
+    assert model.explained_variance_ratio.sum() > 0.7
