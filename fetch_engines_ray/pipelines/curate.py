@@ -142,7 +142,10 @@ def curate_corpus(
     With ``FER_CURATE_TIMING=1`` the chain prints one JSON line of
     per-eager-stage wall-time deltas (near-dup decisions, semdedup
     flags, checkpoints, perplexity cut, DSIR select, BPE train,
-    exports) — the barriers an operator watches on a long run; the
+    exports) — the barriers an operator watches on a long run — PLUS a
+    ``curate_funnel`` of per-stage surviving-row counts (input, then
+    one entry per spilled checkpoint) read from parquet footers only,
+    so the "where did my documents go" question costs nothing; the
     returned Dataset's ``.stats()`` only covers the final lazy chain."""
     # Eager-stage wall clock, printed as one JSON line when
     # FER_CURATE_TIMING=1: the chain's EAGER boundaries (near-dup
@@ -226,12 +229,29 @@ def curate_corpus(
 
     _marks: list = []
     _t_prev = [_time.perf_counter()]
+    # funnel: per-stage surviving-row counts, read from checkpoint
+    # parquet FOOTERS (metadata-only — free, nothing re-executes).  The
+    # number every operator of a long curation run asks first: where
+    # did my documents go?
+    _funnel: dict = {"input": int(n_input)}
 
     def _mark(stage: str) -> None:
         if _timing_on:
             now = _time.perf_counter()
             _marks.append((stage, round(now - _t_prev[0], 3)))
             _t_prev[0] = now
+
+    def _count_ckpt(stage: str, path: str) -> None:
+        if not _timing_on:
+            return
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n = 0
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
+            n += _pq.ParquetFile(f).metadata.num_rows
+        _funnel[stage] = n
 
     def _compute_survivors() -> "ray.data.Dataset":
         """Steps 1-3a (exact dedup semi-join, near-dup drop, optional
@@ -443,6 +463,7 @@ def curate_corpus(
 
         survived, _surv_ckpt = _checkpoint_parquet(survived, "curate_survivors")
         _mark("survivor_checkpoint")
+        _count_ckpt("survivors", _surv_ckpt)
 
     # 4 + 5. quality gate then PII redaction, fused into one map stage
     def quality_and_redact(batch: pa.Table) -> pa.Table:
@@ -587,6 +608,7 @@ def curate_corpus(
 
         clean, _clean_gate_ckpt = _checkpoint_parquet(clean, "curate_clean_gated")
         _mark("clean_gate_checkpoint")
+        _count_ckpt("clean_gated", _clean_gate_ckpt)
 
     # 5b. optional DSIR selection toward a target sample (Xie et al.
     #     2023): importance weights stream; selection is either Gumbel
@@ -654,6 +676,7 @@ def curate_corpus(
 
         clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
         _mark("clean_checkpoint")
+        _count_ckpt("clean", _ckpt_path)
         merges = bpe_train(clean_ckpt, n_merges=bpe_merges, text_col=text_col)
         _mark("bpe_train")
         encoded = bpe_encode(clean_ckpt, merges, text_col=text_col, id_col=id_col)
@@ -694,6 +717,7 @@ def curate_corpus(
             )
         clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
         _mark("clean_checkpoint")
+        _count_ckpt("clean", _ckpt_path)
         model = unigram_train(
             clean_ckpt, vocab_size=unigram_vocab_size, text_col=text_col
         )
@@ -724,5 +748,9 @@ def curate_corpus(
     if _timing_on:
         import json as _json
 
-        print(_json.dumps({"curate_timing_sec": dict(_marks)}))
+        print(
+            _json.dumps(
+                {"curate_timing_sec": dict(_marks), "curate_funnel": _funnel}
+            )
+        )
     return packed

@@ -753,6 +753,10 @@ def test_curate_timing_surface(ray_session, monkeypatch, capsys):
         assert stage in timing and timing[stage] >= 0.0, timing
     assert "dsir_select" not in timing  # option not enabled
     assert "bpe_train" not in timing
+    # funnel: footer-counted survivor rows between input and output
+    funnel = json.loads(lines[-1])["curate_funnel"]
+    assert funnel["input"] == 25
+    assert 0 < funnel["survivors"] <= 25
 
 
 def test_curate_named_checkpoint_resume(ray_session, monkeypatch, tmp_path, capsys):
