@@ -108,13 +108,19 @@ def pca_project(
     vec_col: str = "embedding",
     out_col: str = "pca",
     keep_input: bool = False,
+    whiten: bool = False,
 ) -> "ray.data.Dataset":
     """Append the k-dim projection ``(x - mean) @ components.T`` —
     model is O(k*d), captured by value into the task closure (a few KB
     shipped once per task, same posture as the broadcast LUTs in
-    ops/ann_index.py)."""
+    ops/ann_index.py).  ``whiten=True`` additionally scales each
+    component by ``1/sqrt(eigenvalue)`` so outputs have unit variance
+    per axis (the usual pre-step before cosine/kmeans on anisotropic
+    embeddings)."""
     mean = model.mean
     comps_t = model.components.T.astype(np.float64)
+    if whiten:
+        comps_t = comps_t / np.sqrt(np.maximum(model.explained_variance, 1e-12))
 
     def project(batch: pa.Table) -> pa.Table:
         x = _batch_matrix(batch, vec_col)

@@ -295,3 +295,20 @@ def test_pca_projection_preserves_knn_neighbors(ray_session):
     # and the variance story holds: 4 components of a 5-cluster cloud
     # capture most of the energy
     assert model.explained_variance_ratio.sum() > 0.7
+
+
+def test_pca_whitening_unit_variance(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.pca import fit_pca, pca_project
+
+    rng = np.random.default_rng(8)
+    x = (rng.normal(size=(1500, 6)) * np.array([9.0, 4.0, 2.0, 1.0, 0.5, 0.2])).astype(
+        np.float32
+    )
+    df = pd.DataFrame({"embedding": list(x)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    model = fit_pca(ds, n_components=3)
+    w = np.stack(pca_project(ds, model, whiten=True).to_pandas()["pca"].to_numpy())
+    var = w.var(axis=0, ddof=1)
+    np.testing.assert_allclose(var, np.ones(3), rtol=0.05)
