@@ -89,3 +89,64 @@ def weighted_sample(
         return batch.filter(pa.array([v in sel for v in ids]))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+def weighted_sample_per_group(
+    ds: "ray.data.Dataset",
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Per-group A-ES sampling: ``min(k, n_positive_weight(g))`` rows
+    from EVERY group ``g``, weight-proportional without replacement,
+    deterministic for a given seed — the quality-weighted per-source
+    subsample a mixture recipe needs (uniform per-source quotas are
+    ``textstats.sample_mixture``; this is its weighted sibling).
+
+    Same no-shuffle shape as :func:`weighted_sample`, with the driver
+    candidate pull bounded by ``k x groups-per-block x blocks`` — sized
+    for source/domain-cardinality groups (dozens to thousands), the
+    same boundedness posture as ``sample_mixture``'s quota dict."""
+    import ray
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if k == 0:
+        return ds.limit(0)
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = _keys(
+            batch[id_col].tolist(),
+            batch[weight_col].to_numpy(),
+            seed,
+        )
+        out = batch[[group_col, id_col]].copy()
+        out["_key"] = keys
+        out = out[np.isfinite(keys)]
+        return (
+            out.sort_values(["_key", id_col], ascending=[False, True])
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    cand = ds.map_batches(
+        local_top, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    if cand.empty:
+        return ds.limit(0)
+    kept_df = (
+        cand.sort_values(["_key", id_col], ascending=[False, True])
+        .groupby(group_col, sort=False)
+        .head(k)
+    )
+    kept = set(kept_df[id_col].tolist())
+    kept_ref = ray.put(kept)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sel = ray.get(kept_ref)
+        return batch.filter(pa.array([v in sel for v in ids]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)

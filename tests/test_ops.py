@@ -2224,3 +2224,60 @@ def test_lsh_params_picker():
     assert lsh_curve(0.0, 16, 4) == _pytest.approx(0.0)
     with _pytest.raises(ValueError):
         lsh_params(1.5)
+
+
+def test_weighted_sample_per_group(ray_session):
+    """Per-group A-ES sampling: exact per-group counts, zero-weight
+    exclusion, determinism across partitionings, and EXACT match with
+    a single-process reference of the same algorithm."""
+    import pandas as pd
+
+    import ray.data
+
+    from fetch_engines_ray.ops.sampling import _keys, weighted_sample_per_group
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(900),
+            "src": np.repeat(["a", "b", "c"], 300),
+            "w": rng.rand(900) * np.tile([1.0, 5.0, 0.2], 300),
+        }
+    )
+    df.loc[df.index[:10], "w"] = 0.0  # never sampled
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        weighted_sample_per_group(ds, k=40, weight_col="w", group_col="src", seed=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.groupby("src").size().tolist() == [40, 40, 40]
+    assert not set(df["doc_id"][:10]) & set(got["doc_id"])
+
+    # single-process reference: same keys, global per-group top-k
+    ref = df.copy()
+    ref["_key"] = _keys(ref["doc_id"].tolist(), ref["w"].to_numpy(), 3)
+    ref = ref[np.isfinite(ref["_key"])]
+    ref = (
+        ref.sort_values(["_key", "doc_id"], ascending=[False, True])
+        .groupby("src", sort=False)
+        .head(40)
+    )
+    assert set(got["doc_id"]) == set(ref["doc_id"])
+
+    # partitioning-invariant
+    got2 = (
+        weighted_sample_per_group(
+            ray.data.from_pandas(df.iloc[::-1]).repartition(13),
+            k=40, weight_col="w", group_col="src", seed=3,
+        )
+        .to_pandas()
+    )
+    assert set(got2["doc_id"]) == set(got["doc_id"])
+    # small group: takes all positive rows
+    tiny = pd.DataFrame({"doc_id": [1, 2], "src": ["z", "z"], "w": [1.0, 0.0]})
+    out = weighted_sample_per_group(
+        ray.data.from_pandas(tiny), k=5, weight_col="w", group_col="src"
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1]
