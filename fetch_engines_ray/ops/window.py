@@ -111,6 +111,61 @@ def rank_window(
     )
 
 
+def range_rolling_agg(
+    ds: "ray.data.Dataset",
+    partition_by: str,
+    order_by: str,
+    value_col: str,
+    window: str,
+    agg: str = "sum",
+    n_parts: int = 64,
+    out_col: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Time-interval trailing window: SQL ``agg(value) OVER (PARTITION BY
+    partition_by ORDER BY order_by RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)`` with full SQL RANGE semantics — the frame is defined
+    by ORDER-KEY VALUE (rows whose key lies in ``[t - window, t]``,
+    both ends inclusive), so rows with equal order keys are peers and
+    share one frame regardless of physical position.
+
+    ``order_by`` must be a timestamp column and ``window`` a pandas
+    Timedelta string (e.g. ``"1h"``); ``agg`` in sum/mean/min/max/count.
+
+    Same bounded hash-partition + one-C-level-pandas-pass shape as
+    :func:`lag_lead`: within each part the groupwise time-based
+    ``rolling(Timedelta, on=order_by, closed="both")`` runs vectorized,
+    and the peers rule is restored with a ``transform("last")`` over
+    ``(partition, order)`` — the LAST peer's row-based window is exactly
+    the SQL value frame (all peers sort adjacent, everything earlier in
+    time sorts before them), so propagating it to the tied rows yields
+    SQL semantics for every supported aggregate.
+    """
+    if agg not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(f"unsupported agg: {agg}")
+    out_col = out_col or f"{value_col}_range_{agg}"
+    delta = pd.Timedelta(window)
+
+    def window_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            [partition_by, order_by, value_col], kind="mergesort"
+        ).reset_index(drop=True)
+        roll = g.groupby(partition_by, sort=False)[[order_by, value_col]].rolling(
+            delta, on=order_by, closed="both"
+        )
+        vals = getattr(roll[value_col], agg)().reset_index(level=0, drop=True)
+        g[out_col] = vals.to_numpy()
+        g[out_col] = g.groupby([partition_by, order_by], sort=False)[out_col].transform(
+            "last"
+        )
+        return g.drop(columns=["__part"])
+
+    return (
+        _with_part(ds, partition_by, n_parts)
+        .groupby("__part")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
 def rolling_agg(
     ds: "ray.data.Dataset",
     partition_by: str,

@@ -209,3 +209,95 @@ def test_generic_asof_join_matches_pandas(ray_session):
             ray.data.from_pandas(trades), ray.data.from_pandas(quotes),
             on="ts", by="sym", direction="sideways",
         )
+
+
+def test_range_rolling_agg_matches_duckdb(events_ds):
+    """RANGE INTERVAL trailing window (value-defined frame) vs DuckDB's
+    native RANGE BETWEEN ... PRECEDING AND CURRENT ROW, exact on int64
+    micro-scaled values."""
+    import pyarrow as pa
+
+    from fetch_engines_ray.ops.window import range_rolling_agg
+
+    def micro(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        vm = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return b.drop_columns(["value"]).append_column(
+            "vm", pa.array(vm, type=pa.int64())
+        )
+
+    ds = events_ds.map_batches(micro, batch_format="pyarrow")
+    for agg, sql_expr in (
+        ("sum", "SUM(vm)"),
+        ("count", "COUNT(*)"),
+        ("max", "MAX(vm)"),
+    ):
+        got = (
+            range_rolling_agg(ds, "user_id", "ts", "vm", "1h", agg=agg)
+            .to_pandas()
+            .sort_values(["user_id", "ts", "vm"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = _oracle(
+            "WITH e AS (SELECT user_id, ts,"
+            " CAST(floor(value*1000000 + 0.5) AS BIGINT) AS vm FROM events)"
+            f" SELECT user_id, ts, vm, {sql_expr} OVER"
+            " (PARTITION BY user_id ORDER BY ts"
+            "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS w"
+            " FROM e ORDER BY user_id, ts, vm"
+        )
+        assert len(got) == len(want)
+        a = got[f"vm_range_{agg}"].to_numpy().astype(np.int64)
+        b = want["w"].to_numpy().astype(np.int64)
+        assert np.array_equal(a, b), agg
+
+
+def test_range_rolling_agg_peers_rule(ray_session):
+    """Rows with EQUAL order keys are peers and share one frame — the
+    SQL RANGE semantics a row-position window gets wrong.  Planted ties:
+    three rows at the same (user, ts) must all see the same window sum,
+    including each other."""
+    import ray.data
+
+    from fetch_engines_ray.ops.window import range_rolling_agg
+
+    t0 = pd.Timestamp("2026-01-01 12:00:00")
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 5 + [2],
+            "ts": [
+                t0 - pd.Timedelta("2h"),   # outside the 1h frame of t0
+                t0 - pd.Timedelta("30min"),  # inside
+                t0, t0, t0,                # three peers
+                t0,                        # other partition
+            ],
+            "vm": [100, 10, 1, 2, 3, 777],
+        }
+    )
+    got = (
+        range_rolling_agg(ray.data.from_pandas(df).repartition(3),
+                          "user_id", "ts", "vm", "1h", agg="sum", n_parts=4)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "vm"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    u1 = got[got["user_id"] == 1]
+    # the 2h-old row sees only itself
+    assert u1.iloc[0]["vm_range_sum"] == 100
+    # the 30min-old row: itself only (the 2h row is out of range)
+    assert u1.iloc[1]["vm_range_sum"] == 10
+    # ALL three peers see 10 + 1 + 2 + 3 = 16
+    assert (u1.iloc[2:5]["vm_range_sum"] == 16).all()
+    assert got[got["user_id"] == 2]["vm_range_sum"].tolist() == [777]
+
+
+def test_range_rolling_agg_rejects_bad_agg(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.window import range_rolling_agg
+
+    with pytest.raises(ValueError, match="unsupported agg"):
+        range_rolling_agg(
+            ray.data.from_items([{"k": 1, "ts": 0, "v": 1}]), "k", "ts", "v", "1h",
+            agg="median",
+        )
