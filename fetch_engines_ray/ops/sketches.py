@@ -350,6 +350,135 @@ def exact_int_quantiles(
     return out
 
 
+def grouped_exact_int_quantiles(
+    ds: "ray.data.Dataset",
+    key: str,
+    column: str,
+    qs: list[float],
+    bins: int = 4096,
+) -> pd.DataFrame:
+    """EXACT per-group quantiles of an int64 column, DuckDB
+    ``quantile_disc`` convention (rank ``max(0, ceil(q*n) - 1)`` within
+    the group's sorted values) — without a sort, without ``map_groups``
+    over data-sized groups, and without streaming rows through the
+    driver.
+
+    The multi-group form of :func:`exact_int_quantiles`: every unresolved
+    ``(group, q)`` pair is a STATE ``(lo, hi, rank-within-range)``; each
+    level runs ONE ``map_batches`` pass emitting per-state bucket counts
+    (long ``(state, bucket, n)`` rows, <= states x bins per block) plus
+    one tiny groupby-sum, then every state narrows to the bucket holding
+    its rank.  Integer bucket widths shrink each state's range >= bins x
+    per level, so full-int64 domains resolve in <= 5 levels and bounded
+    scores in 1-2 — each level's cost is one streaming pass over the
+    column regardless of group count.  Driver state is
+    O(groups x len(qs) x bins), never row-scaled; the group key must be
+    bounded-cardinality (the same contract as any wide GROUP BY).
+
+    Returns one row per group: ``key, q{q}...`` columns, sorted by key.
+    """
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count, Max as _Max, Min as _Min
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, column])
+        return t.filter(pa.compute.is_valid(t[column]))
+
+    vals = ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
+    base = (
+        vals.groupby(key)
+        .aggregate(
+            _Count(alias_name="n"),
+            _Min(column, alias_name="lo"),
+            _Max(column, alias_name="hi"),
+        )
+        .to_pandas()  # bounded: one row per group
+    )
+
+    # state per (group, q): [key, lo, hi, remaining-rank]; resolved when lo == hi
+    states: list[list] = []
+    for _, row in base.iterrows():
+        n = int(row["n"])
+        for q in qs:
+            r = max(0, math.ceil(q * n) - 1)
+            states.append([row[key], int(row["lo"]), int(row["hi"]), r])
+
+    while True:
+        active = [i for i, s in enumerate(states) if s[1] < s[2]]
+        if not active:
+            break
+        meta = []  # (state_id, key, lo, hi, width, nbuckets)
+        for i in active:
+            k, lo, hi, _ = states[i]
+            span = hi - lo + 1
+            width = -(-span // bins)
+            meta.append((i, k, lo, hi, width, -(-span // width)))
+        meta_ref = _ray.put(meta)
+
+        def level_partial(batch: pa.Table) -> pa.Table:
+            m = _ray.get(meta_ref)
+            keys = np.asarray(batch[key].to_pylist(), dtype=object)
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+            sids: list[np.ndarray] = []
+            bks: list[np.ndarray] = []
+            ns: list[np.ndarray] = []
+            for sid, k, lo, hi, width, nb in m:
+                mask = (keys == k) & (v >= lo) & (v <= hi)
+                if not mask.any():
+                    continue
+                c = np.bincount((v[mask] - lo) // width, minlength=nb)
+                nz = np.nonzero(c)[0]
+                sids.append(np.full(len(nz), sid, dtype=np.int64))
+                bks.append(nz.astype(np.int64))
+                ns.append(c[nz].astype(np.int64))
+            if not sids:
+                return pa.table(
+                    {"state": pa.array([], type=pa.int64()),
+                     "bucket": pa.array([], type=pa.int64()),
+                     "n": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {"state": pa.array(np.concatenate(sids)),
+                 "bucket": pa.array(np.concatenate(bks)),
+                 "n": pa.array(np.concatenate(ns))}
+            )
+
+        from ray.data.aggregate import Sum as _Sum
+
+        hist = (
+            vals.map_batches(level_partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["state", "bucket"])
+            .aggregate(_Sum("n", alias_name="n"))
+            .to_pandas()  # bounded: <= len(active) x bins rows
+        )
+        by_state = {sid: grp for sid, grp in hist.groupby("state")}
+        for sid, k, lo, hi, width, nb in meta:
+            grp = by_state[sid].sort_values("bucket")
+            cum = grp["n"].to_numpy().cumsum()
+            buckets = grp["bucket"].to_numpy()
+            j = int(np.searchsorted(cum, states[sid][3] + 1, side="left"))
+            b = int(buckets[j])
+            states[sid][3] -= int(cum[j - 1]) if j > 0 else 0
+            states[sid][1] = lo + b * width
+            states[sid][2] = min(hi, lo + (b + 1) * width - 1)
+
+    out_rows: dict = {}
+    si = 0
+    for _, row in base.iterrows():
+        rec = out_rows.setdefault(row[key], {})
+        for q in qs:
+            rec[f"q{q:g}"] = states[si][1]
+            si += 1
+    out = pd.DataFrame(
+        [{key: k, **rec} for k, rec in out_rows.items()]
+    ).sort_values(key).reset_index(drop=True)
+    for q in qs:
+        out[f"q{q:g}"] = out[f"q{q:g}"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters: mergeable Misra-Gries summary
 # ---------------------------------------------------------------------------

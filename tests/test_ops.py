@@ -2281,3 +2281,77 @@ def test_weighted_sample_per_group(ray_session):
         ray.data.from_pandas(tiny), k=5, weight_col="w", group_col="src"
     ).to_pandas()
     assert out["doc_id"].tolist() == [1]
+
+
+def test_grouped_exact_int_quantiles_vs_duckdb(ray_session):
+    """EXACT per-group order statistics (multi-group histogram
+    narrowing, ops/sketches.py) pinned to DuckDB quantile_disc over the
+    real events table at int64 micro-scale — all groups resolved
+    simultaneously, one streaming pass per level."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from fetch_engines_ray.arrowclean import read_parquet_clean
+    from fetch_engines_ray.ops.sketches import grouped_exact_int_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{sf}/events.parquet", columns=["event_type", "value"])
+
+    def micro(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        vm = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return b.drop_columns(["value"]).append_column(
+            "vm", pa.array(vm, type=pa.int64())
+        )
+
+    got = grouped_exact_int_quantiles(
+        ds.map_batches(micro, batch_format="pyarrow"),
+        "event_type", "vm", [0.25, 0.5, 0.9, 0.99],
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        "WITH e AS (SELECT event_type,"
+        " CAST(floor(value*1000000+0.5) AS BIGINT) AS vm FROM events)"
+        " SELECT event_type, quantile_disc(vm, 0.25) AS a,"
+        " quantile_disc(vm, 0.5) AS b, quantile_disc(vm, 0.9) AS c,"
+        " quantile_disc(vm, 0.99) AS d"
+        " FROM e GROUP BY event_type ORDER BY event_type"
+    ).df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert np.array_equal(
+        got[["q0.25", "q0.5", "q0.9", "q0.99"]].to_numpy(),
+        want[["a", "b", "c", "d"]].to_numpy(),
+    )
+
+
+def test_grouped_exact_int_quantiles_multilevel(ray_session):
+    """Wide-domain values (range >> bins) force multiple narrowing
+    levels; per-group results must still be the exact numpy order
+    statistics, with groups of wildly different ranges and sizes
+    (including a singleton and a constant group) resolved together."""
+    import ray.data
+
+    from fetch_engines_ray.ops.sketches import grouped_exact_int_quantiles
+
+    rng = np.random.default_rng(7)
+    parts = {
+        "wide": rng.integers(-(2**62), 2**62, size=3001),
+        "narrow": rng.integers(0, 50, size=800),
+        "single": np.array([42]),
+        "const": np.full(64, -7),
+    }
+    rows = [{"g": g, "v": int(v)} for g, vs in parts.items() for v in vs]
+    ds = ray.data.from_items(rows).repartition(7)
+    qs = [0.1, 0.5, 0.95]
+    got = grouped_exact_int_quantiles(ds, "g", "v", qs, bins=128).set_index("g")
+    import math
+
+    for g, vs in parts.items():
+        s = np.sort(vs)
+        for q in qs:
+            want = int(s[max(0, math.ceil(q * len(s)) - 1)])
+            assert got.loc[g, f"q{q:g}"] == want, (g, q)
