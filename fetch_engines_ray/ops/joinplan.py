@@ -1,0 +1,139 @@
+"""Cost-based join strategy selection: broadcast vs hash-shuffle.
+
+At 100 TB the single most expensive mistake a pipeline can make is
+shuffling a join whose small side would fit in every worker's heap —
+or, symmetrically, trying to broadcast a side that does NOT fit.  The
+reference engine never joins (it is a per-URL extractor); this module
+is engine infrastructure for the analysis tier, making the choice the
+way a SQL planner would, from input-size estimates:
+
+- ``min(side) <= broadcast_threshold`` -> **broadcast join**: the small
+  side is pulled once (bounded by the threshold), ``ray.put`` once, and
+  every big-side batch does a C-level pandas merge — zero shuffle, the
+  big side streams.
+- otherwise -> **hash-shuffle join**: Ray Data's native distributed
+  join, with ``num_partitions`` scaled to the input size (each join
+  partition spins up a shuffle aggregator actor — a fixed multi-second
+  cost that dwarfs small inputs; see ``relational.py``).
+
+Size estimates come from ``Dataset.size_bytes()`` — free (parquet
+footer metadata) on freshly-read tables, which is exactly the planning
+point in a lakehouse; for derived pipelines pass explicit
+``left_bytes`` / ``right_bytes`` hints instead of letting Ray execute
+the plan to measure it.  A sorted-layout zero-shuffle path also exists
+(``ops/layout.py::merge_join_sorted``, ~20x over the hash join when
+both sides are stored key-sorted, BASELINE.md round-4 A/B) but needs
+on-disk layouts, so it stays explicit rather than planned here.
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional, Sequence, Union
+
+import pandas as pd
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray
+
+DEFAULT_BROADCAST_THRESHOLD = 64 << 20  # 64 MiB: comfortable per-worker heap
+
+
+def _as_tuple(on: Union[str, Sequence[str]]) -> tuple:
+    return (on,) if isinstance(on, str) else tuple(on)
+
+
+def plan_join(
+    left_bytes: int,
+    right_bytes: int,
+    how: str = "inner",
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+) -> str:
+    """Pick a strategy from size estimates:
+    ``broadcast_right`` / ``broadcast_left`` / ``shuffle``.
+
+    The preserved side of an outer join cannot be the broadcast side
+    without a match-tracking reduce, so ``how="left"`` only broadcasts
+    the right side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    if right_bytes <= broadcast_threshold:
+        return "broadcast_right"
+    if left_bytes <= broadcast_threshold and how == "inner":
+        return "broadcast_left"
+    return "shuffle"
+
+
+def broadcast_join(
+    big: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    big_on: tuple,
+    small_on: tuple,
+    how: str = "inner",
+    drop_cols: tuple = (),
+) -> "ray.data.Dataset":
+    """Join a streaming big side against a driver-resident small side:
+    the small frame is ``ray.put`` ONCE, each big-side batch runs one
+    C-level ``pd.merge`` — no shuffle, output order follows the big
+    side's blocks.  ``how`` is relative to the big side (inner/left);
+    ``drop_cols`` removes duplicated key columns after the merge (so
+    the output schema matches Ray's native join, which keeps only the
+    left-side key)."""
+    import ray as _ray
+
+    small_ref = _ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = _ray.get(small_ref)
+        out = batch.merge(
+            small, how=how, left_on=list(big_on), right_on=list(small_on)
+        )
+        return out.drop(columns=[c for c in drop_cols if c in out.columns])
+
+    return big.map_batches(merge, batch_format="pandas", batch_size=65536)
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Union[str, Sequence[str]],
+    right_on: Optional[Union[str, Sequence[str]]] = None,
+    how: str = "inner",
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    num_partitions: Optional[int] = None,
+    left_bytes: Optional[int] = None,
+    right_bytes: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Join with the strategy chosen by :func:`plan_join`.
+
+    Non-key output columns must be disjoint between the two sides (the
+    same contract as SQL ``NATURAL``-safe joins); when ``right_on``
+    names differ from ``on`` both key columns appear in the output,
+    matching Ray's native join.
+    """
+    lo, ro = _as_tuple(on), _as_tuple(right_on if right_on is not None else on)
+    if len(lo) != len(ro):
+        raise ValueError("on/right_on arity mismatch")
+    lb = left_bytes if left_bytes is not None else (left.size_bytes() or 0)
+    rb = right_bytes if right_bytes is not None else (right.size_bytes() or 0)
+    strategy = plan_join(lb, rb, how=how, broadcast_threshold=broadcast_threshold)
+
+    dup_keys = tuple(r for l, r in zip(lo, ro) if r != l)
+    if strategy == "broadcast_right":
+        return broadcast_join(
+            left, right.to_pandas(), lo, ro, how=how, drop_cols=dup_keys
+        )
+    if strategy == "broadcast_left":
+        return broadcast_join(
+            right, left.to_pandas(), ro, lo, how="inner", drop_cols=dup_keys
+        )
+
+    if num_partitions is None:
+        # one partition per ~128 MiB of the larger side, bounded
+        num_partitions = max(2, min(64, int(max(lb, rb)) // (128 << 20) + 1))
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=lo,
+        right_on=ro if ro != lo else None,
+    )

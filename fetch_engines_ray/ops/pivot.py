@@ -108,3 +108,38 @@ def pivot_wide(
     return wide.groupby(index).aggregate(
         *[merge(c, alias_name=c) for c in out_cols]
     )
+
+
+def unpivot_long(
+    ds: "ray.data.Dataset",
+    index: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "name",
+    value_name: str = "value",
+    include_nulls: bool = False,
+) -> "ray.data.Dataset":
+    """Wide -> long (SQL ``UNPIVOT`` / pandas ``melt``): one output row
+    per (input row, value column), carrying the column name in
+    ``var_name`` and its value in ``value_name``.
+
+    Embarrassingly parallel — a pure per-batch C-level ``melt`` with NO
+    shuffle; row count multiplies by ``len(value_cols)`` but blocks
+    stream through.  NULL cells are dropped by default (DuckDB UNPIVOT
+    semantics); pass ``include_nulls=True`` to keep them (the
+    ``UNPIVOT INCLUDE NULLS`` form).
+    """
+    index = list(index)
+    value_cols = list(value_cols)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(
+            id_vars=index,
+            value_vars=value_cols,
+            var_name=var_name,
+            value_name=value_name,
+        )
+        if not include_nulls:
+            out = out[out[value_name].notna()]
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(melt, batch_format="pandas", batch_size=65536)

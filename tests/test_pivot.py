@@ -125,3 +125,75 @@ def test_pivot_pinned_categories_and_errors(ray_session):
         pivot_wide(ds, "month", "status", agg="sum")
     with pytest.raises(ValueError, match="collide"):
         pivot_wide(ds, "month", "status", agg="count", categories=["A", "A"])
+
+
+def test_unpivot_matches_duckdb_and_roundtrips(month_status_ds):
+    """UNPIVOT of the pivoted wide table vs DuckDB UNPIVOT (null cells
+    dropped), plus the pivot -> unpivot roundtrip recovering the
+    original per-(month,status) sums."""
+    import ray.data
+
+    from fetch_engines_ray.ops.pivot import pivot_wide, unpivot_long
+
+    wide = pivot_wide(month_status_ds, "month", "status", values="cents", agg="min")
+    cols = ["status_F", "status_O", "status_P"]
+    got = (
+        unpivot_long(wide, ["month"], cols, var_name="status", value_name="m")
+        .to_pandas()
+        .sort_values(["month", "status"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    want = con.execute(
+        "WITH t AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,"
+        " o_orderstatus AS status,"
+        " CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents FROM orders),"
+        " w AS (SELECT month,"
+        "  MIN(CASE WHEN status='F' THEN cents END) AS status_F,"
+        "  MIN(CASE WHEN status='O' THEN cents END) AS status_O,"
+        "  MIN(CASE WHEN status='P' THEN cents END) AS status_P"
+        "  FROM t GROUP BY month)"
+        " SELECT month, status, m FROM w"
+        " UNPIVOT (m FOR status IN (status_F, status_O, status_P))"
+        " ORDER BY month, status"
+    ).df()
+    assert got["month"].tolist() == want["month"].tolist()
+    assert got["status"].tolist() == want["status"].tolist()
+    assert np.array_equal(
+        got["m"].to_numpy().astype(np.int64), want["m"].to_numpy().astype(np.int64)
+    )
+
+    # roundtrip: unpivot(pivot(sum)) summed back == plain groupby sums
+    wide_sum = pivot_wide(month_status_ds, "month", "status", values="cents", agg="sum")
+    back = (
+        unpivot_long(wide_sum, ["month"], cols, var_name="status", value_name="s")
+        .to_pandas()
+    )
+    back["status"] = back["status"].str.removeprefix("status_")
+    back = back[back["s"] > 0].sort_values(["month", "status"]).reset_index(drop=True)
+    plain = con.execute(
+        "WITH t AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,"
+        " o_orderstatus AS status,"
+        " CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents FROM orders)"
+        " SELECT month, status, SUM(cents) AS s FROM t GROUP BY month, status"
+        " ORDER BY month, status"
+    ).df()
+    assert back["month"].tolist() == plain["month"].tolist()
+    assert np.array_equal(
+        back["s"].to_numpy().astype(np.int64), plain["s"].to_numpy().astype(np.int64)
+    )
+
+
+def test_unpivot_include_nulls(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.pivot import unpivot_long
+
+    ds = ray.data.from_items([{"k": 1, "a": 10, "b": None}, {"k": 2, "a": None, "b": 5}])
+    kept = unpivot_long(ds, ["k"], ["a", "b"]).to_pandas()
+    assert len(kept) == 2
+    full = unpivot_long(ds, ["k"], ["a", "b"], include_nulls=True).to_pandas()
+    assert len(full) == 4
