@@ -16,11 +16,11 @@ way a SQL planner would, from input-size estimates:
   partition spins up a shuffle aggregator actor — a fixed multi-second
   cost that dwarfs small inputs; see ``relational.py``).
 
-Size estimates come from ``Dataset.size_bytes()`` — free (parquet
-footer metadata) on freshly-read tables, which is exactly the planning
-point in a lakehouse; for derived pipelines pass explicit
-``left_bytes`` / ``right_bytes`` hints instead of letting Ray execute
-the plan to measure it.  A sorted-layout zero-shuffle path also exists
+Size estimates should come from :func:`parquet_size_hint` (file bytes
+x decompression factor — pure filesystem metadata) passed as
+``left_bytes`` / ``right_bytes``; the ``Dataset.size_bytes()`` fallback
+EXECUTES the plan to measure it, fine only for small or already
+materialized inputs.  A sorted-layout zero-shuffle path also exists
 (``ops/layout.py::merge_join_sorted``, ~20x over the hash join when
 both sides are stored key-sorted, BASELINE.md round-4 A/B) but needs
 on-disk layouts, so it stays explicit rather than planned here.
@@ -35,6 +35,29 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray
 
 DEFAULT_BROADCAST_THRESHOLD = 64 << 20  # 64 MiB: comfortable per-worker heap
+
+
+def parquet_size_hint(path: str, inflate: float = 4.0) -> int:
+    """Planning-grade size estimate from parquet FILE bytes — pure
+    filesystem metadata, ZERO execution.  ``Dataset.size_bytes()`` is
+    NOT metadata-only: on a bare ``read_parquet`` it executes the read
+    (measured 5 s on the sf0.1 lineitem table), which defeats the point
+    of planning.  ``inflate`` approximates the decompressed in-memory
+    blow-up (snappy web-ish data lands ~2-4x; 4 is the conservative
+    default — overestimating only flips a borderline broadcast to a
+    safe shuffle)."""
+    import os
+
+    if os.path.isdir(path):
+        total = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        total = os.path.getsize(path)
+    return int(total * inflate)
 
 
 def _as_tuple(on: Union[str, Sequence[str]]) -> tuple:
@@ -65,31 +88,41 @@ def plan_join(
 
 def broadcast_join(
     big: "ray.data.Dataset",
-    small_df: pd.DataFrame,
+    small: "pd.DataFrame | object",
     big_on: tuple,
     small_on: tuple,
     how: str = "inner",
     drop_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Join a streaming big side against a driver-resident small side:
-    the small frame is ``ray.put`` ONCE, each big-side batch runs one
-    C-level ``pd.merge`` — no shuffle, output order follows the big
+    the small table is ``ray.put`` ONCE **as Arrow** (``ray.get`` is
+    then zero-copy per task — a pandas frame here would re-unpickle its
+    object-dtype columns on EVERY batch, measured 5x slower end-to-end
+    at sf0.1), and each big-side batch runs one C++-level
+    ``pyarrow.Table.join`` — no shuffle, output order follows the big
     side's blocks.  ``how`` is relative to the big side (inner/left);
     ``drop_cols`` removes duplicated key columns after the merge (so
     the output schema matches Ray's native join, which keeps only the
     left-side key)."""
+    import pyarrow as pa
     import ray as _ray
 
-    small_ref = _ray.put(small_df)
+    small_tbl = (
+        pa.Table.from_pandas(small, preserve_index=False)
+        if isinstance(small, pd.DataFrame)
+        else small
+    )
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+    small_ref = _ray.put(small_tbl.combine_chunks())
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        small = _ray.get(small_ref)
-        out = batch.merge(
-            small, how=how, left_on=list(big_on), right_on=list(small_on)
+    def merge(batch: pa.Table) -> pa.Table:
+        s = _ray.get(small_ref)
+        out = batch.join(
+            s, keys=list(big_on), right_keys=list(small_on), join_type=join_type
         )
-        return out.drop(columns=[c for c in drop_cols if c in out.columns])
+        return out.drop_columns([c for c in drop_cols if c in out.column_names])
 
-    return big.map_batches(merge, batch_format="pandas", batch_size=65536)
+    return big.map_batches(merge, batch_format="pyarrow", batch_size=65536)
 
 
 def auto_join(
@@ -105,10 +138,15 @@ def auto_join(
 ) -> "ray.data.Dataset":
     """Join with the strategy chosen by :func:`plan_join`.
 
+    PASS SIZE HINTS (``left_bytes`` / ``right_bytes``, e.g. from
+    :func:`parquet_size_hint`): the ``Dataset.size_bytes()`` fallback
+    EXECUTES the plan to measure it — acceptable for small or already
+    materialized inputs, a silent extra pass otherwise.
+
     Non-key output columns must be disjoint between the two sides (the
-    same contract as SQL ``NATURAL``-safe joins); when ``right_on``
-    names differ from ``on`` both key columns appear in the output,
-    matching Ray's native join.
+    same contract as SQL ``NATURAL``-safe joins); the ``right_on`` key
+    columns are dropped from the output when their names differ from
+    ``on``, matching Ray's native join.
     """
     lo, ro = _as_tuple(on), _as_tuple(right_on if right_on is not None else on)
     if len(lo) != len(ro):
@@ -117,14 +155,23 @@ def auto_join(
     rb = right_bytes if right_bytes is not None else (right.size_bytes() or 0)
     strategy = plan_join(lb, rb, how=how, broadcast_threshold=broadcast_threshold)
 
+    import pyarrow as pa
+    import ray as _ray
+
+    def _collect(side: "ray.data.Dataset") -> "pa.Table":
+        # Arrow all the way: to_pandas() would round-trip object dtypes
+        return pa.concat_tables(
+            _ray.get(r).replace_schema_metadata(None) for r in side.to_arrow_refs()
+        )
+
     dup_keys = tuple(r for l, r in zip(lo, ro) if r != l)
     if strategy == "broadcast_right":
         return broadcast_join(
-            left, right.to_pandas(), lo, ro, how=how, drop_cols=dup_keys
+            left, _collect(right), lo, ro, how=how, drop_cols=dup_keys
         )
     if strategy == "broadcast_left":
         return broadcast_join(
-            right, left.to_pandas(), ro, lo, how="inner", drop_cols=dup_keys
+            right, _collect(left), ro, lo, how="inner", drop_cols=dup_keys
         )
 
     if num_partitions is None:

@@ -369,14 +369,26 @@ def revenue_by_orderpriority(sf_dir: str) -> pd.DataFrame:
 
     lineitem = lineitem.map_batches(revenue, batch_format="pyarrow", batch_size=8192)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    # partition count scaled to input size (counting a bare parquet
-    # read is metadata-only) — every join partition spins up a shuffle
+    # cost-based strategy (ops/joinplan.py) with filesystem-metadata
+    # size hints (zero execution): at bench scale the orders side is
+    # broadcast-small (zero-shuffle Arrow join per batch), at 100 TB
+    # the planner flips to the hash-shuffle join with partition count
+    # scaled to input bytes — every join partition spins up a shuffle
     # aggregator actor, a multi-second fixed cost that dwarfs small
-    # inputs
-    n_rows = _read(sf_dir, "lineitem", columns=["l_orderkey"]).count()
-    n_parts = max(2, min(16, n_rows // 100_000 + 1))
-    joined = lineitem.join(
-        orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",)
+    # inputs.
+    from fetch_engines_ray.ops.joinplan import auto_join, parquet_size_hint
+
+    li_bytes = parquet_size_hint(f"{sf_dir}/lineitem.parquet")
+    o_bytes = parquet_size_hint(f"{sf_dir}/orders.parquet")
+    n_parts = max(2, min(16, li_bytes // (128 << 20) + 1))
+    joined = auto_join(
+        lineitem,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_bytes=li_bytes,
+        right_bytes=o_bytes,
+        num_partitions=n_parts,
     )
     out = (
         joined.groupby("o_orderpriority")
