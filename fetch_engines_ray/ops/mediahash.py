@@ -1,0 +1,205 @@
+"""Audio and video perceptual fingerprints + near-duplicate detection.
+
+Completes the multimodal dedup family: text (``ops/dedup.py`` minhash /
+simhash), images (``ops/imagehash.py`` dHash), and — here — audio and
+video, all funneling into the SAME lossless 64-bit hamming LSH
+(``ops.imagehash.hamming64_pairs``).
+
+Public-knowledge basis:
+
+- **Audio**: Haitsma & Kalker, "A Highly Robust Audio Fingerprinting
+  System" (ISMIR 2002) fingerprint by the SIGN of band-energy
+  differences over a time-frequency grid — invariant to gain and
+  robust to re-encoding.  This implementation keeps their bit rule but
+  computes band energies as EXACT int64 sums of squared int16 PCM (no
+  FFT library in this container; contiguous sub-band filterbank as in
+  ``ops.wav.frame_features``), so the fingerprint is bit-deterministic
+  across platforms and exactly gain-invariant for integer scalings.
+- **Video**: frame-hash fingerprinting (the standard pHash-family
+  practice for clip dedup): perceptual-hash a representative frame —
+  the MIDDLE frame, matching the ``gif_decode`` oracle's midpoint pin —
+  after applying the palette, so a re-encoded GIF with a permuted
+  palette (same rendered pixels) hashes identically.
+
+Ray-Data shape: actor-pool ``map_batches`` decode+hash stages (the
+repo's own real WAV / GIF codecs), 8-byte hashes out, pixels/PCM never
+transit the shuffle; pairing reuses the partitioned run expansion from
+``ops/dedup.py`` unchanged.  The reference engine carries media spans
+opaquely (`src/MarkdownConverter.ts` media_ref placeholders); this
+family is training-data-tier (SURVEY.md §2.8).
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fetch_engines_ray.ops.imagehash import _pack_bits64, dhash64, hamming64_pairs, pool_mean
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray
+
+AUDIO_FP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("afp", pa.int64()),
+        ("sample_rate", pa.int64()),
+        ("n_samples", pa.int64()),
+    ]
+)
+
+VIDEO_FP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("vfp", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("duration_ms", pa.int64()),
+    ]
+)
+
+
+def band_energy_matrix(
+    samples: np.ndarray,
+    sample_rate: int,
+    n_bands: int = 9,
+    frame_length_ms: int = 25,
+    hop_ms: int = 10,
+) -> np.ndarray:
+    """``(n_frames, n_bands)`` int64 band energies: per frame, the EXACT
+    sum of squared int16 samples in each contiguous sub-band (same
+    framing math as ``ops.wav.frame_features``; integer throughout, so
+    scaling the PCM by an integer ``g`` scales every energy by exactly
+    ``g**2`` — the gain-invariance proof for the sign bits).  Stereo
+    input is mixed down by exact integer sum of channels first."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 2:
+        x = x.sum(axis=1)
+    flen = sample_rate * frame_length_ms // 1000
+    hop = sample_rate * hop_ms // 1000
+    if len(x) < flen or flen == 0:
+        return np.zeros((0, n_bands), dtype=np.int64)
+    n_frames = 1 + (len(x) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    sq = x[idx] ** 2  # (n_frames, flen), exact int64 (|int16|^2 <= 2^30)
+    bounds = (np.arange(n_bands + 1, dtype=np.int64) * flen) // n_bands
+    out = np.add.reduceat(sq, bounds[:-1], axis=1)
+    return out.astype(np.int64)
+
+
+def audio_fingerprint64(samples: np.ndarray, sample_rate: int) -> int:
+    """64-bit Haitsma-Kalker-style fingerprint: band energies pooled to
+    an 8x9 time-band grid (integer adaptive pooling shared with the
+    image dHash), bit = band-energy gradient sign per time cell.
+
+    Exactly invariant to integer gain (energies scale uniformly; sign
+    of differences is preserved) and to WAV re-encoding (the codec is
+    lossless 16-bit PCM).  Clips shorter than one frame hash to 0."""
+    e = band_energy_matrix(samples, sample_rate, n_bands=9)
+    if e.shape[0] == 0:
+        return 0
+    g = pool_mean(e, 8, 9)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
+def video_fingerprint64(frames: list[np.ndarray]) -> int:
+    """dHash of the middle RGB frame (``frames[n//2]``) — the same
+    midpoint convention the ``gif_decode`` oracle pins.  Palette
+    permutations cancel because hashing happens AFTER palette
+    application (rendered pixels, not indices)."""
+    if not frames:
+        return 0
+    return dhash64(frames[len(frames) // 2])
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: ``(doc_id, payload)`` WAV batches in,
+    ``AUDIO_FP_SCHEMA`` rows out (real RIFF/PCM decode via
+    ``ops/wav.py``; per-clip Python decode is inherent to codec work,
+    the fingerprint math is exact-integer numpy)."""
+
+    def __init__(self) -> None:
+        from fetch_engines_ray.ops.wav import decode_wav
+
+        self.decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            dec = self.decode(payload)
+            fp = audio_fingerprint64(dec["samples"], dec["sample_rate"])
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "afp": np.uint64(fp).astype(np.int64).item(),
+                    "sample_rate": int(dec["sample_rate"]),
+                    "n_samples": int(dec["n_samples"]),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=AUDIO_FP_SCHEMA)
+
+
+class VideoFingerprinter:
+    """Actor-pool stage: ``(doc_id, payload)`` GIF batches in,
+    ``VIDEO_FP_SCHEMA`` rows out (real GIF89a decode via ``ops/gif.py``)."""
+
+    def __init__(self) -> None:
+        from fetch_engines_ray.ops.gif import decode_gif
+
+        self.decode = decode_gif
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            dec = self.decode(payload)
+            fp = video_fingerprint64(dec["frames"])
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "vfp": np.uint64(fp).astype(np.int64).item(),
+                    "n_frames": int(dec["n_frames"]),
+                    "duration_ms": int(dec["duration_ms"]),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=VIDEO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+) -> pd.DataFrame:
+    """End-to-end audio near-dup sweep over a ``(doc_id, payload)`` WAV
+    table: fingerprint (actor pool) -> lossless hamming LSH -> verified
+    ``(doc_a, doc_b, hamming)`` pairs."""
+    sigs = ds.map_batches(
+        AudioFingerprinter,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return hamming64_pairs(sigs, hash_col="afp", max_hamming=max_hamming)
+
+
+def video_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> pd.DataFrame:
+    """End-to-end video near-dup sweep over a ``(doc_id, payload)`` GIF
+    table (smaller batches: animated payloads are the largest binaries
+    in the corpus — BASELINE.md memory posture)."""
+    sigs = ds.map_batches(
+        VideoFingerprinter,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return hamming64_pairs(sigs, hash_col="vfp", max_hamming=max_hamming)
