@@ -1209,6 +1209,38 @@ def dedup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "cluster_rep", "is_kept"])
 
 
+def dedup_clusters_keep_best(
+    pairs: pd.DataFrame, scores: pd.DataFrame, score_col: str = "score"
+) -> pd.DataFrame:
+    """:func:`dedup_clusters` with a QUALITY keep rule: within each
+    cluster keep the highest-``score_col`` member (tie → min doc_id)
+    instead of the min-id member — the curation choice production
+    pipelines actually make (drop the boilerplate-laden clone, keep the
+    clean one).  ``scores`` is a (doc_id, score) frame covering the
+    paired docs; missing docs score as -inf (kept only if alone).
+
+    Same driver-side posture as :func:`dedup_clusters` (pair lists are
+    tiny relative to the corpus); the cluster topology — and therefore
+    the distributed handoff — is identical, only the representative
+    choice differs.
+    """
+    base = dedup_clusters(pairs)
+    if base.empty:
+        return base.assign(best_rep=base.get("cluster_rep"))
+    merged = base.merge(scores[["doc_id", score_col]], on="doc_id", how="left")
+    merged[score_col] = merged[score_col].fillna(float("-inf"))
+    # best row per cluster: sort by (cluster, score desc, doc_id asc), take first
+    merged = merged.sort_values(
+        ["cluster_rep", score_col, "doc_id"], ascending=[True, False, True]
+    )
+    best = merged.groupby("cluster_rep", sort=False)["doc_id"].first().rename("best_rep")
+    out = base.merge(best, on="cluster_rep")
+    out["is_kept"] = out["doc_id"] == out["best_rep"]
+    return out[["doc_id", "cluster_rep", "best_rep", "is_kept"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def dedup_clusters_distributed(
     pairs: "ray.data.Dataset", max_iters: int = 50
 ) -> "ray.data.Dataset":
