@@ -1,0 +1,233 @@
+"""Multimodal curation: extraction output → deduped media-text pairs.
+
+The composed pipeline a multimodal-training-data user runs after
+extraction (the image/audio/video sibling of ``pipelines/curate.py``):
+
+    extraction output (ordered ``out_spans`` per doc)
+      ├─ media spans exploded                (doc-local, no shuffle)
+      ├─ DISTINCT media refs                  (one (ref, kind) groupby —
+      │    hotlinked media decodes ONCE, not once per occurrence)
+      ├─ decode + perceptual fingerprint      (actor pool; real PNG/WAV/
+      │    GIF codecs; 8-byte hashes out, pixels never shuffled)
+      ├─ per-kind lossless hamming LSH        (ops.imagehash.hamming64_pairs)
+      ├─ near-dup drop set                    (pair-bounded, tiny →
+      │    broadcast, never a shuffle join)
+      └─ caption pairs for SURVIVING media    (ops.captions, doc-local)
+
+Keep rule: one representative per visual/audible duplicate cluster
+(min media_ref), LAION-style — a kept ref retains ALL its caption
+occurrences (the same image in two documents yields two training
+pairs), a dropped ref loses all of them.
+
+The reference engine stops at media_ref placeholders
+(`src/MarkdownConverter.ts`); everything past the explode is
+training-data-tier (SURVEY.md §2.8).
+"""
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray
+
+MEDIA_SIG_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),
+        ("h64", pa.int64()),
+        ("ok", pa.int64()),  # 1 = real decode+fingerprint, 0 = skip
+    ]
+)
+
+
+class MediaRefFingerprinter:
+    """Actor-pool stage: ``(media_ref, kind[, payload])`` rows in,
+    64-bit perceptual fingerprints out — image dHash / audio band-sign /
+    video midframe dHash, dispatched per kind.  Payloads resolve via the
+    deterministic planted-payload resolvers when no ``payload`` column
+    is present (the corpus's stand-in for the reference's network fetch,
+    same contract as ``ops.multimodal.MediaDecoder``).  Undecodable or
+    unknown-kind rows come back ``ok=0`` and are excluded from dedup
+    rather than clustering together at h64=0."""
+
+    def __init__(self) -> None:
+        from fetch_engines_ray.ops.gif import GifFormatError, decode_gif, planted_gif_for_ref
+        from fetch_engines_ray.ops.imagehash import dhash64
+        from fetch_engines_ray.ops.mediahash import audio_fingerprint64, video_fingerprint64
+        from fetch_engines_ray.ops.png import PngFormatError, decode_png, planted_png_for_ref
+        from fetch_engines_ray.ops.wav import WavFormatError, decode_wav, planted_wav_for_ref
+
+        def fp_image(ref: str, payload: Optional[bytes]) -> Optional[int]:
+            try:
+                dec = decode_png(payload if payload is not None else planted_png_for_ref(ref))
+            except PngFormatError:
+                return None
+            return dhash64(dec["pixels"])
+
+        def fp_audio(ref: str, payload: Optional[bytes]) -> Optional[int]:
+            try:
+                dec = decode_wav(payload if payload is not None else planted_wav_for_ref(ref))
+            except WavFormatError:
+                return None
+            return audio_fingerprint64(dec["samples"], dec["sample_rate"])
+
+        def fp_video(ref: str, payload: Optional[bytes]) -> Optional[int]:
+            try:
+                dec = decode_gif(payload if payload is not None else planted_gif_for_ref(ref))
+            except GifFormatError:
+                return None
+            return video_fingerprint64(dec["frames"])
+
+        self.dispatch = {"image": fp_image, "audio": fp_audio, "video": fp_video}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = (
+            batch["payload"].to_pylist() if "payload" in batch.column_names else None
+        )
+        rows = []
+        for i, (ref, kind) in enumerate(
+            zip(batch["media_ref"].to_pylist(), batch["kind"].to_pylist())
+        ):
+            fn = self.dispatch.get(kind or "")
+            fp = fn(ref or "", payloads[i] if payloads is not None else None) if fn else None
+            rows.append(
+                {
+                    "media_ref": ref or "",
+                    "kind": kind or "",
+                    "h64": 0 if fp is None else np.uint64(fp).astype(np.int64).item(),
+                    "ok": 0 if fp is None else 1,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=MEDIA_SIG_SCHEMA)
+
+
+def media_signatures(
+    media_ds: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 64
+) -> "ray.data.Dataset":
+    """One signature row per DISTINCT ``(media_ref, kind)``.
+
+    Resolver path (no ``payload`` column): distinct FIRST via one
+    (ref, kind) groupby, so hotlinked media decodes once — then the
+    actor-pool fingerprint stage over the distinct rows.  Payload path:
+    fingerprint per occurrence (the payload rides the row and cannot
+    transit a groupby), then collapse by ``Min(h64)`` — same-ref rows
+    carry identical payloads, so the min IS the fingerprint.  Small
+    batches — payloads are the largest binaries (BASELINE.md memory
+    posture)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def fingerprint(ds):
+        return ds.map_batches(
+            MediaRefFingerprinter,
+            concurrency=concurrency,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+
+    if "payload" in media_ds.schema().names:
+        return (
+            fingerprint(media_ds)
+            .groupby(["media_ref", "kind"])
+            .aggregate(
+                Min("h64", alias_name="h64"),
+                Max("ok", alias_name="ok"),
+                Count(alias_name="n_occurrences"),
+            )
+        )
+    distinct = media_ds.groupby(["media_ref", "kind"]).aggregate(
+        Count(alias_name="n_occurrences")
+    )
+    return fingerprint(distinct)
+
+
+def media_near_dup_drop_set(
+    sigs: "ray.data.Dataset", max_hamming: int = 3
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Per-kind lossless hamming LSH over the signature table →
+    ``(pairs, clusters)`` frames; dropped refs are the non-kept cluster
+    members (min-ref representative).  The signature Dataset is
+    materialized ONCE (narrow fixed-width rows — the same bounded
+    posture as the minhash signature checkpoint) so the three per-kind
+    sweeps never re-execute the decode stage.  Pair/cluster frames are
+    near-dup-bounded (tiny relative to the corpus by the same argument
+    as the text dedup family)."""
+    from fetch_engines_ray.ops.dedup import dedup_clusters
+    from fetch_engines_ray.ops.imagehash import hamming64_pairs
+
+    sigs = sigs.materialize()
+    all_pairs, all_clusters = [], []
+    for kind in ("image", "audio", "video"):
+        k_sigs = sigs.filter(expr=f"kind == '{kind}' and ok == 1")
+        if k_sigs.count() == 0:
+            continue
+        pairs = hamming64_pairs(
+            k_sigs, hash_col="h64", id_col="media_ref", max_hamming=max_hamming
+        )
+        if pairs.empty:
+            continue
+        pairs = pairs[pairs["doc_a"] != pairs["doc_b"]]  # guard: degenerate self-rows
+        pairs = pairs.rename(columns={"doc_a": "ref_a", "doc_b": "ref_b"}).assign(kind=kind)
+        all_pairs.append(pairs)
+        cl = dedup_clusters(pairs.rename(columns={"ref_a": "doc_a", "ref_b": "doc_b"}))
+        all_clusters.append(cl.rename(columns={"doc_id": "media_ref"}).assign(kind=kind))
+    empty_p = pd.DataFrame(columns=["ref_a", "ref_b", "hamming", "kind"])
+    empty_c = pd.DataFrame(columns=["media_ref", "cluster_rep", "is_kept", "kind"])
+    return (
+        pd.concat(all_pairs, ignore_index=True) if all_pairs else empty_p,
+        pd.concat(all_clusters, ignore_index=True) if all_clusters else empty_c,
+    )
+
+
+def curate_media(
+    extracted_ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    max_caption_chars: int = 400,
+    require_caption: bool = False,
+    concurrency=(1, 8),
+) -> dict:
+    """End-to-end multimodal curation over extraction output.
+
+    Returns ``{"pairs": Dataset, "dup_pairs": DataFrame, "clusters":
+    DataFrame, "n_dropped": int}`` where ``pairs`` streams
+    ``(doc_id, media_ref, kind, caption, ...)`` for every occurrence of
+    every KEPT media item.  The drop set broadcasts into a filter stage
+    (``ray.put`` once) — never a join."""
+    import ray
+
+    from fetch_engines_ray.ops.captions import mine_caption_pairs
+    from fetch_engines_ray.ops.multimodal import media_spans_dataset
+
+    spans = media_spans_dataset(extracted_ds)
+    sigs = media_signatures(spans, concurrency=concurrency)
+    dup_pairs, clusters = media_near_dup_drop_set(sigs, max_hamming=max_hamming)
+    dropped = (
+        frozenset(clusters.loc[~clusters["is_kept"], "media_ref"])
+        if len(clusters)
+        else frozenset()
+    )
+    captions = mine_caption_pairs(
+        extracted_ds, max_chars=max_caption_chars, require_caption=require_caption
+    )
+    if dropped:
+        drop_ref = ray.put(dropped)
+
+        def keep_surviving(batch: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            mask = pa.array(
+                [r not in drop for r in batch["media_ref"].to_pylist()]
+            )
+            return batch.filter(mask)
+
+        captions = captions.map_batches(
+            keep_surviving, batch_format="pyarrow", batch_size=4096
+        )
+    return {
+        "pairs": captions,
+        "dup_pairs": dup_pairs,
+        "clusters": clusters,
+        "n_dropped": len(dropped),
+    }

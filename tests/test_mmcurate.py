@@ -1,0 +1,162 @@
+"""Multimodal curation pipeline (pipelines/mmcurate.py): distinct-ref
+signature semantics, controlled-payload drop sets, and an end-to-end
+self-consistency check against brute-force hamming over the planted
+fingerprints."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fetch_engines_ray.ops.imagehash import dhash64
+from fetch_engines_ray.ops.png import decode_png, encode_png, planted_png_for_ref
+from fetch_engines_ray.pipelines.mmcurate import (
+    curate_media,
+    media_near_dup_drop_set,
+    media_signatures,
+)
+
+
+def _png(seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    return encode_png(rng.randint(0, 256, size=(24, 24), dtype=np.uint8))
+
+
+def test_media_signatures_payload_path_collapses_refs(ray_session):
+    import ray.data
+
+    p = _png(1)
+    ds = ray.data.from_items(
+        [
+            {"media_ref": "m/a", "kind": "image", "payload": p},
+            {"media_ref": "m/a", "kind": "image", "payload": p},  # hotlink
+            {"media_ref": "m/b", "kind": "image", "payload": _png(2)},
+            {"media_ref": "m/c", "kind": "widget", "payload": b"??"},  # unknown kind
+        ]
+    )
+    sigs = media_signatures(ds).to_pandas().set_index("media_ref")
+    assert len(sigs) == 3
+    assert sigs.loc["m/a", "n_occurrences"] == 2
+    assert sigs.loc["m/a", "ok"] == 1
+    assert sigs.loc["m/c", "ok"] == 0  # unknown kind -> skip, not h64=0 cluster
+    expected = np.uint64(dhash64(decode_png(p)["pixels"])).astype(np.int64).item()
+    assert sigs.loc["m/a", "h64"] == expected
+
+
+def test_media_drop_set_controlled_payloads(ray_session):
+    import ray.data
+
+    base = np.random.RandomState(5).randint(40, 200, size=(24, 24), dtype=np.uint8)
+    clone = encode_png(base, row_filters=[4, 3, 2, 1, 0])  # re-encoded duplicate
+    ds = ray.data.from_items(
+        [
+            {"media_ref": "img/1", "kind": "image", "payload": encode_png(base)},
+            {"media_ref": "img/2", "kind": "image", "payload": clone},
+            {"media_ref": "img/3", "kind": "image", "payload": _png(99)},
+        ]
+    )
+    pairs, clusters = media_near_dup_drop_set(media_signatures(ds))
+    assert set(zip(pairs["ref_a"], pairs["ref_b"])) == {("img/1", "img/2")}
+    assert (pairs["hamming"] == 0).all()
+    dropped = set(clusters.loc[~clusters["is_kept"], "media_ref"])
+    assert dropped == {"img/2"}  # min-ref representative kept
+
+
+def _docs():
+    """Synthetic extracted docs over resolver-planted media; includes a
+    hotlinked ref shared by two docs."""
+
+    def span(kind, text="", ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref}
+
+    return [
+        {
+            "doc_id": "d1",
+            "out_spans": [
+                span("text", "Shared logo appears here first."),
+                span("image", ref="media://shared/logo"),
+                span("text", "Caption after the first logo."),
+                span("audio", ref="media://d1/clip"),
+            ],
+        },
+        {
+            "doc_id": "d2",
+            "out_spans": [
+                span("image", ref="media://shared/logo"),  # hotlink
+                span("text", "Second document reuses the logo."),
+                span("video", ref="media://d2/anim"),
+            ],
+        },
+        {
+            "doc_id": "d3",
+            "out_spans": [
+                span("text", "Unrelated figure below."),
+                span("image", ref="media://d3/fig"),
+                span("audio", ref="media://d3/clip"),
+            ],
+        },
+    ]
+
+
+def _expected_drop_set(docs, max_hamming=3):
+    """Brute-force: fingerprint every distinct (ref, kind) exactly like
+    the pipeline, all-pairs hamming per kind, min-ref union-find."""
+    from fetch_engines_ray.ops.gif import decode_gif, planted_gif_for_ref
+    from fetch_engines_ray.ops.mediahash import audio_fingerprint64, video_fingerprint64
+    from fetch_engines_ray.ops.wav import decode_wav, planted_wav_for_ref
+
+    fps = {}
+    for d in docs:
+        for s in d["out_spans"]:
+            r, k = s["media_ref"], s["kind"]
+            if not r or (r, k) in fps:
+                continue
+            if k == "image":
+                fps[(r, k)] = dhash64(decode_png(planted_png_for_ref(r))["pixels"])
+            elif k == "audio":
+                dec = decode_wav(planted_wav_for_ref(r))
+                fps[(r, k)] = audio_fingerprint64(dec["samples"], dec["sample_rate"])
+            elif k == "video":
+                fps[(r, k)] = video_fingerprint64(decode_gif(planted_gif_for_ref(r))["frames"])
+    dropped = set()
+    by_kind: dict = {}
+    for (r, k), f in fps.items():
+        by_kind.setdefault(k, []).append((r, f))
+    for k, items in by_kind.items():
+        items.sort()
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                d = bin(int(np.uint64(items[i][1]) ^ np.uint64(items[j][1]))).count("1")
+                if d <= max_hamming:
+                    dropped.add(max(items[i][0], items[j][0]))
+    return dropped
+
+
+def test_curate_media_end_to_end_self_consistent(ray_session):
+    import ray.data
+
+    docs = _docs()
+    out = curate_media(ray.data.from_items(docs))
+    expected_dropped = _expected_drop_set(docs)
+    got_dropped = set(out["clusters"].loc[~out["clusters"]["is_kept"], "media_ref"])
+    assert got_dropped == expected_dropped
+    assert out["n_dropped"] == len(expected_dropped)
+    pairs = out["pairs"].to_pandas()
+    # every surviving occurrence keeps its caption row; dropped refs lose all
+    assert not set(pairs["media_ref"]) & expected_dropped
+    kept_logo = pairs[pairs["media_ref"] == "media://shared/logo"]
+    if "media://shared/logo" not in expected_dropped:
+        assert set(kept_logo["doc_id"]) == {"d1", "d2"}  # hotlink keeps BOTH pairs
+        d1row = kept_logo[kept_logo["doc_id"] == "d1"].iloc[0]
+        assert d1row["caption"] == "Caption after the first logo."
+        assert d1row["caption_source"] == "after"
+
+
+def test_curate_media_empty_corpus(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"doc_id": "d", "out_spans": [
+        {"kind": "text", "text": "no media at all", "media_ref": ""}]}])
+    out = curate_media(ds)
+    assert out["n_dropped"] == 0
+    assert out["pairs"].count() == 0
+    assert out["dup_pairs"].empty and out["clusters"].empty
