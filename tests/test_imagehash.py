@@ -158,3 +158,33 @@ def test_pairs_compose_with_dedup_clusters(ray_session):
     lab = dict(zip(clusters["doc_id"], clusters["cluster_rep"]))
     assert lab.get(10) == lab.get(11)
     assert 12 not in lab or lab[12] != lab[10]
+
+
+def test_hamming64_pairs_lossless_vs_bruteforce(ray_session):
+    """Pigeonhole losslessness: banded LSH pairs == exact all-pairs
+    hamming <= 3 on random hashes with planted low-distance perturbations."""
+    import ray.data
+
+    from fetch_engines_ray.ops.imagehash import hamming64_pairs
+
+    rng = np.random.RandomState(71)
+    hashes = rng.randint(-(2**63), 2**63, size=60, dtype=np.int64)
+    # plant perturbations at hamming 1..4 of earlier rows (4 must NOT pair)
+    for i, flips in [(50, 1), (51, 2), (52, 3), (53, 4)]:
+        h = np.uint64(hashes[i - 50])
+        for b in rng.choice(64, size=flips, replace=False):
+            h ^= np.uint64(1) << np.uint64(int(b))
+        hashes[i] = np.int64(h)
+    ds = ray.data.from_items(
+        [{"doc_id": int(i), "dhash": int(h)} for i, h in enumerate(hashes)]
+    )
+    got = hamming64_pairs(ds, hash_col="dhash", max_hamming=3)
+    got_set = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    expect = set()
+    u = hashes.view(np.uint64)
+    for i in range(len(u)):
+        for j in range(i + 1, len(u)):
+            if bin(int(u[i] ^ u[j])).count("1") <= 3:
+                expect.add((i, j))
+    assert got_set == expect
+    assert {(0, 50), (1, 51), (2, 52)} <= expect and (3, 53) not in expect
