@@ -250,20 +250,127 @@ def media_near_dup_drop_set(
     )
 
 
+def media_near_dup_verdicts(
+    sigs: "ray.data.Dataset", max_hamming: int = 3
+) -> "ray.data.Dataset":
+    """Ref-level keep/drop verdicts as a DATASET — the 100-TB handoff
+    for clone-heavy corpora where even the duplicate mass outgrows the
+    driver (``media_near_dup_drop_set``'s frames are bounded by dup
+    mass; this form is bounded by nothing driver-side except the
+    rep-level maps, which are distinct-hash-cluster-sized).
+
+    Same exact-collapse-then-LSH computation; member verdicts are
+    emitted in ONE distributed pass with the (h64 → rep, rep → cluster
+    root) maps broadcast via ``ray.put``.  Emits rows ONLY for refs in
+    duplicate groups or LSH clusters: absent refs are implicitly kept.
+    Schema: ``(media_ref, kind, cluster_rep, is_kept)``."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from fetch_engines_ray.ops.dedup import dedup_clusters
+    from fetch_engines_ray.ops.imagehash import hamming64_pairs
+
+    sigs = sigs.materialize()
+    out_parts = []
+    for kind in ("image", "audio", "video"):
+        k_sigs = sigs.filter(expr=f"kind == '{kind}' and ok == 1")
+        if k_sigs.count() == 0:
+            continue
+        groups = k_sigs.groupby("h64").aggregate(
+            Min("media_ref", alias_name="rep"), Count(alias_name="n_refs")
+        ).materialize()
+        rep_pairs = hamming64_pairs(
+            groups, hash_col="h64", id_col="rep", max_hamming=max_hamming
+        ).rename(columns={"doc_a": "ref_a", "doc_b": "ref_b"})
+        rep_pairs = rep_pairs[rep_pairs["ref_a"] != rep_pairs["ref_b"]]
+        paired_reps = frozenset(rep_pairs["ref_a"]) | frozenset(rep_pairs["ref_b"])
+        affected = groups.filter(expr="n_refs > 1").to_pandas()
+        if paired_reps:
+            in_pairs = groups.to_pandas()
+            in_pairs = in_pairs[in_pairs["rep"].isin(paired_reps)]
+            affected = pd.concat([affected, in_pairs]).drop_duplicates("h64")
+        if rep_pairs.empty and affected.empty:
+            continue
+        cl = dedup_clusters(
+            rep_pairs.rename(columns={"ref_a": "doc_a", "ref_b": "doc_b"})
+        ).rename(columns={"doc_id": "rep"})
+        rep_root = dict(zip(cl["rep"], cl["cluster_rep"]))
+        group_rep = dict(zip(affected["h64"].astype("int64"), affected["rep"]))
+        maps_ref = ray.put((group_rep, rep_root))
+
+        # bind per-iteration values as DEFAULTS: the map_batches UDF
+        # executes lazily after the loop, when plain closure cells
+        # would all hold the LAST kind's maps (caught at sf0.1: only
+        # video verdicts were emitted)
+        def member_verdicts(
+            batch: pa.Table, _maps_ref=maps_ref, k_name=kind
+        ) -> pa.Table:
+            g_rep, r_root = ray.get(_maps_ref)
+            refs, roots = [], []
+            for ref, h in zip(
+                batch["media_ref"].to_pylist(), batch["h64"].to_pylist()
+            ):
+                rep = g_rep.get(h)
+                if rep is None:
+                    continue
+                refs.append(ref)
+                roots.append(r_root.get(rep, rep))
+            return pa.table(
+                {
+                    "media_ref": pa.array(refs, type=pa.string()),
+                    "kind": pa.array([k_name] * len(refs), type=pa.string()),
+                    "cluster_rep": pa.array(roots, type=pa.string()),
+                    "is_kept": pa.array(
+                        [r == c for r, c in zip(refs, roots)], type=pa.bool_()
+                    ),
+                }
+            )
+
+        out_parts.append(
+            k_sigs.map_batches(member_verdicts, batch_format="pyarrow", batch_size=8192)
+        )
+    if not out_parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "media_ref": pa.array([], type=pa.string()),
+                    "kind": pa.array([], type=pa.string()),
+                    "cluster_rep": pa.array([], type=pa.string()),
+                    "is_kept": pa.array([], type=pa.bool_()),
+                }
+            )
+        )
+    ds = out_parts[0]
+    for p in out_parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def curate_media(
     extracted_ds: "ray.data.Dataset",
     max_hamming: int = 3,
     max_caption_chars: int = 400,
     require_caption: bool = False,
     concurrency=(1, 8),
+    drop_strategy: str = "broadcast",
 ) -> dict:
     """End-to-end multimodal curation over extraction output.
 
-    Returns ``{"pairs": Dataset, "dup_pairs": DataFrame, "clusters":
-    DataFrame, "n_dropped": int}`` where ``pairs`` streams
-    ``(doc_id, media_ref, kind, caption, ...)`` for every occurrence of
-    every KEPT media item.  The drop set broadcasts into a filter stage
-    (``ray.put`` once) — never a join."""
+    Returns ``{"pairs": Dataset, "dup_pairs": DataFrame|None,
+    "clusters": DataFrame|Dataset, "n_dropped": int}`` where ``pairs``
+    streams ``(doc_id, media_ref, kind, caption, ...)`` for every
+    occurrence of every KEPT media item.
+
+    ``drop_strategy="broadcast"`` (default): the drop set rides to the
+    caption filter via ``ray.put`` — right whenever the duplicate mass
+    fits the driver (it is pair/dup-bounded, not corpus-bounded, on
+    healthy corpora).  ``"semi_join"``: verdicts stay a DATASET end to
+    end and captions anti-join against the dropped refs with a
+    distributed hash join — the handoff for clone-heavy corpora where
+    even the dup mass outgrows the driver; ``dup_pairs`` is None there
+    (the pair frame is a driver-side observability artifact by
+    contract) and ``clusters`` is the verdict Dataset."""
     import ray
 
     from fetch_engines_ray.ops.captions import mine_caption_pairs
@@ -271,14 +378,48 @@ def curate_media(
 
     spans = media_spans_dataset(extracted_ds)
     sigs = media_signatures(spans, concurrency=concurrency)
+    captions = mine_caption_pairs(
+        extracted_ds, max_chars=max_caption_chars, require_caption=require_caption
+    )
+    if drop_strategy == "semi_join":
+        verdicts = media_near_dup_verdicts(sigs, max_hamming=max_hamming).materialize()
+        dropped_ds = verdicts.filter(expr="is_kept == False").select_columns(
+            ["media_ref"]
+        )
+        n_dropped = dropped_ds.count()
+        if n_dropped:
+            marked = dropped_ds.map_batches(
+                lambda b: b.append_column(
+                    "__drop", pa.array(np.ones(b.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+                batch_size=8192,
+            )
+            n_parts = max(2, min(64, captions.count() // 200_000 + 1))
+            joined = captions.join(
+                marked, join_type="left_outer", num_partitions=n_parts, on=("media_ref",)
+            )
+
+            def not_dropped(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                keep = pc.is_null(batch["__drop"])
+                return batch.filter(keep).drop_columns(["__drop"])
+
+            captions = joined.map_batches(
+                not_dropped, batch_format="pyarrow", batch_size=8192
+            )
+        return {
+            "pairs": captions,
+            "dup_pairs": None,
+            "clusters": verdicts,
+            "n_dropped": n_dropped,
+        }
     dup_pairs, clusters = media_near_dup_drop_set(sigs, max_hamming=max_hamming)
     dropped = (
         frozenset(clusters.loc[~clusters["is_kept"], "media_ref"])
         if len(clusters)
         else frozenset()
-    )
-    captions = mine_caption_pairs(
-        extracted_ds, max_chars=max_caption_chars, require_caption=require_caption
     )
     if dropped:
         drop_ref = ray.put(dropped)

@@ -160,3 +160,66 @@ def test_curate_media_empty_corpus(ray_session):
     assert out["n_dropped"] == 0
     assert out["pairs"].count() == 0
     assert out["dup_pairs"].empty and out["clusters"].empty
+
+
+def test_curate_media_semi_join_matches_broadcast(ray_session):
+    """The Dataset-native semi-join path keeps exactly the same caption
+    rows as the broadcast path and reports the same drop count — on a
+    doc set with REAL near-dups: media://probe/{0,2} are planted refs
+    whose dHashes land at hamming 1 of each other (probed offline and
+    re-asserted here so a corpus-generation change fails loudly)."""
+    import ray.data
+
+    a = dhash64(decode_png(planted_png_for_ref("media://probe/0"))["pixels"])
+    b64 = dhash64(decode_png(planted_png_for_ref("media://probe/2"))["pixels"])
+    assert bin(int(np.uint64(a) ^ np.uint64(b64))).count("1") <= 3
+
+    def span(kind, text="", ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref}
+
+    docs = _docs() + [
+        {
+            "doc_id": "d4",
+            "out_spans": [
+                span("text", "First probe image."),
+                span("image", ref="media://probe/0"),
+                span("video", ref="media://probe-video/5"),
+            ],
+        },
+        {
+            "doc_id": "d5",
+            "out_spans": [
+                span("text", "Near-dup probe image."),
+                span("image", ref="media://probe/2"),
+                # pre-probed near-dup refs in EVERY kind: a per-kind
+                # closure bug (one kind's maps leaking into another —
+                # the late-binding regression caught at sf0.1) now
+                # shows up as a drop-count mismatch here too
+                span("video", ref="media://probe-video/64"),
+                span("audio", ref="media://probe-audio/1"),
+            ],
+        },
+        {
+            "doc_id": "d6",
+            "out_spans": [span("audio", ref="media://probe-audio/30")],
+        },
+    ]
+    b = curate_media(ray.data.from_items(docs))
+    s = curate_media(ray.data.from_items(docs), drop_strategy="semi_join")
+    assert b["n_dropped"] >= 3  # a probe near-dup must drop in EVERY kind
+    assert set(b["clusters"].loc[~b["clusters"]["is_kept"], "kind"]) == {
+        "image", "audio", "video",
+    }
+    assert s["n_dropped"] == b["n_dropped"]
+    assert s["dup_pairs"] is None
+    key = ["doc_id", "media_ref", "span_index"]
+    pb = b["pairs"].to_pandas().sort_values(key).reset_index(drop=True)
+    ps = s["pairs"].to_pandas().sort_values(key).reset_index(drop=True)
+    assert list(pb.columns) == list(ps.columns)
+    pd.testing.assert_frame_equal(pb, ps)
+    assert "media://probe/2" not in set(ps["media_ref"])  # min-ref kept
+    v = s["clusters"].to_pandas()
+    c = b["clusters"]
+    assert set(v.loc[~v["is_kept"], "media_ref"]) == set(
+        c.loc[~c["is_kept"], "media_ref"]
+    )
