@@ -395,7 +395,10 @@ def curate_media(
                 batch_format="pyarrow",
                 batch_size=8192,
             )
-            n_parts = max(2, min(64, captions.count() // 200_000 + 1))
+            # size the shuffle from the INPUT doc count (free on
+            # parquet-backed/materialized inputs) — counting `captions`
+            # would execute the caption pipeline once just to plan it
+            n_parts = max(2, min(64, extracted_ds.count() // 200_000 + 1))
             joined = captions.join(
                 marked, join_type="left_outer", num_partitions=n_parts, on=("media_ref",)
             )
