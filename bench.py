@@ -119,6 +119,26 @@ def bench_extraction(sf_dir: str, num_cpus: int, n_override: int | None = None) 
         "docs": n_docs,
         "docs_per_sec": n_docs / dt,
         "udf_cpu_ms_per_doc": round(1000.0 * udf_s / n_docs, 3),
+        "out_dir": out_dir,
+    }
+
+
+def bench_mmcurate(extracted_dir: str) -> dict:
+    """Multimodal curation over the extraction output the headline run
+    just wrote: distinct media refs → real-codec fingerprints →
+    exact-collapse + hamming LSH → caption pairs for survivors
+    (pipelines/mmcurate.py)."""
+    from fetch_engines_ray.pipelines.mmcurate import curate_media
+
+    ext = read_parquet_clean(extracted_dir)
+    t0 = time.perf_counter()
+    out = curate_media(ext, concurrency=(2, 16))
+    n_pairs = out["pairs"].count()
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "caption_pairs": n_pairs,
+        "dropped_media": out["n_dropped"],
     }
 
 
@@ -394,10 +414,13 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool, n_override: in
     ctx.op_resource_reservation_enabled = True
     queries = {"extraction": round(ext["sec"], 3)}
     curate = None
+    mm = None
     if include_queries:
         queries.update(bench_queries(sf_dir))
         curate = bench_curate(sf_dir)
         queries["curate_corpus"] = round(curate["sec"], 3)
+        mm = bench_mmcurate(ext["out_dir"])
+        queries["curate_media"] = round(mm["sec"], 3)
     result = {
         "metric": "end_to_end_extraction_wall_time",
         "value": round(ext["sec"], 3),
@@ -418,6 +441,12 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool, n_override: in
             "sequences": curate["sequences"],
             "docs_per_sec": round(curate["docs_per_sec"], 1),
             "udf_cpu_ms_per_doc": curate["udf_cpu_ms_per_doc"],
+        }
+    if mm is not None:
+        result["curate_media"] = {
+            "sec": round(mm["sec"], 3),
+            "caption_pairs": mm["caption_pairs"],
+            "dropped_media": mm["dropped_media"],
         }
     ray.shutdown()
     return result
