@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from typing import Optional
 
 import numpy as np
 
@@ -245,14 +246,14 @@ def _read_sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
-def decode_gif(data: bytes) -> dict:
-    """Full decode → ``{width, height, n_frames, delays_ms, palette,
-    index_frames, frames, duration_ms}``.
-
-    ``index_frames``: list of ``(h, w)`` uint8 palette-index arrays;
-    ``frames``: list of ``(h, w, 3)`` uint8 RGB arrays (palette
-    applied); ``delays_ms``: per-frame delay in milliseconds.
-    """
+def _parse_gif_container(data: bytes) -> tuple[int, int, np.ndarray, list[tuple[int, bytes, int]]]:
+    """Container walk WITHOUT pixel decode: header + logical screen +
+    global color table + the block chain, returning ``(w, h, palette,
+    frames_raw)`` where each frames_raw entry is ``(min_code_size,
+    lzw_bytes, delay_ms)``.  Walking the sub-block chains is cheap; the
+    LZW inflate is the expensive part and the caller decides which
+    frames pay it (all for :func:`decode_gif`, one for
+    :func:`decode_gif_frame`)."""
     if len(data) < 13 or data[:6] not in (b"GIF89a", b"GIF87a"):
         raise GifFormatError("bad GIF signature")
     w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -270,8 +271,7 @@ def decode_gif(data: bytes) -> dict:
         .copy()
     )
     pos += 3 * n_colors
-    index_frames: list[np.ndarray] = []
-    delays_ms: list[int] = []
+    frames_raw: list[tuple[int, bytes, int]] = []
     pending_delay_cs = 0
     while True:
         if pos >= len(data):
@@ -308,15 +308,37 @@ def decode_gif(data: bytes) -> dict:
             mcs = data[pos]
             pos += 1
             lzw, pos = _read_sub_blocks(data, pos)
-            raw = _lzw_decode(lzw, mcs, fw * fh)
-            idx = np.frombuffer(raw, dtype=np.uint8).reshape(fh, fw).copy()
-            if int(idx.max(initial=0)) >= n_colors:
-                raise GifFormatError("pixel index beyond palette")
-            index_frames.append(idx)
-            delays_ms.append(pending_delay_cs * 10)
+            frames_raw.append((mcs, lzw, pending_delay_cs * 10))
             pending_delay_cs = 0
             continue
         raise GifFormatError(f"unknown block 0x{block:02x}")
+    return w, h, palette, frames_raw
+
+
+def _decode_one_frame(
+    mcs: int, lzw: bytes, w: int, h: int, n_colors: int
+) -> np.ndarray:
+    raw = _lzw_decode(lzw, mcs, w * h)
+    idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).copy()
+    if int(idx.max(initial=0)) >= n_colors:
+        raise GifFormatError("pixel index beyond palette")
+    return idx
+
+
+def decode_gif(data: bytes) -> dict:
+    """Full decode → ``{width, height, n_frames, delays_ms, palette,
+    index_frames, frames, duration_ms}``.
+
+    ``index_frames``: list of ``(h, w)`` uint8 palette-index arrays;
+    ``frames``: list of ``(h, w, 3)`` uint8 RGB arrays (palette
+    applied); ``delays_ms``: per-frame delay in milliseconds.
+    """
+    w, h, palette, frames_raw = _parse_gif_container(data)
+    n_colors = palette.shape[0]
+    index_frames = [
+        _decode_one_frame(mcs, lzw, w, h, n_colors) for mcs, lzw, _ in frames_raw
+    ]
+    delays_ms = [d for _, _, d in frames_raw]
     if not index_frames:
         raise GifFormatError("no image frames")
     frames = [palette[f] for f in index_frames]
@@ -329,6 +351,34 @@ def decode_gif(data: bytes) -> dict:
         "palette": palette,
         "index_frames": index_frames,
         "frames": frames,
+    }
+
+
+def decode_gif_frame(data: bytes, index: Optional[int] = None) -> dict:
+    """Selective decode: the container walk plus the LZW inflate of ONE
+    frame (default: the MIDDLE frame, ``n_frames // 2`` — the
+    fingerprinting convention).  For an n-frame GIF this skips
+    ``(n-1)/n`` of the LZW cost, which dominates pure-Python decode —
+    the fast path for ``pipelines/mmcurate.py``'s video fingerprints.
+
+    Returns ``{width, height, n_frames, duration_ms, frame_index,
+    index_frame, frame}`` (``frame``: the ``(h, w, 3)`` RGB frame)."""
+    w, h, palette, frames_raw = _parse_gif_container(data)
+    if not frames_raw:
+        raise GifFormatError("no image frames")
+    i = len(frames_raw) // 2 if index is None else index
+    if not 0 <= i < len(frames_raw):
+        raise GifFormatError(f"frame index {i} out of range")
+    mcs, lzw, _ = frames_raw[i]
+    idx = _decode_one_frame(mcs, lzw, w, h, palette.shape[0])
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames_raw),
+        "duration_ms": int(sum(d for _, _, d in frames_raw)),
+        "frame_index": i,
+        "index_frame": idx,
+        "frame": palette[idx],
     }
 
 

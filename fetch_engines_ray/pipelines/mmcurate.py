@@ -55,9 +55,13 @@ class MediaRefFingerprinter:
     rather than clustering together at h64=0."""
 
     def __init__(self) -> None:
-        from fetch_engines_ray.ops.gif import GifFormatError, decode_gif, planted_gif_for_ref
+        from fetch_engines_ray.ops.gif import (
+            GifFormatError,
+            decode_gif_frame,
+            planted_gif_for_ref,
+        )
         from fetch_engines_ray.ops.imagehash import dhash64
-        from fetch_engines_ray.ops.mediahash import audio_fingerprint64, video_fingerprint64
+        from fetch_engines_ray.ops.mediahash import audio_fingerprint64
         from fetch_engines_ray.ops.png import PngFormatError, decode_png, planted_png_for_ref
         from fetch_engines_ray.ops.wav import WavFormatError, decode_wav, planted_wav_for_ref
 
@@ -76,11 +80,16 @@ class MediaRefFingerprinter:
             return audio_fingerprint64(dec["samples"], dec["sample_rate"])
 
         def fp_video(ref: str, payload: Optional[bytes]) -> Optional[int]:
+            # selective decode: LZW-inflate ONLY the middle frame (the
+            # fingerprint's input) — same hash as video_fingerprint64
+            # over the full decode, (n-1)/n of the LZW cost skipped
             try:
-                dec = decode_gif(payload if payload is not None else planted_gif_for_ref(ref))
+                dec = decode_gif_frame(
+                    payload if payload is not None else planted_gif_for_ref(ref)
+                )
             except GifFormatError:
                 return None
-            return video_fingerprint64(dec["frames"])
+            return dhash64(dec["frame"])
 
         self.dispatch = {"image": fp_image, "audio": fp_audio, "video": fp_video}
 

@@ -178,3 +178,36 @@ def test_media_decoder_video_real(ray_session):
     md = MediaDecoder()
     row = md.real_decode_video("media://video/bad", b"GIF89a\x00bogus")
     assert row["decode_status"] == "decode_error"
+
+
+def test_decode_gif_frame_parity_with_full_decode():
+    """Selective single-frame decode returns exactly the full decode's
+    frame, metadata, and palette application, for every frame index."""
+    import numpy as np
+
+    from fetch_engines_ray.ops.gif import decode_gif, decode_gif_frame, planted_gif
+
+    for key in (3, 41, 977):
+        data = planted_gif(key)
+        full = decode_gif(data)
+        mid = decode_gif_frame(data)
+        assert mid["frame_index"] == full["n_frames"] // 2
+        assert mid["n_frames"] == full["n_frames"]
+        assert mid["duration_ms"] == full["duration_ms"]
+        assert (mid["width"], mid["height"]) == (full["width"], full["height"])
+        assert np.array_equal(mid["frame"], full["frames"][full["n_frames"] // 2])
+        for i in range(full["n_frames"]):
+            one = decode_gif_frame(data, index=i)
+            assert np.array_equal(one["index_frame"], full["index_frames"][i])
+
+
+def test_decode_gif_frame_failure_modes():
+    import pytest
+
+    from fetch_engines_ray.ops.gif import GifFormatError, decode_gif_frame, planted_gif
+
+    data = planted_gif(7)
+    with pytest.raises(GifFormatError):
+        decode_gif_frame(data, index=99)
+    with pytest.raises(GifFormatError):
+        decode_gif_frame(data[:20])  # truncated
