@@ -203,9 +203,22 @@ def media_near_dup_drop_set(
         # > 1) and every group whose rep appears in an LSH pair
         paired_reps = frozenset(rep_pairs["ref_a"]) | frozenset(rep_pairs["ref_b"])
         affected = groups.filter(expr="n_refs > 1").to_pandas()
+        import ray
+
         if paired_reps:
-            in_pairs = groups.to_pandas()
-            in_pairs = in_pairs[in_pairs["rep"].isin(paired_reps)]
+            # filter the (corpus-scale) distinct-hash table DISTRIBUTED
+            # against the pair-bounded rep set — a bare to_pandas here
+            # would pull every unique fingerprint through the driver
+            reps_ref = ray.put(paired_reps)
+
+            def in_pair_groups(batch: pa.Table) -> pa.Table:
+                reps = ray.get(reps_ref)
+                mask = pa.array([r in reps for r in batch["rep"].to_pylist()])
+                return batch.filter(mask)
+
+            in_pairs = groups.map_batches(
+                in_pair_groups, batch_format="pyarrow", batch_size=8192
+            ).to_pandas()  # bounded: one row per paired rep
             affected = pd.concat([affected, in_pairs]).drop_duplicates("h64")
         if rep_pairs.empty and affected.empty:
             continue
@@ -217,8 +230,6 @@ def media_near_dup_drop_set(
         rep_root = dict(zip(cl["rep"], cl["cluster_rep"]))
         # members of affected groups (ONE streaming filter over the
         # narrow signature table; driver pull = duplicate mass only)
-        import ray
-
         aff_ref = ray.put(frozenset(affected["h64"].astype("int64")))
 
         def members_only(batch: pa.Table) -> pa.Table:
@@ -296,8 +307,18 @@ def media_near_dup_verdicts(
         paired_reps = frozenset(rep_pairs["ref_a"]) | frozenset(rep_pairs["ref_b"])
         affected = groups.filter(expr="n_refs > 1").to_pandas()
         if paired_reps:
-            in_pairs = groups.to_pandas()
-            in_pairs = in_pairs[in_pairs["rep"].isin(paired_reps)]
+            # distributed filter against the pair-bounded rep set (a
+            # bare to_pandas would pull every unique fingerprint)
+            reps_ref = ray.put(paired_reps)
+
+            def in_pair_groups(batch: pa.Table, _reps_ref=reps_ref) -> pa.Table:
+                reps = ray.get(_reps_ref)
+                mask = pa.array([r in reps for r in batch["rep"].to_pylist()])
+                return batch.filter(mask)
+
+            in_pairs = groups.map_batches(
+                in_pair_groups, batch_format="pyarrow", batch_size=8192
+            ).to_pandas()  # bounded: one row per paired rep
             affected = pd.concat([affected, in_pairs]).drop_duplicates("h64")
         if rep_pairs.empty and affected.empty:
             continue
