@@ -40,6 +40,9 @@ MEDIA_SIG_SCHEMA = pa.schema(
         ("kind", pa.string()),
         ("h64", pa.int64()),
         ("ok", pa.int64()),  # 1 = real decode+fingerprint, 0 = skip
+        ("width", pa.int64()),  # image/video; 0 for audio
+        ("height", pa.int64()),
+        ("duration_ms", pa.int64()),  # audio/video; 0 for image
     ]
 )
 
@@ -65,21 +68,26 @@ class MediaRefFingerprinter:
         from fetch_engines_ray.ops.png import PngFormatError, decode_png, planted_png_for_ref
         from fetch_engines_ray.ops.wav import WavFormatError, decode_wav, planted_wav_for_ref
 
-        def fp_image(ref: str, payload: Optional[bytes]) -> Optional[int]:
+        def fp_image(ref: str, payload: Optional[bytes]):
             try:
                 dec = decode_png(payload if payload is not None else planted_png_for_ref(ref))
             except PngFormatError:
                 return None
-            return dhash64(dec["pixels"])
+            return dhash64(dec["pixels"]), dec["width"], dec["height"], 0
 
-        def fp_audio(ref: str, payload: Optional[bytes]) -> Optional[int]:
+        def fp_audio(ref: str, payload: Optional[bytes]):
             try:
                 dec = decode_wav(payload if payload is not None else planted_wav_for_ref(ref))
             except WavFormatError:
                 return None
-            return audio_fingerprint64(dec["samples"], dec["sample_rate"])
+            return (
+                audio_fingerprint64(dec["samples"], dec["sample_rate"]),
+                0,
+                0,
+                dec["duration_ms"],
+            )
 
-        def fp_video(ref: str, payload: Optional[bytes]) -> Optional[int]:
+        def fp_video(ref: str, payload: Optional[bytes]):
             # selective decode: LZW-inflate ONLY the middle frame (the
             # fingerprint's input) — same hash as video_fingerprint64
             # over the full decode, (n-1)/n of the LZW cost skipped
@@ -89,7 +97,7 @@ class MediaRefFingerprinter:
                 )
             except GifFormatError:
                 return None
-            return dhash64(dec["frame"])
+            return dhash64(dec["frame"]), dec["width"], dec["height"], dec["duration_ms"]
 
         self.dispatch = {"image": fp_image, "audio": fp_audio, "video": fp_video}
 
@@ -102,13 +110,17 @@ class MediaRefFingerprinter:
             zip(batch["media_ref"].to_pylist(), batch["kind"].to_pylist())
         ):
             fn = self.dispatch.get(kind or "")
-            fp = fn(ref or "", payloads[i] if payloads is not None else None) if fn else None
+            r = fn(ref or "", payloads[i] if payloads is not None else None) if fn else None
+            fp, w, h, dur = r if r is not None else (None, 0, 0, 0)
             rows.append(
                 {
                     "media_ref": ref or "",
                     "kind": kind or "",
                     "h64": 0 if fp is None else np.uint64(fp).astype(np.int64).item(),
                     "ok": 0 if fp is None else 1,
+                    "width": int(w),
+                    "height": int(h),
+                    "duration_ms": int(dur),
                 }
             )
         return pa.Table.from_pylist(rows, schema=MEDIA_SIG_SCHEMA)
@@ -144,6 +156,9 @@ def media_signatures(
             .aggregate(
                 Min("h64", alias_name="h64"),
                 Max("ok", alias_name="ok"),
+                Min("width", alias_name="width"),
+                Min("height", alias_name="height"),
+                Min("duration_ms", alias_name="duration_ms"),
                 Count(alias_name="n_occurrences"),
             )
         )
@@ -151,6 +166,42 @@ def media_signatures(
         Count(alias_name="n_occurrences")
     )
     return fingerprint(distinct)
+
+
+def apply_media_quality_gates(
+    sigs: "ray.data.Dataset",
+    min_width: Optional[int] = None,
+    min_height: Optional[int] = None,
+    max_aspect: Optional[float] = None,
+    min_duration_ms: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """LAION-style media quality gates over the signature table: adds a
+    ``gate_ok`` int64 column (1 = passes).  Dimension gates apply to
+    image/video rows, the duration gate to audio/video; rows of other
+    kinds (and ``ok=0`` rows) pass untouched so decode failures keep
+    their own taxonomy.  Vectorized numpy over the narrow table."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        kind = np.asarray(batch["kind"].to_pylist(), dtype=object)
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        visual = (kind == "image") | (kind == "video")
+        timed = (kind == "audio") | (kind == "video")
+        ok = np.ones(batch.num_rows, dtype=bool)
+        if min_width is not None:
+            ok &= ~visual | (w >= min_width)
+        if min_height is not None:
+            ok &= ~visual | (h >= min_height)
+        if max_aspect is not None:
+            long_side = np.maximum(w, h)
+            short_side = np.maximum(np.minimum(w, h), 1)
+            ok &= ~visual | (long_side <= max_aspect * short_side)
+        if min_duration_ms is not None:
+            ok &= ~timed | (dur >= min_duration_ms)
+        return batch.append_column("gate_ok", pa.array(ok.astype(np.int64)))
+
+    return sigs.map_batches(gate, batch_format="pyarrow", batch_size=8192)
 
 
 def media_near_dup_drop_set(
@@ -384,13 +435,23 @@ def curate_media(
     require_caption: bool = False,
     concurrency=(1, 8),
     drop_strategy: str = "broadcast",
+    min_width: Optional[int] = None,
+    min_height: Optional[int] = None,
+    max_aspect: Optional[float] = None,
+    min_duration_ms: Optional[int] = None,
 ) -> dict:
     """End-to-end multimodal curation over extraction output.
 
     Returns ``{"pairs": Dataset, "dup_pairs": DataFrame|None,
-    "clusters": DataFrame|Dataset, "n_dropped": int}`` where ``pairs``
-    streams ``(doc_id, media_ref, kind, caption, ...)`` for every
-    occurrence of every KEPT media item.
+    "clusters": DataFrame|Dataset, "n_dropped": int, "n_gated": int}``
+    where ``pairs`` streams ``(doc_id, media_ref, kind, caption, ...)``
+    for every occurrence of every KEPT media item.
+
+    Optional LAION-style quality gates (``min_width`` / ``min_height``
+    / ``max_aspect`` for image+video, ``min_duration_ms`` for
+    audio+video) run BEFORE dedup: gated media lose their caption
+    pairs and never enter the LSH (no point electing a representative
+    the gate would drop anyway).
 
     ``drop_strategy="broadcast"`` (default): the drop set rides to the
     caption filter via ``ray.put`` — right whenever the duplicate mass
@@ -408,6 +469,22 @@ def curate_media(
 
     spans = media_spans_dataset(extracted_ds)
     sigs = media_signatures(spans, concurrency=concurrency)
+    gates_on = any(
+        g is not None for g in (min_width, min_height, max_aspect, min_duration_ms)
+    )
+    gated_ds = None
+    n_gated = 0
+    if gates_on:
+        sigs = apply_media_quality_gates(
+            sigs,
+            min_width=min_width,
+            min_height=min_height,
+            max_aspect=max_aspect,
+            min_duration_ms=min_duration_ms,
+        ).materialize()
+        gated_ds = sigs.filter(expr="gate_ok == 0").select_columns(["media_ref"])
+        n_gated = gated_ds.count()
+        sigs = sigs.filter(expr="gate_ok == 1")
     captions = mine_caption_pairs(
         extracted_ds, max_chars=max_caption_chars, require_caption=require_caption
     )
@@ -416,6 +493,8 @@ def curate_media(
         dropped_ds = verdicts.filter(expr="is_kept == False").select_columns(
             ["media_ref"]
         )
+        if gated_ds is not None and n_gated:
+            dropped_ds = dropped_ds.union(gated_ds)
         n_dropped = dropped_ds.count()
         if n_dropped:
             marked = dropped_ds.map_batches(
@@ -447,6 +526,7 @@ def curate_media(
             "dup_pairs": None,
             "clusters": verdicts,
             "n_dropped": n_dropped,
+            "n_gated": n_gated,
         }
     dup_pairs, clusters = media_near_dup_drop_set(sigs, max_hamming=max_hamming)
     dropped = (
@@ -454,6 +534,10 @@ def curate_media(
         if len(clusters)
         else frozenset()
     )
+    if gated_ds is not None and n_gated:
+        # gated refs lose their captions too (bounded by the gated
+        # mass; the semi_join strategy keeps even this distributed)
+        dropped = dropped | frozenset(gated_ds.to_pandas()["media_ref"])
     if dropped:
         drop_ref = ray.put(dropped)
 
@@ -472,4 +556,5 @@ def curate_media(
         "dup_pairs": dup_pairs,
         "clusters": clusters,
         "n_dropped": len(dropped),
+        "n_gated": n_gated,
     }

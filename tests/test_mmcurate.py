@@ -223,3 +223,61 @@ def test_curate_media_semi_join_matches_broadcast(ray_session):
     assert set(v.loc[~v["is_kept"], "media_ref"]) == set(
         c.loc[~c["is_kept"], "media_ref"]
     )
+
+
+def test_media_quality_gates_unit(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.pipelines.mmcurate import apply_media_quality_gates
+
+    rows = [
+        {"media_ref": "a", "kind": "image", "h64": 1, "ok": 1,
+         "width": 300, "height": 250, "duration_ms": 0},
+        {"media_ref": "b", "kind": "image", "h64": 2, "ok": 1,
+         "width": 50, "height": 250, "duration_ms": 0},   # too narrow
+        {"media_ref": "c", "kind": "image", "h64": 3, "ok": 1,
+         "width": 900, "height": 250, "duration_ms": 0},  # aspect 3.6
+        {"media_ref": "d", "kind": "audio", "h64": 4, "ok": 1,
+         "width": 0, "height": 0, "duration_ms": 40},     # too short
+        {"media_ref": "e", "kind": "audio", "h64": 5, "ok": 1,
+         "width": 0, "height": 0, "duration_ms": 5000},
+        {"media_ref": "f", "kind": "video", "h64": 6, "ok": 1,
+         "width": 300, "height": 250, "duration_ms": 5000},
+    ]
+    out = apply_media_quality_gates(
+        ray.data.from_items(rows),
+        min_width=200, min_height=200, max_aspect=3.0, min_duration_ms=1000,
+    ).to_pandas().set_index("media_ref")
+    assert out.loc["a", "gate_ok"] == 1
+    assert out.loc["b", "gate_ok"] == 0
+    assert out.loc["c", "gate_ok"] == 0
+    assert out.loc["d", "gate_ok"] == 0
+    assert out.loc["e", "gate_ok"] == 1
+    assert out.loc["f", "gate_ok"] == 1
+
+
+def test_curate_media_gates_end_to_end(ray_session):
+    """Dimension gates over resolver-planted media: expected gated refs
+    computed from the same decodes; both strategies agree."""
+    import ray.data
+
+    from fetch_engines_ray.ops.png import decode_png, planted_png_for_ref
+
+    docs = _docs()
+    # planted images are tiny (4-16 px wide): min_width=10 splits them
+    expected_gated = set()
+    for d in docs:
+        for s in d["out_spans"]:
+            if s["kind"] == "image" and s["media_ref"]:
+                dec = decode_png(planted_png_for_ref(s["media_ref"]))
+                if dec["width"] < 10:
+                    expected_gated.add(s["media_ref"])
+    b = curate_media(ray.data.from_items(docs), min_width=10)
+    assert b["n_gated"] == len(expected_gated)
+    pairs_b = b["pairs"].to_pandas()
+    assert not set(pairs_b["media_ref"]) & expected_gated
+    s = curate_media(ray.data.from_items(docs), min_width=10, drop_strategy="semi_join")
+    assert s["n_gated"] == b["n_gated"]
+    assert s["n_dropped"] == b["n_dropped"]
+    pairs_s = s["pairs"].to_pandas()
+    assert set(pairs_s["media_ref"]) == set(pairs_b["media_ref"])
