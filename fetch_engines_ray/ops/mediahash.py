@@ -187,6 +187,102 @@ def audio_near_dup_pairs(
     return hamming64_pairs(sigs, hash_col="afp", max_hamming=max_hamming)
 
 
+def scene_cut_indices(
+    frames: list, threshold_permille: int = 120
+) -> list:
+    """Frame indices that START a new scene (index 0 always does).
+
+    A cut fires when the mean absolute grayscale delta between
+    consecutive frames exceeds ``threshold_permille``/1000 of full
+    scale (255) — the standard pixel-difference scene detector, in
+    pure integer arithmetic (``sum|Δ| * 1000 > thr * 255 * n_pixels``)
+    so the cut set is bit-deterministic."""
+    from fetch_engines_ray.ops.imagehash import to_grayscale
+
+    if not frames:
+        return []
+    cuts = [0]
+    prev = to_grayscale(frames[0])
+    for i in range(1, len(frames)):
+        g = to_grayscale(frames[i])
+        delta = int(np.abs(g - prev).sum())
+        if delta * 1000 > threshold_permille * 255 * g.size:
+            cuts.append(i)
+        prev = g
+    return cuts
+
+
+SCENE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("n_frames", pa.int64()),
+        ("n_scenes", pa.int64()),
+        ("scene_index", pa.int64()),
+        ("frame_index", pa.int64()),
+        ("timestamp_ms", pa.int64()),
+    ]
+)
+
+
+class KeyframeSampler:
+    """Actor-pool flat-map stage: one video row → one row per SCENE
+    keyframe (the first frame of each detected scene), the
+    content-aware alternative to the uniform
+    :class:`ops.multimodal.FrameSampler`.  Timestamps come from the
+    real per-frame GIF delays (cumulative ms at the keyframe)."""
+
+    def __init__(self, threshold_permille: int = 120) -> None:
+        from fetch_engines_ray.ops.gif import decode_gif
+
+        self.decode = decode_gif
+        self.thr = threshold_permille
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = (
+            batch["payload"].to_pylist() if "payload" in batch.column_names else None
+        )
+        rows = []
+        for i, ref in enumerate(batch["media_ref"].to_pylist()):
+            if payloads is not None:
+                payload = payloads[i]
+            else:
+                from fetch_engines_ray.ops.gif import planted_gif_for_ref
+
+                payload = planted_gif_for_ref(ref or "")
+            dec = self.decode(payload)
+            cuts = scene_cut_indices(dec["frames"], self.thr)
+            starts = np.concatenate([[0], np.cumsum(dec["delays_ms"])[:-1]])
+            for si, fi in enumerate(cuts):
+                rows.append(
+                    {
+                        "media_ref": ref or "",
+                        "n_frames": dec["n_frames"],
+                        "n_scenes": len(cuts),
+                        "scene_index": si,
+                        "frame_index": fi,
+                        "timestamp_ms": int(starts[fi]),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=SCENE_SCHEMA)
+
+
+def sample_keyframes(
+    video_ds: "ray.data.Dataset",
+    threshold_permille: int = 120,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Scene-cut keyframe rows for a ``(media_ref[, payload])`` video
+    table (actor pool, small batches — animated payloads are large)."""
+    return video_ds.map_batches(
+        KeyframeSampler,
+        fn_constructor_kwargs={"threshold_permille": threshold_permille},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def video_near_dup_pairs(
     ds: "ray.data.Dataset",
     max_hamming: int = 3,

@@ -140,3 +140,40 @@ def test_video_near_dup_pairs_planted(ray_session):
     got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 2) in got
     assert pairs.loc[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2), "hamming"].iloc[0] == 0
+
+
+def test_scene_cut_indices_two_scene_video():
+    from fetch_engines_ray.ops.mediahash import scene_cut_indices
+
+    a = np.zeros((10, 10), dtype=np.uint8)
+    b = np.full((10, 10), 200, dtype=np.uint8)
+    assert scene_cut_indices([a, a, a, b, b]) == [0, 3]
+    assert scene_cut_indices([a]) == [0]
+    assert scene_cut_indices([]) == []
+    # small noise below threshold never cuts
+    n = a.copy(); n[0, 0] = 30
+    assert scene_cut_indices([a, n, a]) == [0]
+
+
+def test_keyframe_sampler_on_real_gif(ray_session):
+    import ray.data
+
+    from fetch_engines_ray.ops.gif import decode_gif, encode_gif
+    from fetch_engines_ray.ops.mediahash import sample_keyframes, scene_cut_indices
+
+    # two-scene animated GIF: 3 frames of palette idx 0, 2 of idx 40
+    palette = np.stack(
+        [np.arange(64, dtype=np.uint8) * 4] * 3, axis=1
+    )
+    f0 = np.zeros((8, 8), dtype=np.uint8)
+    f1 = np.full((8, 8), 40, dtype=np.uint8)
+    gif = encode_gif([f0, f0, f0, f1, f1], palette, [10, 10, 10, 20, 20])
+    out = sample_keyframes(
+        ray.data.from_items([{"media_ref": "v/1", "payload": gif}])
+    ).to_pandas()
+    assert out["n_scenes"].iloc[0] == 2
+    assert out["frame_index"].tolist() == [0, 3]
+    assert out["timestamp_ms"].tolist() == [0, 300]  # 3 x 10cs = 300ms
+    # detector parity with a direct decode
+    dec = decode_gif(gif)
+    assert scene_cut_indices(dec["frames"]) == [0, 3]
