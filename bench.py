@@ -101,6 +101,11 @@ def bench_extraction(sf_dir: str, num_cpus: int, n_override: int | None = None) 
 
     corpus, n_docs = synth_corpus_parallel(sf_dir, n_override)
     out_dir = f"/tmp/fer_bench_out_{os.getpid()}"
+    # a recycled pid would APPEND uniquely-named parquet next to a stale
+    # run's files — bench_mmcurate reads this dir back, so clear it
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     cfg = PipelineConfig()
 
     # Warm up the worker pool (python worker spawn + package import is

@@ -962,75 +962,24 @@ def simhash_pairs(
 
     Banding is LOSSLESS for ``max_hamming <= 3`` with 4 chunks
     (pigeonhole), so the result equals exact all-pairs hamming — which
-    is exactly what the registry query's DuckDB oracle computes."""
-    sigs = simhash_signatures(ds, hash_fn=hash_fn)
+    is exactly what the registry query's DuckDB oracle computes.
 
-    def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # int64 bucket key = (chunk index << 16) | chunk value
-        buckets = np.empty((n, 4), dtype=np.int64)
-        for c in range(4):
-            buckets[:, c] = (np.int64(c) << np.int64(16)) | batch[f"chunk{c}"].to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-        ids = batch["doc_id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
-        return pa.table(
-            {
-                "bucket": pa.array(buckets.reshape(-1)),
-                "doc_id": ids.take(idx),
-                "simhash": pa.array(np.repeat(hs, 4)),
-            }
-        )
+    The band-explode / run-expansion / popcount-verify machinery is the
+    generic 64-bit hamming LSH shared with the media fingerprints
+    (``ops.imagehash.hamming64_pairs`` — ONE implementation, so the
+    text and media paths cannot drift); this wrapper contributes only
+    the simhash signature computation."""
+    from fetch_engines_ray.ops.imagehash import hamming64_pairs
 
-    banded = sigs.map_batches(explode, batch_format="pyarrow", batch_size=2048)
-    # the 8-byte simhash rides through the self-join (unlike the 0.5 KB
-    # minhash signature), so verification is local to the join output —
-    # no re-attach joins at all.  Shuffle partition count scales with
-    # the INPUT table (same formula as the minhash path; counting the
-    # input, not the signature stage, avoids executing it twice) —
-    # a fixed n_parts=2 would funnel the widest op through 2 aggregator
-    # actors at cluster scale.
-    n_parts = max(2, min(32, ds.count() // 200_000 + 1))
-    cand = _lsh_candidate_pairs(banded, n_parts, carry=("simhash",))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": batch["doc_a"],
-                    "doc_b": batch["doc_b"],
-                    "hamming": pa.array([], type=pa.int64()),
-                }
-            )
-        ha = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hb = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = np.bitwise_xor(ha, hb)
-        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
-        keep = pa.array(d <= max_hamming)
-        return pa.table(
-            {
-                "doc_a": batch["doc_a"].filter(keep),
-                "doc_b": batch["doc_b"].filter(keep),
-                "hamming": pa.array(d[d <= max_hamming]),
-            }
-        )
-
-    empty = pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    pairs = _consume_pairs(
-        lambda: cand.map_batches(verify, batch_format="pyarrow", batch_size=8192).to_pandas(),
-        cand,
-        empty,
-    )
-    if pairs.empty:
-        return empty
-    return (
-        pairs.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+    return hamming64_pairs(
+        simhash_signatures(ds, hash_fn=hash_fn),
+        hash_col="simhash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        # partition count scales with the INPUT table (same formula as
+        # the minhash path); the generic materializes the signature
+        # stage so nothing executes twice
+        n_parts=max(2, min(32, ds.count() // 200_000 + 1)),
     )
 
 
@@ -1226,7 +1175,10 @@ def dedup_clusters_keep_best(
     """
     base = dedup_clusters(pairs)
     if base.empty:
-        return base.assign(best_rep=base.get("cluster_rep"))
+        # same column ORDER as the non-empty path, so per-partition
+        # concats never produce order-inconsistent frames
+        out = base.assign(best_rep=base.get("cluster_rep"))
+        return out[["doc_id", "cluster_rep", "best_rep", "is_kept"]]
     merged = base.merge(scores[["doc_id", score_col]], on="doc_id", how="left")
     merged[score_col] = merged[score_col].fillna(float("-inf"))
     # best row per cluster: sort by (cluster, score desc, doc_id asc), take first

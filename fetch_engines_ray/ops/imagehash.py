@@ -213,6 +213,12 @@ def hamming64_pairs(
             }
         )
 
+    # materialize the (narrow, 8-bytes-per-hash) signature table before
+    # counting: sigs is usually a lazy decode+hash chain, and a bare
+    # count() would execute every codec decode once just to size the
+    # shuffle, then the pair consume would execute it all again (the
+    # double-execution simhash_pairs' n_parts comment warns about)
+    sigs = sigs.materialize()
     banded = sigs.map_batches(explode, batch_format="pyarrow", batch_size=2048)
     if n_parts is None:
         n_parts = max(2, min(32, sigs.count() // 200_000 + 1))

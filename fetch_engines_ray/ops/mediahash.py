@@ -144,12 +144,16 @@ class AudioFingerprinter:
 
 class VideoFingerprinter:
     """Actor-pool stage: ``(doc_id, payload)`` GIF batches in,
-    ``VIDEO_FP_SCHEMA`` rows out (real GIF89a decode via ``ops/gif.py``)."""
+    ``VIDEO_FP_SCHEMA`` rows out.  Uses the SELECTIVE single-frame
+    decode (``ops/gif.py::decode_gif_frame``) — the fingerprint only
+    consumes the middle frame, so the other frames never pay the
+    pure-Python LZW inflate (pinned identical to
+    ``video_fingerprint64`` over the full decode)."""
 
     def __init__(self) -> None:
-        from fetch_engines_ray.ops.gif import decode_gif
+        from fetch_engines_ray.ops.gif import decode_gif_frame
 
-        self.decode = decode_gif
+        self.decode = decode_gif_frame
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -157,7 +161,7 @@ class VideoFingerprinter:
             batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             dec = self.decode(payload)
-            fp = video_fingerprint64(dec["frames"])
+            fp = dhash64(dec["frame"])
             rows.append(
                 {
                     "doc_id": int(doc_id),

@@ -150,17 +150,48 @@ def media_signatures(
         )
 
     if "payload" in media_ds.schema().names:
-        return (
+        # collapse per-occurrence rows WITHOUT letting a failed
+        # occurrence poison the group: a corrupt copy of one occurrence
+        # (truncated re-crawl) emits (h64=0, ok=0), and a bare Min(h64)
+        # would hand every such ref the same 0 sentinel — clustering
+        # unrelated media as exact dups.  Mask failed rows to INT64_MIN
+        # so Max() picks any successful row's values (same-ref valid
+        # payloads are identical), then restore the 0 sentinel for
+        # groups with no successful decode at all.
+        lo = np.iinfo(np.int64).min
+
+        def mask_failed(batch: pa.Table) -> pa.Table:
+            okv = batch["ok"].to_numpy(zero_copy_only=False) == 1
+            cols = {n: batch[n] for n in ("media_ref", "kind", "ok")}
+            for c in ("h64", "width", "height", "duration_ms"):
+                v = batch[c].to_numpy(zero_copy_only=False)
+                cols[c] = pa.array(np.where(okv, v, lo), type=pa.int64())
+            return pa.table(cols)
+
+        rolled = (
             fingerprint(media_ds)
+            .map_batches(mask_failed, batch_format="pyarrow", batch_size=8192)
             .groupby(["media_ref", "kind"])
             .aggregate(
-                Min("h64", alias_name="h64"),
+                Max("h64", alias_name="h64"),
                 Max("ok", alias_name="ok"),
-                Min("width", alias_name="width"),
-                Min("height", alias_name="height"),
-                Min("duration_ms", alias_name="duration_ms"),
+                Max("width", alias_name="width"),
+                Max("height", alias_name="height"),
+                Max("duration_ms", alias_name="duration_ms"),
                 Count(alias_name="n_occurrences"),
             )
+        )
+
+        def restore_sentinel(batch: pa.Table) -> pa.Table:
+            okv = batch["ok"].to_numpy(zero_copy_only=False) == 1
+            cols = {n: batch[n] for n in batch.column_names}
+            for c in ("h64", "width", "height", "duration_ms"):
+                v = batch[c].to_numpy(zero_copy_only=False)
+                cols[c] = pa.array(np.where(okv, v, 0), type=pa.int64())
+            return pa.table(cols)
+
+        return rolled.map_batches(
+            restore_sentinel, batch_format="pyarrow", batch_size=8192
         )
     distinct = media_ds.groupby(["media_ref", "kind"]).aggregate(
         Count(alias_name="n_occurrences")
@@ -186,8 +217,11 @@ def apply_media_quality_gates(
         w = batch["width"].to_numpy(zero_copy_only=False)
         h = batch["height"].to_numpy(zero_copy_only=False)
         dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
-        visual = (kind == "image") | (kind == "video")
-        timed = (kind == "audio") | (kind == "video")
+        # decode failures (ok=0 rows, zeroed dims) pass the gate so they
+        # keep their own taxonomy — they are already excluded from dedup
+        decoded = batch["ok"].to_numpy(zero_copy_only=False) == 1
+        visual = ((kind == "image") | (kind == "video")) & decoded
+        timed = ((kind == "audio") | (kind == "video")) & decoded
         ok = np.ones(batch.num_rows, dtype=bool)
         if min_width is not None:
             ok &= ~visual | (w >= min_width)
@@ -202,6 +236,62 @@ def apply_media_quality_gates(
         return batch.append_column("gate_ok", pa.array(ok.astype(np.int64)))
 
     return sigs.map_batches(gate, batch_format="pyarrow", batch_size=8192)
+
+
+def _kind_rep_level(k_sigs: "ray.data.Dataset", max_hamming: int):
+    """Shared per-kind exact-collapse + rep-level LSH (the single
+    implementation behind BOTH drop strategies, so they cannot
+    diverge): collapse each h64 group to its min-ref representative,
+    pair the DISTINCT fingerprints with the lossless hamming LSH, and
+    resolve rep-level clusters.
+
+    Returns ``(rep_pairs, affected, rep_root, group_rep)`` — or None
+    when the kind has no duplicate structure at all.  ``affected``
+    holds only groups needing ref-level expansion (exact-dup groups and
+    LSH-paired ones); unique-fingerprint groups are filtered
+    DISTRIBUTED before any ``to_pandas``, so driver pull is bounded by
+    the duplicate mass."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from fetch_engines_ray.ops.dedup import dedup_clusters
+    from fetch_engines_ray.ops.imagehash import hamming64_pairs
+
+    if k_sigs.count() == 0:
+        return None
+    groups = k_sigs.groupby("h64").aggregate(
+        Min("media_ref", alias_name="rep"), Count(alias_name="n_refs")
+    ).materialize()
+    rep_pairs = hamming64_pairs(
+        groups, hash_col="h64", id_col="rep", max_hamming=max_hamming
+    ).rename(columns={"doc_a": "ref_a", "doc_b": "ref_b"})
+    rep_pairs = rep_pairs[rep_pairs["ref_a"] != rep_pairs["ref_b"]]
+    paired_reps = frozenset(rep_pairs["ref_a"]) | frozenset(rep_pairs["ref_b"])
+    affected = groups.filter(expr="n_refs > 1").to_pandas()
+    if paired_reps:
+        # distributed filter against the pair-bounded rep set (a bare
+        # to_pandas would pull every unique fingerprint)
+        reps_ref = ray.put(paired_reps)
+
+        def in_pair_groups(batch: pa.Table, _reps_ref=reps_ref) -> pa.Table:
+            reps = ray.get(_reps_ref)
+            mask = pa.array([r in reps for r in batch["rep"].to_pylist()])
+            return batch.filter(mask)
+
+        in_pairs = groups.map_batches(
+            in_pair_groups, batch_format="pyarrow", batch_size=8192
+        ).to_pandas()  # bounded: one row per paired rep
+        affected = pd.concat([affected, in_pairs]).drop_duplicates("h64")
+    if rep_pairs.empty and affected.empty:
+        return None
+    # rep-level clusters; singletons (exact-dup-only groups) join with
+    # their own rep as cluster root
+    cl = dedup_clusters(
+        rep_pairs.rename(columns={"ref_a": "doc_a", "ref_b": "doc_b"})
+    ).rename(columns={"doc_id": "rep"})
+    rep_root = dict(zip(cl["rep"], cl["cluster_rep"]))
+    group_rep = dict(zip(affected["h64"].astype("int64"), affected["rep"]))
+    return rep_pairs, affected, rep_root, group_rep
 
 
 def media_near_dup_drop_set(
@@ -232,53 +322,16 @@ def media_near_dup_drop_set(
     by the DUPLICATE mass (affected groups + their members), never the
     corpus: unique-fingerprint groups are filtered out before
     ``to_pandas``."""
-    from ray.data.aggregate import Count, Min
-
-    from fetch_engines_ray.ops.dedup import dedup_clusters
-    from fetch_engines_ray.ops.imagehash import hamming64_pairs
+    import ray
 
     sigs = sigs.materialize()
     all_pairs, all_clusters = [], []
     for kind in ("image", "audio", "video"):
         k_sigs = sigs.filter(expr=f"kind == '{kind}' and ok == 1")
-        if k_sigs.count() == 0:
+        rep = _kind_rep_level(k_sigs, max_hamming)
+        if rep is None:
             continue
-        groups = k_sigs.groupby("h64").aggregate(
-            Min("media_ref", alias_name="rep"), Count(alias_name="n_refs")
-        ).materialize()
-        rep_pairs = hamming64_pairs(
-            groups, hash_col="h64", id_col="rep", max_hamming=max_hamming
-        ).rename(columns={"doc_a": "ref_a", "doc_b": "ref_b"})
-        rep_pairs = rep_pairs[rep_pairs["ref_a"] != rep_pairs["ref_b"]]
-        # groups needing ref-level expansion: exact-dup groups (n_refs
-        # > 1) and every group whose rep appears in an LSH pair
-        paired_reps = frozenset(rep_pairs["ref_a"]) | frozenset(rep_pairs["ref_b"])
-        affected = groups.filter(expr="n_refs > 1").to_pandas()
-        import ray
-
-        if paired_reps:
-            # filter the (corpus-scale) distinct-hash table DISTRIBUTED
-            # against the pair-bounded rep set — a bare to_pandas here
-            # would pull every unique fingerprint through the driver
-            reps_ref = ray.put(paired_reps)
-
-            def in_pair_groups(batch: pa.Table) -> pa.Table:
-                reps = ray.get(reps_ref)
-                mask = pa.array([r in reps for r in batch["rep"].to_pylist()])
-                return batch.filter(mask)
-
-            in_pairs = groups.map_batches(
-                in_pair_groups, batch_format="pyarrow", batch_size=8192
-            ).to_pandas()  # bounded: one row per paired rep
-            affected = pd.concat([affected, in_pairs]).drop_duplicates("h64")
-        if rep_pairs.empty and affected.empty:
-            continue
-        # rep-level clusters; singletons (exact-dup-only groups) join
-        # with their own rep as cluster root
-        cl = dedup_clusters(
-            rep_pairs.rename(columns={"ref_a": "doc_a", "ref_b": "doc_b"})
-        ).rename(columns={"doc_id": "rep"})
-        rep_root = dict(zip(cl["rep"], cl["cluster_rep"]))
+        rep_pairs, affected, rep_root, group_rep = rep
         # members of affected groups (ONE streaming filter over the
         # narrow signature table; driver pull = duplicate mass only)
         aff_ref = ray.put(frozenset(affected["h64"].astype("int64")))
@@ -295,7 +348,6 @@ def media_near_dup_drop_set(
             .select_columns(["media_ref", "h64"])
             .to_pandas()
         )
-        group_rep = dict(zip(affected["h64"].astype("int64"), affected["rep"]))
         members["rep"] = members["h64"].astype("int64").map(group_rep)
         members["cluster_rep"] = members["rep"].map(lambda r: rep_root.get(r, r))
         members["is_kept"] = members["media_ref"] == members["cluster_rep"]
@@ -330,54 +382,24 @@ def media_near_dup_verdicts(
     mass; this form is bounded by nothing driver-side except the
     rep-level maps, which are distinct-hash-cluster-sized).
 
-    Same exact-collapse-then-LSH computation; member verdicts are
-    emitted in ONE distributed pass with the (h64 → rep, rep → cluster
-    root) maps broadcast via ``ray.put``.  Emits rows ONLY for refs in
-    duplicate groups or LSH clusters: absent refs are implicitly kept.
+    Same exact-collapse-then-LSH computation as
+    :func:`media_near_dup_drop_set` (shared ``_kind_rep_level``);
+    member verdicts are emitted in ONE distributed pass with the
+    (h64 → rep, rep → cluster root) maps broadcast via ``ray.put``.
+    Emits rows ONLY for refs in duplicate groups or LSH clusters:
+    absent refs are implicitly kept.
     Schema: ``(media_ref, kind, cluster_rep, is_kept)``."""
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Min
-
-    from fetch_engines_ray.ops.dedup import dedup_clusters
-    from fetch_engines_ray.ops.imagehash import hamming64_pairs
 
     sigs = sigs.materialize()
     out_parts = []
     for kind in ("image", "audio", "video"):
         k_sigs = sigs.filter(expr=f"kind == '{kind}' and ok == 1")
-        if k_sigs.count() == 0:
+        rep = _kind_rep_level(k_sigs, max_hamming)
+        if rep is None:
             continue
-        groups = k_sigs.groupby("h64").aggregate(
-            Min("media_ref", alias_name="rep"), Count(alias_name="n_refs")
-        ).materialize()
-        rep_pairs = hamming64_pairs(
-            groups, hash_col="h64", id_col="rep", max_hamming=max_hamming
-        ).rename(columns={"doc_a": "ref_a", "doc_b": "ref_b"})
-        rep_pairs = rep_pairs[rep_pairs["ref_a"] != rep_pairs["ref_b"]]
-        paired_reps = frozenset(rep_pairs["ref_a"]) | frozenset(rep_pairs["ref_b"])
-        affected = groups.filter(expr="n_refs > 1").to_pandas()
-        if paired_reps:
-            # distributed filter against the pair-bounded rep set (a
-            # bare to_pandas would pull every unique fingerprint)
-            reps_ref = ray.put(paired_reps)
-
-            def in_pair_groups(batch: pa.Table, _reps_ref=reps_ref) -> pa.Table:
-                reps = ray.get(_reps_ref)
-                mask = pa.array([r in reps for r in batch["rep"].to_pylist()])
-                return batch.filter(mask)
-
-            in_pairs = groups.map_batches(
-                in_pair_groups, batch_format="pyarrow", batch_size=8192
-            ).to_pandas()  # bounded: one row per paired rep
-            affected = pd.concat([affected, in_pairs]).drop_duplicates("h64")
-        if rep_pairs.empty and affected.empty:
-            continue
-        cl = dedup_clusters(
-            rep_pairs.rename(columns={"ref_a": "doc_a", "ref_b": "doc_b"})
-        ).rename(columns={"doc_id": "rep"})
-        rep_root = dict(zip(cl["rep"], cl["cluster_rep"]))
-        group_rep = dict(zip(affected["h64"].astype("int64"), affected["rep"]))
+        _, _, rep_root, group_rep = rep
         maps_ref = ray.put((group_rep, rep_root))
 
         # bind per-iteration values as DEFAULTS: the map_batches UDF
