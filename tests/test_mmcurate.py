@@ -281,3 +281,52 @@ def test_curate_media_gates_end_to_end(ray_session):
     assert s["n_dropped"] == b["n_dropped"]
     pairs_s = s["pairs"].to_pandas()
     assert set(pairs_s["media_ref"]) == set(pairs_b["media_ref"])
+
+
+def test_media_signatures_corrupt_occurrence_does_not_poison_group(ray_session):
+    """One corrupt copy of a hotlinked payload must not zero the ref's
+    fingerprint — and two refs with corrupt occurrences must NOT end up
+    sharing a sentinel hash (the Min(h64) poisoning regression)."""
+    import ray.data
+
+    p1, p2 = _png(31), _png(77)
+    ds = ray.data.from_items(
+        [
+            {"media_ref": "m/x", "kind": "image", "payload": p1},
+            {"media_ref": "m/x", "kind": "image", "payload": b"truncated"},
+            {"media_ref": "m/y", "kind": "image", "payload": p2},
+            {"media_ref": "m/y", "kind": "image", "payload": b"also bad"},
+            {"media_ref": "m/z", "kind": "image", "payload": b"all bad"},
+        ]
+    )
+    sigs = media_signatures(ds).to_pandas().set_index("media_ref")
+    assert sigs.loc["m/x", "ok"] == 1
+    assert sigs.loc["m/y", "ok"] == 1
+    x_expected = np.uint64(dhash64(decode_png(p1)["pixels"])).astype(np.int64).item()
+    assert sigs.loc["m/x", "h64"] == x_expected
+    assert sigs.loc["m/x", "h64"] != sigs.loc["m/y", "h64"]
+    assert sigs.loc["m/z", "ok"] == 0 and sigs.loc["m/z", "h64"] == 0
+    # and no spurious exact-dup cluster between x and y
+    pairs, clusters = media_near_dup_drop_set(media_signatures(ds))
+    refs = set(clusters["media_ref"]) if len(clusters) else set()
+    assert not ({"m/x", "m/y"} <= refs)
+
+
+def test_quality_gates_pass_decode_failures(ray_session):
+    """ok=0 rows (zeroed dims) pass every gate: decode failures keep
+    their own taxonomy instead of masquerading as gated media."""
+    import ray.data
+
+    from fetch_engines_ray.pipelines.mmcurate import apply_media_quality_gates
+
+    rows = [
+        {"media_ref": "bad", "kind": "image", "h64": 0, "ok": 0,
+         "width": 0, "height": 0, "duration_ms": 0},
+        {"media_ref": "small", "kind": "image", "h64": 1, "ok": 1,
+         "width": 5, "height": 5, "duration_ms": 0},
+    ]
+    out = apply_media_quality_gates(
+        ray.data.from_items(rows), min_width=200, min_height=200, min_duration_ms=100
+    ).to_pandas().set_index("media_ref")
+    assert out.loc["bad", "gate_ok"] == 1
+    assert out.loc["small", "gate_ok"] == 0
