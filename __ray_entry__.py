@@ -1350,15 +1350,7 @@ def _dup_ngram_oracle() -> str:
     UNION ALL VALUES with control characters spliced as chr() calls."""
     from fetch_engines_ray.ops.textstats import dup_ngram_oracle_sql
 
-    plants = ", ".join(
-        "({}, '{}')".format(
-            i,
-            t.replace("'", "''")
-            .replace("\t", "' || chr(9) || '")
-            .replace("\n", "' || chr(10) || '"),
-        )
-        for i, t in _DUP_NGRAM_PLANTS
-    )
+    plants = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _DUP_NGRAM_PLANTS)
     source = (
         "SELECT doc_id, text FROM documents"
         f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text)"
@@ -1372,10 +1364,10 @@ def _c4_oracle() -> str:
     plants ride in via UNION ALL VALUES exactly like the PII plants."""
     from fetch_engines_ray.ops.c4 import c4_oracle_sql
 
-    plants = ", ".join(
-        "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
-        for i, t in _C4_PLANTS
-    )
+    # every control char spliced as chr(N) via _sql_str — plant 2200006
+    # carries raw TABs that a hand-rolled newline-only escape would ship
+    # as literal \x09 bytes at the mercy of the driver's SQL transport
+    plants = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _C4_PLANTS)
     source = (
         "SELECT doc_id, text FROM documents"
         f" UNION ALL SELECT * FROM (VALUES {plants}) t(doc_id, text)"

@@ -287,13 +287,13 @@ def write_token_shards(
 
 
 def _mix64(x: "np.ndarray") -> "np.ndarray":
-    """Vectorized splitmix64 (public constants — the scalar form lives
-    in ops/dedup.py): pure uint64 arithmetic, so epoch orders are
-    stable across runs, machines and library versions."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+    """Vectorized splitmix64 — ONE shared implementation
+    (ops/sketches._splitmix64_vec) so epoch ordering and bloom hashing
+    can never drift apart; pure uint64 arithmetic, stable across runs,
+    machines and library versions."""
+    from .sketches import _splitmix64_vec
+
+    return _splitmix64_vec(np.asarray(x, dtype=np.uint64))
 
 
 def read_token_shards(path: str, epoch: int | None = None) -> "ray.data.Dataset":

@@ -298,8 +298,14 @@ def lsh_params(threshold: float, num_perm: int = 64) -> tuple:
             continue
         b = num_perm // r
         p = 1.0 - (1.0 - ss**r) ** b
-        fp = np.trapz(np.where(ss < threshold, p, 0.0), ss)
-        fn = np.trapz(np.where(ss >= threshold, 1.0 - p, 0.0), ss)
+
+        def _trapezoid(y: np.ndarray) -> float:
+            # np.trapz was removed in NumPy 2.0 (renamed trapezoid);
+            # the uniform-grid form is one line, portable to both
+            return float((y[:-1] + y[1:]).sum() * (ss[1] - ss[0]) / 2.0)
+
+        fp = _trapezoid(np.where(ss < threshold, p, 0.0))
+        fn = _trapezoid(np.where(ss >= threshold, 1.0 - p, 0.0))
         err = fp + fn
         if best is None or err < best[0]:
             best = (err, b, r)

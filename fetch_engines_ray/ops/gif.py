@@ -39,6 +39,8 @@ from typing import Optional
 
 import numpy as np
 
+from .codecguard import guarded
+
 _HEADER = b"GIF89a"
 _MAX_CODE = 4096  # 12-bit LZW cap
 
@@ -325,6 +327,7 @@ def _decode_one_frame(
     return idx
 
 
+@guarded(GifFormatError)
 def decode_gif(data: bytes) -> dict:
     """Full decode → ``{width, height, n_frames, delays_ms, palette,
     index_frames, frames, duration_ms}``.
@@ -354,6 +357,7 @@ def decode_gif(data: bytes) -> dict:
     }
 
 
+@guarded(GifFormatError)
 def decode_gif_frame(data: bytes, index: Optional[int] = None) -> dict:
     """Selective decode: the container walk plus the LZW inflate of ONE
     frame (default: the MIDDLE frame, ``n_frames // 2`` — the

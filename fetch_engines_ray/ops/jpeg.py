@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from .codecguard import guarded
+
 
 class JpegFormatError(ValueError):
     """Malformed or unsupported JPEG payload."""
@@ -473,10 +475,12 @@ def encode_jpeg(
 # ------------------------------------------------------------- decoder
 
 
+@guarded(JpegFormatError)
 def decode_jpeg(data: bytes) -> dict:
     """Decode a baseline JFIF payload; returns ``{"width", "height",
     "pixels"}`` with pixels (H, W) uint8 for grayscale or (H, W, 3)
-    RGB."""
+    RGB.  Malformed bytes raise ``JpegFormatError`` — always (raw
+    low-level errors are normalized by :mod:`.codecguard`)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2

@@ -43,6 +43,9 @@ class PCAModel:
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    if len(batch) == 0:
+        # d is unknowable from an empty block; callers skip 0-row output
+        return np.zeros((0, 0), dtype=np.float64)
     col = batch[vec_col]
     if col.num_chunks == 1:
         arr = col.chunk(0)
@@ -64,8 +67,18 @@ def fit_pca(
     driver-side d x d eigendecomposition.  Driver state is O(d^2),
     never O(n)."""
 
+    _MOMENTS_SCHEMA = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("s1", pa.list_(pa.float64())),
+            ("s2", pa.list_(pa.float64())),
+        ]
+    )
+
     def moments(batch: pa.Table) -> pa.Table:
         x = _batch_matrix(batch, vec_col)
+        if x.shape[0] == 0:  # empty partitions carry no d — emit nothing
+            return _MOMENTS_SCHEMA.empty_table()
         return pa.table(
             {
                 "n": pa.array([x.shape[0]], type=pa.int64()),
@@ -75,7 +88,9 @@ def fit_pca(
         )
 
     parts = ds.map_batches(moments, batch_format="pyarrow", batch_size=4096).to_pandas()
-    n = int(parts["n"].sum())
+    # a fully-empty dataset yields a COLUMN-LESS frame (the recurring
+    # empty-partition hazard — see ops/profile.py), not an empty "n"
+    n = int(parts["n"].sum()) if "n" in parts.columns else 0
     if n < 2:
         raise ValueError(f"PCA needs >= 2 rows, got {n}")
     s1 = np.sum(np.stack(parts["s1"].to_numpy()), axis=0)
@@ -123,9 +138,15 @@ def pca_project(
         comps_t = comps_t / np.sqrt(np.maximum(model.explained_variance, 1e-12))
 
     def project(batch: pa.Table) -> pa.Table:
+        k = comps_t.shape[1]
+        if len(batch) == 0:
+            out = batch if keep_input else batch.drop_columns([vec_col])
+            empty = pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), pa.array([], type=pa.float32())
+            ).slice(0, 0)
+            return out.append_column(out_col, empty)
         x = _batch_matrix(batch, vec_col)
         proj = (x - mean) @ comps_t
-        k = proj.shape[1]
         values = pa.array(proj.astype(np.float32).ravel(), type=pa.float32())
         offsets = pa.array(np.arange(0, (len(batch) + 1) * k, k, dtype=np.int32))
         out = batch if keep_input else batch.drop_columns([vec_col])

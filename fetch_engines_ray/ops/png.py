@@ -24,6 +24,8 @@ import zlib
 
 import numpy as np
 
+from .codecguard import guarded
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
@@ -158,6 +160,7 @@ def _walk_chunks(data: bytes):
     raise PngFormatError("missing IEND")
 
 
+@guarded(PngFormatError)
 def decode_png_header(data: bytes) -> dict:
     """Parse + CRC-verify just the IHDR chunk → width/height/bit_depth/
     color_type (cheap metadata-only path)."""
@@ -173,6 +176,7 @@ def decode_png_header(data: bytes) -> dict:
     raise PngFormatError("no IHDR chunk")
 
 
+@guarded(PngFormatError)
 def decode_png(data: bytes) -> dict:
     """Full decode: header dict plus ``pixels`` — ``(h, w)`` uint8 for
     greyscale, ``(h, w, 3)`` uint8 for RGB.  Every chunk CRC is

@@ -122,14 +122,19 @@ def grouping_sets_aggregate(
         )
         .to_pandas()
     )
-    for k in keys:
+    for i, k in enumerate(keys):
         col = out[k]
         # a real data value colliding with the sentinel would silently
-        # merge a data group into the subtotal row — make it loud
-        assert not ((col == _ALL) & (out["grouping_id"] == 0)).any(), (
+        # merge a data group into the subtotal row — make it loud.  The
+        # sentinel is legitimate ONLY where this key's grouping bit is
+        # set (checking gid==0 alone misses custom ``sets`` that omit
+        # the full key set — the collision then slips through unseen)
+        bit = 1 << (len(keys) - 1 - i)
+        aggregated_away = (out["grouping_id"] & bit) != 0
+        assert not ((col == _ALL) & ~aggregated_away).any(), (
             f"sentinel collision in key column {k!r}"
         )
-        out[k] = col.where(col != _ALL, None)
+        out[k] = col.where(~aggregated_away, None)
     sort_cols = ["grouping_id"] + keys
     return (
         out.sort_values(sort_cols, na_position="last")

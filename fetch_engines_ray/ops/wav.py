@@ -23,6 +23,8 @@ import zlib
 
 import numpy as np
 
+from .codecguard import guarded
+
 
 class WavFormatError(ValueError):
     """Raised on malformed/unsupported WAV bytes."""
@@ -48,6 +50,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@guarded(WavFormatError)
 def decode_wav(data: bytes) -> dict:
     """Decode RIFF/WAVE 16-bit PCM → ``{sample_rate, n_channels,
     n_samples, duration_ms, samples}`` (samples: int16 array, frames x

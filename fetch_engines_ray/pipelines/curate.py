@@ -217,23 +217,13 @@ def curate_corpus(
             deduped_lines = deduped_lines.rename_columns(back)
         ds = deduped_lines
 
-    # one count pass serves the short-circuit, the join sizing AND the
-    # resume fingerprint (it was already paid for sizing before)
-    n_input = ds.count()
-    if n_input == 0:
-        from ..ops.packing import _OUT_SCHEMA
-
-        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
-    if join_partitions is None:
-        join_partitions = max(2, min(64, n_input // 200_000 + 1))
-
     _marks: list = []
     _t_prev = [_time.perf_counter()]
     # funnel: per-stage surviving-row counts, read from checkpoint
     # parquet FOOTERS (metadata-only — free, nothing re-executes).  The
     # number every operator of a long curation run asks first: where
     # did my documents go?
-    _funnel: dict = {"input": int(n_input)}
+    _funnel: dict = {}
 
     def _mark(stage: str) -> None:
         if _timing_on:
@@ -252,6 +242,30 @@ def curate_corpus(
         for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
             n += _pq.ParquetFile(f).metadata.num_rows
         _funnel[stage] = n
+
+    # One count pass serves the empty short-circuit, the join sizing AND
+    # the resume fingerprint.  When any step-0 stage is attached the
+    # chain FIRST spills the cleaned input to one parquet checkpoint:
+    # the table below is consumed by this count, the exact-dedup
+    # groupby, its semi-join probe side AND the minhash view, and
+    # without the spill each consumer would re-execute the step-0 work
+    # (corpus_line_dedup alone is two shuffles).  On the plain-read path
+    # the count is answered from parquet footers (metadata-only, no
+    # execution), so no spill — and no ``join_partitions`` escape hatch
+    # — is needed in either case.
+    if c4_clean or within_doc_line_dedup or corpus_line_dedup:
+        from ..ops.dedup import _checkpoint_parquet
+
+        ds, _step0_ckpt = _checkpoint_parquet(ds, "curate_step0")
+        _mark("step0_checkpoint")
+    n_input = ds.count()
+    _funnel["input"] = int(n_input)
+    if n_input == 0:
+        from ..ops.packing import _OUT_SCHEMA
+
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+    if join_partitions is None:
+        join_partitions = max(2, min(64, n_input // 200_000 + 1))
 
     def _compute_survivors() -> "ray.data.Dataset":
         """Steps 1-3a (exact dedup semi-join, near-dup drop, optional

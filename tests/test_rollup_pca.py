@@ -312,3 +312,86 @@ def test_pca_whitening_unit_variance(ray_session):
     w = np.stack(pca_project(ds, model, whiten=True).to_pandas()["pca"].to_numpy())
     var = w.var(axis=0, ddof=1)
     np.testing.assert_allclose(var, np.ones(3), rtol=0.05)
+
+
+def test_fit_pca_empty_and_filtered_inputs_raise_cleanly(ray_session):
+    """An empty (or fully-filtered) dataset must reach the intended
+    'PCA needs >= 2 rows' ValueError, not die on the column-less
+    moments frame (KeyError 'n' — the recurring empty-partition
+    hazard, review finding)."""
+    import ray.data
+
+    from fetch_engines_ray.ops.pca import fit_pca
+
+    rows = [{"embedding": [float(i), float(-i)]} for i in range(6)]
+    ds = ray.data.from_items(rows).filter(lambda r: False)
+    with pytest.raises(ValueError, match="PCA needs >= 2 rows, got 0"):
+        fit_pca(ds, n_components=1)
+
+
+def test_pca_project_survives_empty_blocks(ray_session):
+    """0-row blocks (post-filter) must pass through project without the
+    reshape(0, -1) crash, and non-empty rows still project exactly."""
+    import ray.data
+
+    from fetch_engines_ray.ops.pca import fit_pca, pca_project
+
+    rng = np.random.default_rng(3)
+    rows = [{"doc_id": i, "embedding": rng.normal(size=4).tolist()} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    model = fit_pca(ds, n_components=2)
+    # filter drops everything in some blocks, nothing in others
+    filtered = ds.filter(lambda r: r["doc_id"] % 7 == 0)
+    out = pca_project(filtered, model).to_pandas()
+    assert len(out) == 6
+    assert all(len(v) == 2 for v in out["pca"])
+
+
+def test_grouping_sets_custom_sets_sentinel_collision_is_loud(ray_session):
+    """With custom ``sets`` that omit the full key set there are no
+    grouping_id==0 rows — the collision check must key off each
+    column's own grouping bit or a data value equal to the sentinel is
+    silently rewritten to NULL (review finding)."""
+    import ray.data
+
+    from fetch_engines_ray.ops.rollup import _ALL, grouping_sets_aggregate
+
+    rows = [
+        {"a": _ALL, "b": "x", "v": 1},
+        {"a": "real", "b": "y", "v": 2},
+    ]
+    ds = ray.data.from_items(rows)
+    with pytest.raises(AssertionError, match="sentinel collision"):
+        grouping_sets_aggregate(ds, keys=["a", "b"], sum_cols=["v"], sets=[("a",), ()])
+
+
+def test_grouping_sets_custom_sets_duckdb_parity(ray_session):
+    """Custom grouping sets (no full key set) still match DuckDB."""
+    import duckdb
+
+    import ray.data
+    from fetch_engines_ray.ops.rollup import grouping_sets_aggregate
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["p", "q", "r"], size=500),
+            "b": rng.choice(["u", "v"], size=500),
+            "v": rng.integers(0, 100, size=500),
+        }
+    )
+    got = grouping_sets_aggregate(
+        ray.data.from_pandas(df), keys=["a", "b"], sum_cols=["v"], sets=[("a",), ()]
+    )
+    want = duckdb.sql(
+        "SELECT a, NULL AS b, CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(sum(v) AS BIGINT) AS v FROM df GROUP BY a"
+        " UNION ALL SELECT NULL, NULL, CAST(count(*) AS BIGINT),"
+        " CAST(sum(v) AS BIGINT) FROM df"
+    ).df()
+    got_a = got[got["grouping_id"] == 0b01].sort_values("a").reset_index(drop=True)
+    want_a = want[want["a"].notna()].sort_values("a").reset_index(drop=True)
+    assert (got_a["a"].to_numpy() == want_a["a"].to_numpy()).all()
+    assert (got_a["v"].astype("int64").to_numpy() == want_a["v"].astype("int64").to_numpy()).all()
+    got_all = got[got["grouping_id"] == 0b11]
+    assert int(got_all["v"].iloc[0]) == int(df["v"].sum())
