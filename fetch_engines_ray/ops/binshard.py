@@ -243,6 +243,15 @@ def write_token_shards(
             )
         mat = np.stack([np.asarray(t, dtype=np.int64) for t in df["token_ids"]])
         L = mat.shape[1]
+        if seq_len is not None and L != seq_len:
+            # the caller's declared seq_len is ENFORCED, not decorative —
+            # a mismatch means the upstream chunker and this export were
+            # composed with different lengths, and the trainer would
+            # mmap the .bin with the wrong stride
+            raise ValueError(
+                f"shard {shard}: sequences are length {L}, caller declared "
+                f"seq_len={seq_len}"
+            )
         lens = df["n_tokens"].astype(int).tolist()
         tmp_bin = bin_path + ".tmp"
         mat.astype(np.dtype(dtype).newbyteorder("<")).tofile(tmp_bin)

@@ -182,10 +182,19 @@ def select_token_budget(
     b_scalar = pa.scalar(boundary_score)
 
     boundary_ds = ds.map_batches(
-        lambda b: b.filter(pc.equal(b[score_col], b_scalar)),
+        lambda b: b.filter(pc.equal(b[score_col], b_scalar)).select(
+            [id_col, token_col]
+        ),
         batch_format="pyarrow",
         batch_size=8192,
     )
+    if n_ties > _BOUNDARY_PULL_LIMIT:
+        # the bucket path consumes the tie group FOUR times (lo/hi,
+        # per-bucket sums, split-bucket pull, full-bucket ids) — pin it
+        # once (two int64 columns, tie-group-sized) so each pass is an
+        # object-store read instead of a re-execution of ds's whole
+        # upstream lineage
+        boundary_ds = boundary_ds.materialize()
     kept_ids = _boundary_kept_ids(boundary_ds, n_ties, remaining, token_col, id_col)
     ids_ref = ray.put(np.sort(kept_ids))
 

@@ -529,6 +529,52 @@ def write_named_checkpoint(
     return read_parquet_clean(path)
 
 
+def content_fingerprint(ds: "ray.data.Dataset", cols: list) -> int:
+    """Order-independent 64-bit content fingerprint of the selected
+    columns: per-row hashes (strings hashed as UTF-8 BYTES — pandas'
+    str hashing truncates at embedded NULs, see ops/diff.py) combined
+    per row with splitmix64, then summed mod 2^64 across the corpus
+    (sum, not xor: duplicate rows must not cancel).  One streaming
+    pass, O(1) driver state — cheap enough to gate a resume on
+    CONTENT, not just row count (a re-crawl with the same cardinality
+    but new text must not silently resume a stale checkpoint)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .sketches import _splitmix64_vec
+
+    def part(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"fp": pa.array([], type=pa.uint64())})
+        row = np.zeros(len(batch), dtype=np.uint64)
+        for c in cols:
+            col = batch[c]
+            if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                vals = pd.util.hash_array(
+                    col.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+            else:
+                vals = pd.util.hash_array(
+                    np.asarray(
+                        [
+                            (v if isinstance(v, bytes) else str(v or "").encode())
+                            for v in col.to_pylist()
+                        ],
+                        dtype=object,
+                    )
+                ).astype(np.uint64)
+            row = _splitmix64_vec(row ^ vals)
+        with np.errstate(over="ignore"):
+            total = np.add.reduce(row, dtype=np.uint64)
+        return pa.table({"fp": pa.array([total], type=pa.uint64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=8192).to_pandas()
+    if "fp" not in parts.columns or not len(parts):
+        return 0
+    with np.errstate(over="ignore"):
+        return int(parts["fp"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
+
+
 def _cleanup_checkpoint(path: str) -> None:
     """Remove a consumed checkpoint dir (kept when FER_KEEP_CHECKPOINTS=1)."""
     import os

@@ -90,19 +90,24 @@ def corpus_diff(
     def diff_part(group: pd.DataFrame) -> pa.Table:
         old = group[group["role"] == 0].drop_duplicates("key")
         new = group[group["role"] == 1].drop_duplicates("key")
-        m = old[["key", "h"]].merge(
-            new[["key", "h"]], on="key", how="outer", suffixes=("_old", "_new")
+        # hashes ride as NULLABLE Int64 through the outer merge — the
+        # default NaN-padding promotes int64 to float64, rounding
+        # full-range hashes to 52-bit mantissas and silently weakening
+        # the 2^-64 collision bound to ~2^-53 (the same int64→float64
+        # trap dedup._partitioned_attach documents)
+        m = old[["key", "h"]].astype({"h": "Int64"}).merge(
+            new[["key", "h"]].astype({"h": "Int64"}),
+            on="key",
+            how="outer",
+            suffixes=("_old", "_new"),
         )
-        old_missing = m["h_old"].isna()
-        new_missing = m["h_new"].isna()
+        old_missing = m["h_old"].isna().to_numpy()
+        new_missing = m["h_new"].isna().to_numpy()
+        same = (m["h_old"] == m["h_new"]).fillna(False).to_numpy(dtype=bool)
         status = np.where(
             old_missing,
             "added",
-            np.where(
-                new_missing,
-                "removed",
-                np.where(m["h_old"] == m["h_new"], "unchanged", "changed"),
-            ),
+            np.where(new_missing, "removed", np.where(same, "unchanged", "changed")),
         )
         keep = np.ones(len(m), dtype=bool) if include_unchanged else status != "unchanged"
         return pa.table(

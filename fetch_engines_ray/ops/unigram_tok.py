@@ -163,7 +163,19 @@ def train_unigram_tokenizer_from_vocab(
     seed_mult: int = 4,
 ) -> dict[str, float]:
     """Pure driver-side trainer over a (word, count) table — the
-    single-process reference the distributed form is pinned against."""
+    single-process reference the distributed form is pinned against.
+
+    ``vocab_size`` must exceed the distinct single-character count:
+    single chars are unprunable (the coverage floor), so a smaller
+    target is unreachable — SentencePiece raises the same way
+    ("Vocabulary size is smaller than required_chars")."""
+    n_chars = len({ch for w, _ in vocab for ch in w})
+    if vocab_size <= n_chars:
+        raise ValueError(
+            f"vocab_size={vocab_size} <= {n_chars} distinct characters in the "
+            "corpus; single-char pieces are unprunable, so the target can "
+            "never be reached — raise vocab_size above the alphabet size"
+        )
     logp = _seed_pieces(vocab, max_seed=seed_mult * vocab_size, max_piece_len=max_piece_len)
     while True:
         for _ in range(em_iters):

@@ -158,6 +158,21 @@ def curate_corpus(
 
     _timing_on = _os.environ.get("FER_CURATE_TIMING") == "1"
 
+    # loud option validation up front (the ppl_lm check lives at its
+    # branch; these two have silent-fallthrough failure modes instead):
+    # an unknown tokenizer would pack by whitespace with no artifact,
+    # and a fuzzy threshold without benchmark texts would run ZERO
+    # decontamination — both ship wrong deliveries with no error.
+    if tokenizer not in ("whitespace", "bpe", "unigram"):
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r} (whitespace|bpe|unigram)"
+        )
+    if fuzzy_decontam_threshold is not None and not benchmark_texts:
+        raise ValueError(
+            "fuzzy_decontam_threshold requires benchmark_texts — without "
+            "them no decontamination runs at all"
+        )
+
     # 0. optional C4 line-level cleaning (Raffel et al. 2020): boilerplate
     #    lines dropped and failing pages removed BEFORE dedup, as the
     #    paper orders it — cleaning first means near-identical pages whose
@@ -408,15 +423,23 @@ def curate_corpus(
     # Named resumable survivor checkpoint: with ``checkpoint_name`` a
     # restarted run resumes from the spilled survivor table and skips
     # every dedup/decontam stage above — the expensive half of the
-    # chain.  The fingerprint (input row count + every option that
-    # shapes the survivor set) gates the resume: same name + different
-    # run raises instead of silently reusing foreign data.
+    # chain.  The fingerprint (input row count + a 64-bit CONTENT
+    # fingerprint of the cleaned input and the embeddings table + every
+    # option that shapes the survivor set) gates the resume: same name
+    # + different run raises instead of silently reusing foreign data.
+    # The content fingerprint matters because the common refresh keeps
+    # the cardinality (a re-crawl regenerates the same doc_ids with new
+    # text) — row count alone would resume the STALE survivor table.
     _resume_fp = None
     survived = None
     if checkpoint_name is not None:
         import hashlib as _hashlib
 
-        from ..ops.dedup import try_named_checkpoint, write_named_checkpoint
+        from ..ops.dedup import (
+            content_fingerprint,
+            try_named_checkpoint,
+            write_named_checkpoint,
+        )
 
         bench_md5 = (
             _hashlib.md5("\x00".join(benchmark_texts).encode()).hexdigest()
@@ -425,6 +448,13 @@ def curate_corpus(
         )
         _resume_fp = {
             "n_input": n_input,
+            "input_content_fp": content_fingerprint(ds, [id_col, text_col]),
+            "emb_content_fp": (
+                content_fingerprint(embeddings, [emb_id_col, "embedding"])
+                if embeddings is not None
+                else None
+            ),
+            "emb_id_col": emb_id_col if embeddings is not None else None,
             "near_dup_threshold": near_dup_threshold,
             "benchmark_md5": bench_md5,
             "decontam_ngram": decontam_ngram if benchmark_texts else None,

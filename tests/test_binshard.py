@@ -194,3 +194,24 @@ def test_epoch_reshuffle_same_multiset_new_order(delivery):
     # epoch=None preserves the written sequential order per shard
     for s, g in base.groupby("shard"):
         assert g["seq_idx"].tolist() == sorted(g["seq_idx"].tolist())
+
+
+def test_write_token_shards_enforces_declared_seq_len(ray_session, tmp_path):
+    """A declared seq_len that disagrees with the chunked sequences must
+    fail loudly — a trainer would otherwise mmap the .bin with the
+    wrong stride (review finding: the parameter was silently unused)."""
+    import pytest
+
+    import ray.data
+
+    from fetch_engines_ray.ops.binshard import concat_and_chunk, write_token_shards
+
+    rows = [
+        {"doc_id": i, "token_ids": list(range(10 * i, 10 * i + 10))} for i in range(8)
+    ]
+    seqs = concat_and_chunk(ray.data.from_items(rows), seq_len=8, pad_id=0)
+    with pytest.raises(Exception, match="declared seq_len=16"):
+        write_token_shards(
+            seqs, str(tmp_path / "shards"), vocab=[str(i) for i in range(128)],
+            n_shards=2, seq_len=16,
+        )

@@ -822,3 +822,56 @@ def test_curate_named_checkpoint_resume(ray_session, monkeypatch, tmp_path, caps
     assert docs3 == docs1
     assert "near_dedup_decisions" in t3 and "survivor_checkpoint" in t3
     assert marker.exists()
+
+
+def test_curate_named_checkpoint_gates_on_content_not_just_row_count(
+    ray_session, monkeypatch, tmp_path
+):
+    """A re-crawl that keeps the cardinality but changes the TEXT must
+    not silently resume the stale survivor table — the fingerprint
+    carries a 64-bit content hash, not just n_input (review finding)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.RandomState(7)
+    words = "the be to of and that have with".split() + [
+        f"tok{i:03d}" for i in range(40)
+    ]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=70))} for i in range(25)
+    ]
+    monkeypatch.setenv("FER_CHECKPOINT_DIR", str(tmp_path))
+    ds1 = ray.data.from_pandas(pd.DataFrame(rows))
+    curate_corpus(ds1, max_tokens=256, checkpoint_name="cfp").to_pandas()
+
+    # same doc_ids, same row count, ONE document's text regenerated
+    rows2 = [dict(r) for r in rows]
+    rows2[3]["text"] = " ".join(rng.choice(words, size=70))
+    ds2 = ray.data.from_pandas(pd.DataFrame(rows2))
+    with _pytest.raises(ValueError, match="fingerprint"):
+        curate_corpus(ds2, max_tokens=256, checkpoint_name="cfp").to_pandas()
+
+
+def test_curate_rejects_unknown_tokenizer_and_orphan_fuzzy_threshold(ray_session):
+    """Both options had silent-fallthrough failure modes: an unknown
+    tokenizer packed by whitespace with no artifact, and a fuzzy
+    threshold without benchmark texts ran zero decontamination."""
+    import pandas as pd
+    import pytest as _pytest
+
+    import ray.data
+
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame([{"doc_id": 1, "text": "hello world"}])
+    )
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        curate_corpus(ds, tokenizer="BPE")
+    with _pytest.raises(ValueError, match="requires benchmark_texts"):
+        curate_corpus(ds, fuzzy_decontam_threshold=0.8)

@@ -222,3 +222,17 @@ def test_sample_encode_subword_regularization():
         tuple(sample_encode_word(word, logp, alpha=1.0, seed=s)) for s in range(300)
     )
     assert counts.most_common(1)[0][0] == vit
+
+
+def test_unigram_trainer_rejects_vocab_smaller_than_alphabet():
+    """Single-char pieces are unprunable, so vocab_size <= the distinct
+    character count can never be reached — the trainer must raise, not
+    loop forever (review finding: reproduced hang on a 26-char alphabet
+    with vocab_size=10)."""
+    import pytest
+
+    from fetch_engines_ray.ops.unigram_tok import train_unigram_tokenizer_from_vocab
+
+    vocab = [(w, 5) for w in ("abc", "def", "ghi", "jkl", "mno", "pqr")]
+    with pytest.raises(ValueError, match="distinct characters"):
+        train_unigram_tokenizer_from_vocab(vocab, vocab_size=10)
