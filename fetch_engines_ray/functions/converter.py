@@ -659,6 +659,11 @@ def preprocess(html: str, base_url: Optional[str] = None) -> tuple[Element, str,
         if head is not None:
             head.remove()
 
+        # DELIBERATE parity: the reference also drops <head> immediately
+        # BEFORE forum detection (markdown-converter.ts:208-210), so its
+        # canonical/og:url known-host check only fires for metas living
+        # outside an explicit <head> — matching that exactly (neither
+        # parser synthesizes an implicit head element)
         is_forum = detect_forum_page(root)
         if is_forum:
             content: Element = extract_forum_content_element(root)

@@ -273,16 +273,30 @@ class _FragmentProcessor:
     Used only by the resumable runner; partition-atomicity is the point
     (a mid-run kill loses at most in-flight fragments)."""
 
-    def __init__(self, output_dir: str, max_content_length: Optional[int] = None) -> None:
+    def __init__(
+        self,
+        output_dir: str,
+        max_content_length: Optional[int] = None,
+        warm_url_patterns: tuple = (),
+    ) -> None:
         self.output_dir = output_dir
-        self.extractor = DocumentExtractor(max_content_length=max_content_length)
+        # the resumable path must route IDENTICALLY to the two-stage
+        # pipeline ("resume equals rerun"): C10 pattern overrides ride
+        # into the extractor, and a force_route column is read below
+        self.extractor = DocumentExtractor(
+            max_content_length=max_content_length,
+            warm_url_patterns=warm_url_patterns,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         results = []
         for frag in batch.column("fragment").to_pylist():
             t0 = time.perf_counter()
             part_id = os.path.splitext(os.path.basename(frag))[0]
-            table = pq.read_table(frag, columns=["doc_id", "spans", "archetype", "base_url"])
+            cols = ["doc_id", "spans", "archetype", "base_url"]
+            if "force_route" in pq.read_schema(frag).names:
+                cols.append("force_route")
+            table = pq.read_table(frag, columns=cols)
             out_batches = [
                 self.extractor(table.slice(off, 256))
                 for off in range(0, table.num_rows, 256)
@@ -342,6 +356,7 @@ def run_resumable(
         fn_constructor_kwargs={
             "output_dir": output_dir,
             "max_content_length": cfg.max_content_length,
+            "warm_url_patterns": tuple(cfg.warm_url_patterns),
         },
         batch_format="pyarrow",
         batch_size=1,
@@ -444,8 +459,17 @@ def extract_with_escalation(
         # exhausted (reference ERR_MAX_RETRIES_REACHED,
         # /root/reference/src/FetchEngine.ts retry loop)
         low = pc.less(batch.column("quality_score"), min_quality)
+        # ERR_CHALLENGE_PAGE outranks the retry-exhausted code (the
+        # same precedence the extract stage applies): a challenge page
+        # that stays blocked after the warm re-run is a CHALLENGE
+        # failure, not a retry failure — eval gating keys on it
+        challenge = pc.equal(
+            batch.column("error_code"), pa.scalar(errs.ERR_CHALLENGE_PAGE)
+        )
         code = pc.if_else(
-            low, pa.scalar(errs.ERR_MAX_RETRIES_REACHED), batch.column("error_code")
+            pc.and_(low, pc.invert(challenge)),
+            pa.scalar(errs.ERR_MAX_RETRIES_REACHED),
+            batch.column("error_code"),
         )
         idx = batch.schema.get_field_index("error_code")
         return batch.set_column(idx, "error_code", code)

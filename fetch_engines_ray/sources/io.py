@@ -126,7 +126,15 @@ def read_jsonl_docs(path: str) -> "ray.data.Dataset":
                                 "kind": s.get("kind", "html"),
                                 "text": s.get("text", "") or "",
                                 "media_ref": s.get("media_ref", "") or "",
-                                "offset": int(s.get("offset", i)),
+                                # Arrow null-pads a missing offset field
+                                # when other docs carry it (key present,
+                                # value None — .get's default never
+                                # applies), so check the VALUE
+                                "offset": (
+                                    int(s["offset"])
+                                    if s.get("offset") is not None
+                                    else i
+                                ),
                             }
                             for i, s in enumerate(rec["spans"])
                         ],

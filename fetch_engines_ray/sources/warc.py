@@ -162,7 +162,10 @@ def read_warc(paths) -> "ray.data.Dataset":
                     # magic, not extension — ray.data.read_binary_files
                     # already auto-decompresses when the extension says .gz
                     data = gzip.decompress(data)
-            except (OSError, EOFError):  # corrupt shard: skip the file
+            except (OSError, EOFError, zlib.error):
+                # corrupt shard: skip the file (mid-stream gzip bit-rot
+                # raises zlib.error, not OSError — one bad shard must
+                # never abort the whole distributed read)
                 continue
             base = os.path.basename(path)
             # a truncated record stops THIS file's walk but keeps the

@@ -98,7 +98,10 @@ def hydrate_shell(shell_html: str, payload_html: str) -> str:
     new, n = _ROOT_DIV_RE.subn(lambda m: m.group(1) + payload_html + m.group(3), shell_html, count=1)
     if n:
         return new
-    new, n = _BODY_CLOSE_RE.subn(payload_html + "</body>", shell_html, count=1)
+    # lambda replacement, NOT a template string: payload HTML containing
+    # backslash sequences ("\d" in inline JS, "\g<0>") would otherwise
+    # raise re.error / be substituted instead of inserted verbatim
+    new, n = _BODY_CLOSE_RE.subn(lambda _m: payload_html + "</body>", shell_html, count=1)
     if n:
         return new
     return shell_html + payload_html
@@ -214,8 +217,16 @@ class DocumentExtractor:
     actor in ``__init__``.
     """
 
-    def __init__(self, max_content_length: Optional[int] = None) -> None:
+    def __init__(
+        self,
+        max_content_length: Optional[int] = None,
+        warm_url_patterns: tuple = (),
+    ) -> None:
         self.max_content_length = max_content_length
+        # C10 route overrides, honored by __call__ so every entry point
+        # (incl. the resumable fragment runner) routes identically to
+        # the two-stage pipeline
+        self.warm_url_patterns = tuple(warm_url_patterns)
         # Prime the selector cache / regex modules once per actor.
         conv.convert("<body><main><h1>warmup</h1><p>warmup doc</p></main></body>")
 
@@ -231,10 +242,21 @@ class DocumentExtractor:
         archetype: str = "",
         force_route: Optional[str] = None,
         warm_url_patterns: tuple = (),
+        routed_rt: Optional[dict] = None,
     ) -> dict[str, Any]:
-        spans, rt = route_document(
-            spans, force_route=force_route, url=base_url, warm_url_patterns=warm_url_patterns
-        )
+        # ``routed_rt``: the caller already ran route_document on these
+        # spans (the fast stage routes every doc to SPLIT the stream) —
+        # re-deriving here would (a) pay the shell-score/soft-block
+        # regex scans twice per doc and (b) silently overturn a forced
+        # route: a force_route="fast" doc whose HTML naturally routes
+        # warm would be re-labeled route="warm" with raw_spans=None and
+        # the warm stage would wipe its extraction to empty.
+        if routed_rt is None:
+            spans, rt = route_document(
+                spans, force_route=force_route, url=base_url, warm_url_patterns=warm_url_patterns
+            )
+        else:
+            rt = routed_rt
         has_js_shell = rt["has_js_shell"]
         soft_block = rt["soft_block"]
         render_needed = rt["render_needed"]
@@ -342,6 +364,14 @@ class DocumentExtractor:
 
         out_text = "\n\n".join(sp["text"] for sp in out_spans if sp["kind"] == "text")
         quality = rd.assess_serialized_content(out_text, "markdown").quality_score if out_text else 0
+        # a js_shell payload with no html span to hydrate is
+        # unextractable by construction — dead-letter it like every
+        # other unextractable kind instead of returning a silent empty
+        # page (the wire-format contract: hydration payloads are
+        # consumed BY an html span, never emitted on their own)
+        if payloads and not error_code and not any(s["kind"] == "html" for s in spans):
+            error_code = errs.ERR_CONVERSION
+            error = f"{errs.ERR_CONVERSION}: js_shell payload with no html span to hydrate"
         # challenge pages outrank span-level codes — but only when the
         # doc is STILL blocked after the warm pass (the reference clears
         # the challenge error after a successful Playwright fallback,
@@ -381,9 +411,18 @@ class DocumentExtractor:
             if "archetype" in batch.column_names
             else [""] * len(doc_ids)
         )
+        forces = (
+            batch.column("force_route").to_pylist()
+            if "force_route" in batch.column_names
+            else [None] * len(doc_ids)
+        )
         rows = [
-            self.extract_document(d, s or [], u, a or "")
-            for d, s, u, a in zip(doc_ids, spans_col, base_urls, archetypes)
+            self.extract_document(
+                d, s or [], u, a or "",
+                force_route=fr,
+                warm_url_patterns=self.warm_url_patterns,
+            )
+            for d, s, u, a, fr in zip(doc_ids, spans_col, base_urls, archetypes, forces)
         ]
         return pa.Table.from_pylist(rows, schema=OUTPUT_SCHEMA)
 
@@ -468,7 +507,7 @@ def extract_fast_batch(
         if rt["route"] == "warm":
             rows.append(_placeholder_warm_row(d, spans, u, a or "", rt))
         else:
-            row = ex.extract_document(d, spans, u, a or "")
+            row = ex.extract_document(d, spans, u, a or "", routed_rt=rt)
             row["raw_spans"] = None
             row["base_url"] = None
             rows.append(row)

@@ -236,6 +236,13 @@ def structured_extract(
     if emit_usage:
         kwargs["emit_usage"] = emit_usage
     if concurrency is None:
+        if provider is not None and provider.max_total_tokens is not None:
+            raise ValueError(
+                "max_total_tokens requires the actor-pool form (pass "
+                "concurrency=N): task-pool workers each mutate their own "
+                "deserialized copy of the extractor, so a cumulative "
+                "budget cannot accumulate across batches"
+            )
         ex = extractor_cls(**kwargs)
         return ds.map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(
