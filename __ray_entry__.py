@@ -1435,12 +1435,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "line_dedup_corpus": (
             # C4-style cross-corpus line dedup: distinct non-empty line
-            # survives once (min (doc_id, line_no), packed as one BIGINT
-            # exactly like the engine's pack = doc_id*2^32+line_no);
-            # documents rebuilt from surviving lines in original order.
-            # parallel unnest zips each line with its 1-based ordinal.
-            # documents2 mirrors the query's derived multi-line corpus
-            # (own text + shared sentinel + repeated own text).
+            # survives once — lexicographic min (doc_id, line_no) via a
+            # row_number window, mirroring the engine's two-column rule
+            # (NOT the old packed doc_id*2^32+line_no BIGINT, which
+            # wraps for full-range int64 ids); documents rebuilt from
+            # surviving lines in original order.  parallel unnest zips
+            # each line with its 1-based ordinal.  documents2 mirrors
+            # the query's derived multi-line corpus (own text + shared
+            # sentinel + repeated own text).
             "WITH documents2 AS (SELECT doc_id,"
             "   text || chr(10) || 'SHARED-LINE-' || CAST(doc_id % 7 AS VARCHAR)"
             "   || chr(10) || text AS text FROM documents),"
@@ -1449,11 +1451,9 @@ def oracle_sql() -> dict[str, str]:
             " lines AS (SELECT doc_id, unnest(p) AS line,"
             "   unnest(range(1, len(p) + 1)) AS line_no FROM parts),"
             " nz AS (SELECT * FROM lines WHERE line <> ''),"
-            " w AS (SELECT line, min(doc_id * 4294967296 + line_no) AS k"
-            "  FROM nz GROUP BY line),"
-            " keep AS (SELECT nz.doc_id, nz.line_no, nz.line FROM nz"
-            "  JOIN w ON nz.line = w.line"
-            "   AND nz.doc_id * 4294967296 + nz.line_no = w.k)"
+            " rn AS (SELECT doc_id, line_no, line, row_number() OVER"
+            "   (PARTITION BY line ORDER BY doc_id, line_no) AS r FROM nz),"
+            " keep AS (SELECT doc_id, line_no, line FROM rn WHERE r = 1)"
             " SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,"
             " CAST(count(*) AS BIGINT) AS n_lines"
             " FROM keep GROUP BY doc_id ORDER BY doc_id"

@@ -67,7 +67,7 @@ def build_ivf_index(
     cents = kmeans_fit(
         ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    os.makedirs(path, exist_ok=True)
+    _require_fresh_index_dir(path)
     n = _assign_and_write(ds, cents, path, vec_col)
     pq.write_table(
         pa.table(
@@ -84,6 +84,22 @@ def build_ivf_index(
             f,
         )
     return int(len(cents))
+
+
+def _require_fresh_index_dir(path: str) -> None:
+    """Refuse to BUILD into a directory that already holds index files:
+    write_parquet appends uniquely-named files, so a rebuild would MIX
+    stale partitions (assigned under the obsolete centroids) into the
+    new index — searches would score old rows twice while the meta
+    under-reports n.  A periodic rebuild goes to a fresh path (then
+    swap); incremental growth uses append_ivf_index/append_ivfpq_index."""
+    if os.path.isdir(path) and _parquet_files(path):
+        raise ValueError(
+            f"index path {path!r} already contains parquet files — rebuild "
+            "into a fresh directory (then swap), or use the append_* API "
+            "to grow the existing index"
+        )
+    os.makedirs(path, exist_ok=True)
 
 
 def _parquet_files(path: str) -> set[str]:
@@ -232,6 +248,33 @@ def search_ivf_index(
 _PQ_CODEBOOKS = "_ivf_pq_codebooks.parquet"
 
 
+def _make_assign_encode(ref, residual: bool, m: int, dsub: int, id_col: str, vec_col: str):
+    """The IVFPQ encode kernel (normalize → coarse assign → optional
+    residual → per-subspace nearest code), shared by build AND append so
+    build-time and append-time codes can never desynchronize."""
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        c, cb = ray.get(ref)
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        enc = mat - c[best] if residual else mat
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = enc[:, j * dsub : (j + 1) * dsub]
+            d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
+            codes[:, j] = d.argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": pa.array(best, type=pa.int64()),
+                "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
+                "cluster": pa.array([f"{b:05d}" for b in best], type=pa.string()),
+            }
+        )
+
+    return assign_encode
+
+
 def build_ivfpq_index(
     ds: "ray.data.Dataset",
     path: str,
@@ -277,30 +320,12 @@ def build_ivfpq_index(
         codebooks = pq_train(
             ds, m=pq_m, ksub=pq_ksub, sample_size=pq_sample_size, seed=seed, vec_col=vec_col
         )
-    os.makedirs(path, exist_ok=True)
+    _require_fresh_index_dir(path)
     before = _parquet_files(path)
     ref = ray.put((cents, codebooks))
     m, ksub, dsub = codebooks.shape
 
-    def assign_encode(batch: pa.Table) -> pa.Table:
-        c, cb = ray.get(ref)
-        mat = _normalize(_to_matrix(batch[vec_col]))
-        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
-        enc = mat - c[best] if residual else mat
-        codes = np.empty((len(mat), m), dtype=np.uint8)
-        for j in range(m):
-            sub = enc[:, j * dsub : (j + 1) * dsub]
-            d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
-            codes[:, j] = d.argmin(axis=1)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "cluster_id": pa.array(best, type=pa.int64()),
-                "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
-                "cluster": pa.array([f"{b:05d}" for b in best], type=pa.string()),
-            }
-        )
-
+    assign_encode = _make_assign_encode(ref, residual, m, dsub, id_col, vec_col)
     ds.map_batches(assign_encode, batch_format="pyarrow", batch_size=8192).write_parquet(
         path, partition_cols=["cluster"]
     )
@@ -450,26 +475,7 @@ def append_ivfpq_index(ds: "ray.data.Dataset", path: str) -> int:
     ref = ray.put((cents, codebooks))
 
     residual = bool(meta.get("residual"))
-
-    def assign_encode(batch: pa.Table) -> pa.Table:
-        c, cb = ray.get(ref)
-        mat = _normalize(_to_matrix(batch[vec_col]))
-        best = (mat @ c.T).argmax(axis=1).astype(np.int64)
-        enc = mat - c[best] if residual else mat
-        codes = np.empty((len(mat), m), dtype=np.uint8)
-        for j in range(m):
-            sub = enc[:, j * dsub : (j + 1) * dsub]
-            d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)
-            codes[:, j] = d.argmin(axis=1)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "cluster_id": pa.array(best, type=pa.int64()),
-                "pq_code": pa.array([r.tobytes() for r in codes], type=pa.binary()),
-                "cluster": pa.array([f"{b:05d}" for b in best], type=pa.string()),
-            }
-        )
-
+    assign_encode = _make_assign_encode(ref, residual, m, dsub, id_col, vec_col)
     ds.map_batches(assign_encode, batch_format="pyarrow", batch_size=8192).write_parquet(
         path, partition_cols=["cluster"]
     )

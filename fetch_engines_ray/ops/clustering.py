@@ -179,8 +179,15 @@ def kmeans_assign(
             {
                 id_col: batch[id_col],
                 "cluster": pa.array(best, type=pa.int64()),
+                # half-AWAY-from-zero, as documented (SQL round()
+                # semantics): floor(x + 0.5) is half-UP, which disagrees
+                # by 1 on negative-cosine .5 boundaries
                 "sim_x1m": pa.array(
-                    np.floor(best_sim * 1_000_000 + 0.5).astype(np.int64), type=pa.int64()
+                    (
+                        np.sign(best_sim)
+                        * np.floor(np.abs(best_sim * 1_000_000) + 0.5)
+                    ).astype(np.int64),
+                    type=pa.int64(),
                 ),
             }
         )

@@ -353,7 +353,10 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 
 
 def _lsh_candidate_pairs(
-    banded: "ray.data.Dataset", n_parts: int = 2, carry: tuple = ()
+    banded: "ray.data.Dataset",
+    n_parts: int = 2,
+    carry: tuple = (),
+    require_flag: "str | None" = None,
 ) -> "ray.data.Dataset":
     """All co-bucket candidate pairs (doc_a < doc_b): band rows are
     hash-partitioned by bucket into a bounded number of parts (a bucket
@@ -376,8 +379,17 @@ def _lsh_candidate_pairs(
     ``carry`` columns (small, fixed-width — e.g. an 8-byte simhash)
     ride through as ``<col>`` / ``<col>_b``.  A pair that collides in k
     bands appears k times; dedup happens on the (tiny) verified
-    output."""
+    output.
+
+    ``require_flag``: name of a 0/1 int column — only pairs where at
+    least one member has flag=1 are emitted, and runs with NO flagged
+    member are skipped BEFORE expansion.  This is the incremental-dedup
+    shape (new×all, never old×old): on a small increment against a big
+    checkpoint almost every colliding run is all-old, so the skip keeps
+    the expansion bounded by buckets the increment actually touches."""
     carry = tuple(carry)
+    if require_flag is not None and require_flag not in carry:
+        carry = carry + (require_flag,)
     n_hash_parts = max(64, n_parts * 8)
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -410,6 +422,11 @@ def _lsh_candidate_pairs(
         edge = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1], [True])))
         lens = np.diff(edge)
         starts = edge[:-1]
+        if require_flag is not None:
+            # skip all-old runs wholesale before any expansion
+            fl = cvals[require_flag].astype(np.int64)
+            has_new = np.add.reduceat(fl, starts) > 0
+            starts, lens = starts[has_new], lens[has_new]
         ia_parts, ib_parts = [], []
         # expand runs batched BY LENGTH: all runs of length L stack into
         # a (k, L) index matrix and share one triu_indices expansion
@@ -426,6 +443,9 @@ def _lsh_candidate_pairs(
         # rows sort by (bucket, doc_id), so d[ia] <= d[ib]; equal ids
         # (the same doc landing twice in one bucket) are dropped
         keep = d[ia] < d[ib]
+        if require_flag is not None:
+            fl = cvals[require_flag].astype(np.int64)
+            keep &= (fl[ia] + fl[ib]) > 0
         ia, ib = ia[keep], ib[keep]
         data = {"doc_a": d[ia], "doc_b": d[ib]}
         for c in carry:
@@ -630,7 +650,7 @@ def _minhash_pairs_from_sigs(
     n_docs = sigs.count()
     n_parts = max(2, min(32, n_docs // 200_000 + 1))
     cand = _lsh_candidate_pairs(banded, n_parts)
-    return _verify_minhash_pairs(cand, sigs, n_parts, threshold)
+    return _verify_minhash_pairs(cand, sigs, threshold)
 
 
 def _consume_pairs(consume, cand: "ray.data.Dataset", empty: pd.DataFrame) -> pd.DataFrame:
@@ -776,7 +796,6 @@ def _partitioned_attach(
 def _verify_minhash_pairs(
     cand: "ray.data.Dataset",
     sigs: "ray.data.Dataset",
-    n_parts: int,
     threshold: float,
 ) -> pd.DataFrame:
     """Verify candidate pairs against their signatures WITHOUT any
@@ -894,30 +913,37 @@ def minhash_incremental_pairs(
         base_sigs = read_parquet_clean(checkpoint_path)
         all_sigs = base_sigs.union(new_sigs)
         band = lambda b: _band_rows(b, num_bands)  # noqa: E731
-        new_banded = new_sigs.map_batches(band, batch_format="pyarrow", batch_size=1024)
-        all_banded = all_sigs.map_batches(band, batch_format="pyarrow", batch_size=1024)
-        n_parts = max(2, min(32, all_sigs.count() // 200_000 + 1))
 
-        def to_right(b: pa.Table) -> pa.Table:
-            return b.rename_columns(
-                ["doc_b" if n == "doc_id" else n for n in b.column_names]
-            )
+        # tag band rows new/old and run the SAME partitioned run
+        # expansion as the full sweep with ``require_flag`` — all-old
+        # runs are skipped before expansion, and only new×all pairs
+        # emit.  (The former Ray hash join on the bucket key died with
+        # schema-less empty partitions whenever a small increment's few
+        # band rows didn't cover every join partition — the NORMAL
+        # shape for continuous ingest against a big checkpoint.)
+        def tag(flag: int):
+            def _t(b: pa.Table) -> pa.Table:
+                t = band(b)
+                return t.append_column(
+                    "is_new", pa.array(np.full(len(t), flag, dtype=np.int8))
+                )
 
-        right = all_banded.map_batches(to_right, batch_format="pyarrow", batch_size=8192)
-        raw = new_banded.join(
-            right, join_type="inner", num_partitions=n_parts, on=("bucket",)
+            return _t
+
+        tagged = new_sigs.map_batches(
+            tag(1), batch_format="pyarrow", batch_size=1024
+        ).union(
+            base_sigs.map_batches(tag(0), batch_format="pyarrow", batch_size=1024)
         )
-
-        def ordered(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            lo = pc.min_element_wise(b["doc_id"], b["doc_b"])
-            hi = pc.max_element_wise(b["doc_id"], b["doc_b"])
-            t = pa.table({"doc_a": lo, "doc_b": hi})
-            return t.filter(pc.less(t["doc_a"], t["doc_b"]))
-
-        cand = raw.map_batches(ordered, batch_format="pyarrow", batch_size=8192)
-        pairs = _verify_minhash_pairs(cand, all_sigs, n_parts, threshold)
+        n_parts = max(2, min(32, all_sigs.count() // 200_000 + 1))
+        cand = _lsh_candidate_pairs(
+            tagged, n_parts, require_flag="is_new"
+        ).map_batches(
+            lambda b: b.select(["doc_a", "doc_b"]),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+        pairs = _verify_minhash_pairs(cand, all_sigs, threshold)
         if persist_new:
             new_sigs.write_parquet(checkpoint_path)
         return pairs
@@ -1378,10 +1404,13 @@ def line_dedup(
       pandas ``drop_duplicates`` on the full line text — hash
       collisions only co-locate lines, they can never merge distinct
       ones.
-    * ``(doc_id, line_no)`` packs into one int64
-      (``doc_id * 2^32 + line_no``) whose integer min IS the
-      lexicographic first-occurrence rule — the oracle mirrors the same
-      arithmetic.
+    * The first-occurrence winner is the lexicographic min of
+      ``(doc_id, line_no)`` carried as TWO int64 columns — NOT packed
+      into ``doc_id * 2^32 + line_no``: ids are full-range int64 in the
+      ingest path (blake2b-derived, signed), and the packed form wraps
+      for any ``|doc_id| >= 2^31``, corrupting rebuilt doc_ids and
+      merging unrelated documents that share their low 32 id bits.  The
+      oracle mirrors the same rule with a ``row_number()`` window.
     * Document reconstruction is the second shuffle, keyed on
       ``doc_id % rebuild_partitions`` (NOT per-doc groups — Ray
       dispatches map_groups once per group, ~2ms each, so per-doc
@@ -1420,21 +1449,24 @@ def line_dedup(
                 "part": (
                     pd.util.hash_array(lines).view(np.int64) % rebuild_partitions
                 ),
-                "pack": doc_ids * (1 << 32) + line_no,
+                "doc_id": doc_ids,
+                "line_no": line_no,
                 "line": lines,
             }
         )
         # local combiner: one witness per distinct line before the shuffle
-        df = df.sort_values("pack", kind="stable").drop_duplicates("line", keep="first")
+        df = df.sort_values(["doc_id", "line_no"], kind="stable").drop_duplicates(
+            "line", keep="first"
+        )
         return df
 
     def unpack_part(batch: pd.DataFrame) -> pd.DataFrame:
-        pack = batch["pack"].to_numpy()
-        doc = (pack >> 32).astype(np.int64)
+        doc = batch["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
                 "part": doc % rebuild_partitions,
-                "pack": pack,
+                "doc_id": doc,
+                "line_no": batch["line_no"],
                 "line": batch["line"],
             }
         )
@@ -1443,9 +1475,8 @@ def line_dedup(
         # one vectorized pandas groupby over the WHOLE hash partition —
         # not a Ray call per document (per-group dispatch measured ~2ms
         # each; pandas agg is ~10us/doc)
-        g = g.sort_values("pack", kind="stable")
-        doc = (g["pack"].to_numpy() >> 32).astype(np.int64)
-        grp = g.assign(doc_id=doc).groupby("doc_id", sort=True)
+        g = g.sort_values(["doc_id", "line_no"], kind="stable")
+        grp = g.groupby("doc_id", sort=True)
         text = grp["line"].agg(sep.join)
         return pd.DataFrame(
             {
@@ -1461,10 +1492,13 @@ def line_dedup(
         # line text in C, so hash-partitioning is only a routing step —
         # 64-bit partition-key collisions are harmless (the lines just
         # share a partition) and can never merge distinct lines.
-        g = g.sort_values("pack", kind="stable").drop_duplicates("line", keep="first")
-        return g[["pack", "line"]]
+        g = g.sort_values(["doc_id", "line_no"], kind="stable").drop_duplicates(
+            "line", keep="first"
+        )
+        return g[["doc_id", "line_no", "line"]]
 
-    # winner = min pack per DISTINCT LINE.  NOT a Ray aggregate on
+    # winner = lexicographic-min (doc_id, line_no) per DISTINCT LINE.
+    # NOT a Ray aggregate on
     # (hash, line): sort-aggregating with a long-string group key
     # measured ~4ms/row of remote time (22s for a 5k-line corpus);
     # partitioning on the int64 line-hash and resolving exactly inside

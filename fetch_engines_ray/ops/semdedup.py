@@ -98,7 +98,11 @@ def semdedup(
     if n_clusters is None:
         n_clusters = int(min(4096, max(16, round(n_total**0.5))))
     centroids = build_centroids(
-        ds, n_clusters=n_clusters, sample_size=max(2048, 8 * n_clusters), vec_col=vec_col
+        ds,
+        n_clusters=n_clusters,
+        sample_size=max(2048, 8 * n_clusters),
+        vec_col=vec_col,
+        n_total=n_total,
     )
     c_ref = ray.put(centroids)
 

@@ -34,6 +34,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _fetch_query_matrix(
+    ds: "ray.data.Dataset", query_ids, id_col: str, vec_col: str
+) -> tuple[list, np.ndarray]:
+    """Pull the query rows (tiny) and return ``(sorted ids, normalized
+    matrix)`` — ONE implementation shared by knn_bruteforce and ivf_knn
+    so the membership/ordering semantics cannot drift.  Membership
+    tests the RAW value: coercing with int() raised on string/null id
+    columns that the row-level filter used to accept."""
+    qset = set(query_ids)
+
+    def _pick_queries(batch: pa.Table) -> pa.Table:
+        mask = pa.array([v in qset for v in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    q_rows = ds.map_batches(
+        _pick_queries, batch_format="pyarrow", batch_size=8192
+    ).take_all()
+    q_rows.sort(key=lambda r: r[id_col])
+    qids = [r[id_col] for r in q_rows]
+    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    return qids, qmat
+
+
 def knn_bruteforce(
     ds: "ray.data.Dataset",
     query_ids: list[int],
@@ -44,18 +67,7 @@ def knn_bruteforce(
     """Exact cosine top-k for each query id.  Returns
     (query_id, neighbor_id, rank) with rank 1..k, ties broken by
     neighbor_id (deterministic; matches the SQL oracle's ORDER BY)."""
-    qset = set(query_ids)
-
-    def _pick_queries(batch: pa.Table) -> pa.Table:
-        # membership on the RAW value — coercing with int() raised on
-        # string/null id columns that the row-level filter used to accept
-        mask = pa.array([v in qset for v in batch[id_col].to_pylist()])
-        return batch.filter(mask)
-
-    q_rows = ds.map_batches(_pick_queries, batch_format="pyarrow", batch_size=8192).take_all()
-    q_rows.sort(key=lambda r: r[id_col])
-    qids = [r[id_col] for r in q_rows]
-    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    qids, qmat = _fetch_query_matrix(ds, query_ids, id_col, vec_col)
     q_ref = ray.put((qids, qmat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -106,10 +118,16 @@ def build_centroids(
     iters: int = 8,
     seed: int = 13,
     vec_col: str = "embedding",
+    n_total: Optional[int] = None,
 ) -> np.ndarray:
-    """Seeded mini-kmeans on a sample (driver-side; centroids are tiny)."""
+    """Seeded mini-kmeans on a sample (driver-side; centroids are tiny).
+
+    ``n_total``: pass the dataset's row count when the caller already
+    computed it — on a non-parquet-backed lineage a second ``count()``
+    re-executes the whole upstream chain just for sampling-fraction
+    arithmetic."""
     frac = 1.0
-    total = ds.count()
+    total = ds.count() if n_total is None else n_total
     if total > sample_size:
         frac = sample_size / total
     sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
@@ -143,18 +161,7 @@ def ivf_knn(
     closest clusters are scored.  Same output schema as knn_bruteforce."""
     if centroids is None:
         centroids = build_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
-    qset = set(query_ids)
-
-    def _pick_queries(batch: pa.Table) -> pa.Table:
-        # membership on the RAW value — coercing with int() raised on
-        # string/null id columns that the row-level filter used to accept
-        mask = pa.array([v in qset for v in batch[id_col].to_pylist()])
-        return batch.filter(mask)
-
-    q_rows = ds.map_batches(_pick_queries, batch_format="pyarrow", batch_size=8192).take_all()
-    q_rows.sort(key=lambda r: r[id_col])
-    qids = [r[id_col] for r in q_rows]
-    qmat = _normalize(np.asarray([r[vec_col] for r in q_rows], dtype=np.float64))
+    qids, qmat = _fetch_query_matrix(ds, query_ids, id_col, vec_col)
     q_clusters = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # [q, nprobe]
     probe_union = set(q_clusters.flatten().tolist())
     ref = ray.put((qids, qmat, q_clusters, centroids, sorted(probe_union)))
@@ -176,7 +183,12 @@ def ivf_knn(
                     continue
                 take = min(k, len(cand))
                 row = sims[qi]
-                top = cand[np.argpartition(-row[cand], take - 1)[:take]]
+                # deterministic k-th-boundary ties (sim desc, id asc) —
+                # argpartition would keep whichever tied candidate lands
+                # first in memory order (same fix as knn_bruteforce and
+                # ann_index.search_ivf_index)
+                order = np.lexsort((ids[cand], -row[cand]))
+                top = cand[order[:take]]
                 out_q.extend([qid] * len(top))
                 out_n.extend(ids[top].tolist())
                 out_s.extend(row[top].tolist())
@@ -275,7 +287,11 @@ def embedding_near_dup_pairs(
     if n_clusters is None:
         n_clusters = int(min(4096, max(16, round(n_total ** 0.5))))
     centroids = build_centroids(
-        ds, n_clusters=n_clusters, sample_size=max(2048, 8 * n_clusters), vec_col=vec_col
+        ds,
+        n_clusters=n_clusters,
+        sample_size=max(2048, 8 * n_clusters),
+        vec_col=vec_col,
+        n_total=n_total,
     )
     c_ref = ray.put(centroids)
 

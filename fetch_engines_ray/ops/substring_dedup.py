@@ -164,12 +164,31 @@ def repeated_spans(
             # (from_arrow: ray keeps an Arrow block's schema on empty
             # datasets where from_pandas drops it)
             return ray.data.from_arrow(pa.Table.from_pandas(empty))
-        hits = fps_ckpt.join(
-            shared.rename_columns({"fp": "fp_r"}),
-            join_type="inner",
-            num_partitions=n_parts,
-            on=("fp",),
-            right_on=("fp_r",),
+        # semi-join via the engine's guarded partitioned merge, NOT a
+        # raw Ray hash join: the shared-fp side is SPARSE (bounded by
+        # duplicated content), and any join partition whose hash range
+        # holds no shared fp would receive a schema-less empty table and
+        # die with ArrowInvalid — the normal case for lightly-duplicated
+        # corpora (see dedup._partitioned_attach's documented failure
+        # mode; only the fully-empty case is short-circuited above)
+        from fetch_engines_ray.ops.dedup import _partitioned_attach
+
+        def add_flag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "flag", pa.array(np.ones(len(b), dtype=bool))
+            )
+
+        hits = _partitioned_attach(
+            fps_ckpt,
+            shared.map_batches(add_flag, batch_format="pyarrow", batch_size=65536),
+            key_col="fp",
+            carry=[(id_col, pa.int64()), ("pos", pa.int64())],
+            value_col="flag",
+            value_type=pa.bool_(),
+            out_col="shared_flag",
+            n_parts=n_parts,
+            how="inner",
+            lookup_key="fp",
         )
 
         def to_parts(batch: pa.Table) -> pa.Table:

@@ -308,3 +308,53 @@ def test_ivfpq_residual_search_and_append(ray_session, tmp_path):
     for qi, cid in enumerate(clone_ids):
         got = set(out2[out2["query_idx"] == qi]["neighbor_id"])
         assert cid in got  # the appended exact clone surfaces
+
+
+def test_build_into_existing_index_dir_refuses(ray_session, tmp_path):
+    """Rebuilding into a populated index path would MIX stale partition
+    files (assigned under obsolete centroids) into the new index —
+    searches would score old rows twice.  The build APIs must refuse;
+    growth goes through append_*."""
+    import numpy as np
+    import pytest
+
+    import ray.data
+    from fetch_engines_ray.ops.ann_index import build_ivf_index
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"vec_id": i, "embedding": rng.normal(size=8).tolist()} for i in range(64)
+    ]
+    ds = ray.data.from_items(rows)
+    path = str(tmp_path / "idx")
+    build_ivf_index(ds, path, n_clusters=4)
+    with pytest.raises(ValueError, match="already contains parquet files"):
+        build_ivf_index(ds, path, n_clusters=4)
+
+
+def test_ivf_knn_boundary_ties_match_bruteforce(ray_session):
+    """Duplicate vectors tie exactly at the k-th boundary: with full
+    probing, ivf_knn must resolve them (sim desc, id asc) identically
+    to knn_bruteforce — argpartition kept whichever tied candidate
+    landed first in memory order (review finding)."""
+    import numpy as np
+
+    import ray.data
+    from fetch_engines_ray.ops.similarity import ivf_knn, knn_bruteforce
+
+    base = np.eye(4)
+    rows = []
+    # 8 exact copies of each basis vector → massive exact ties
+    for rep in range(8):
+        for j in range(4):
+            rows.append(
+                {"vec_id": rep * 4 + j, "embedding": base[j].tolist()}
+            )
+    ds = ray.data.from_items(rows)
+    queries = [0, 5]
+    exact = knn_bruteforce(ds, queries, k=5)
+    approx = ivf_knn(ds, queries, k=5, n_clusters=4, nprobe=4)
+    for q in queries:
+        e = exact[exact["query_id"] == q]["neighbor_id"].tolist()
+        a = approx[approx["query_id"] == q]["neighbor_id"].tolist()
+        assert a == e, f"query {q}: {a} != {e}"

@@ -2355,3 +2355,40 @@ def test_grouped_exact_int_quantiles_multilevel(ray_session):
         for q in qs:
             want = int(s[max(0, math.ceil(q * len(s)) - 1)])
             assert got.loc[g, f"q{q:g}"] == want, (g, q)
+
+
+def test_line_dedup_full_range_int64_doc_ids(ray_session):
+    """Blake2b-derived ids span the FULL signed int64 range (the ingest
+    bridge's contract): the winner rule and document reconstruction
+    must be exact there — the old packed doc_id*2^32+line_no key
+    wrapped, corrupting rebuilt ids and merging unrelated docs that
+    share their low 32 id bits (review finding)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from fetch_engines_ray.ops.dedup import line_dedup
+
+    lo = -6076574518398440533  # full-range negative id
+    hi = lo + (1 << 32)  # shares its low 32 bits with lo
+    big = 2**62 + 12345
+    rows = [
+        {"doc_id": lo, "text": "alpha\nshared line\nbeta"},
+        {"doc_id": hi, "text": "gamma\nshared line\ndelta"},
+        {"doc_id": big, "text": "epsilon\nshared line"},
+        {"doc_id": 7, "text": "zeta\nshared line"},
+    ]
+    out = (
+        line_dedup(ray.data.from_pandas(pd.DataFrame(rows)))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # every input id round-trips exactly
+    assert set(out.index) == {lo, hi, big, 7}
+    # the shared line survives exactly once, at the lexicographic-min
+    # (doc_id, line_no) — the most NEGATIVE id wins
+    assert out.loc[lo, "text"] == "alpha\nshared line\nbeta"
+    assert out.loc[hi, "text"] == "gamma\ndelta"
+    assert out.loc[big, "text"] == "epsilon"
+    assert out.loc[7, "text"] == "zeta"
+    assert int(out["n_lines"].sum()) == 7
