@@ -93,6 +93,7 @@ def broadcast_join(
     small_on: tuple,
     how: str = "inner",
     drop_cols: tuple = (),
+    rename_map: "dict | None" = None,
 ) -> "ray.data.Dataset":
     """Join a streaming big side against a driver-resident small side:
     the small table is ``ray.put`` ONCE **as Arrow** (``ray.get`` is
@@ -103,7 +104,10 @@ def broadcast_join(
     side's blocks.  ``how`` is relative to the big side (inner/left);
     ``drop_cols`` removes duplicated key columns after the merge (so
     the output schema matches Ray's native join, which keeps only the
-    left-side key)."""
+    left-side key); ``rename_map`` renames surviving columns after the
+    merge (the flipped broadcast_left path uses it to present the BIG
+    side's key under the caller's left-key name, keeping the output
+    schema identical across planner strategies)."""
     import pyarrow as pa
     import ray as _ray
 
@@ -120,7 +124,12 @@ def broadcast_join(
         out = batch.join(
             s, keys=list(big_on), right_keys=list(small_on), join_type=join_type
         )
-        return out.drop_columns([c for c in drop_cols if c in out.column_names])
+        out = out.drop_columns([c for c in drop_cols if c in out.column_names])
+        if rename_map:
+            out = out.rename_columns(
+                [rename_map.get(c, c) for c in out.column_names]
+            )
+        return out
 
     return big.map_batches(merge, batch_format="pyarrow", batch_size=65536)
 
@@ -170,8 +179,19 @@ def auto_join(
             left, _collect(right), lo, ro, how=how, drop_cols=dup_keys
         )
     if strategy == "broadcast_left":
+        # the flipped join keeps the BIG (right) side's key columns —
+        # rename them to the caller's left-key names so the output
+        # schema is identical to the shuffle / broadcast_right
+        # strategies (dropping them left NO key column at all, and a
+        # downstream groupby broke only once data crossed the planner
+        # threshold)
         return broadcast_join(
-            right, _collect(left), ro, lo, how="inner", drop_cols=dup_keys
+            right,
+            _collect(left),
+            ro,
+            lo,
+            how="inner",
+            rename_map={r: l for l, r in zip(lo, ro) if r != l},
         )
 
     if num_partitions is None:

@@ -39,7 +39,19 @@ def write_sorted(
 ) -> int:
     """One distributed sort by ``key`` + streaming write; returns the
     number of files written.  Small row groups sharpen zone-map
-    resolution at a small metadata cost (the standard dial)."""
+    resolution at a small metadata cost (the standard dial).
+
+    Refuses a destination that already holds parquet files:
+    ``write_parquet`` appends uniquely-named files, so writing over a
+    previous layout would silently mix stale rows into every consumer
+    (range plans, pruned reads, merge joins) and break the
+    non-overlapping-key-range invariant the module is built on.  Write
+    a new run dir and compact (:func:`compact_sorted_runs`) instead."""
+    if os.path.isdir(path) and _files(path):
+        raise ValueError(
+            f"sorted-layout path {path!r} already contains parquet files — "
+            "write to a fresh directory (compact runs instead of overwriting)"
+        )
     os.makedirs(path, exist_ok=True)
     n = ds.count()
     n_blocks = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
@@ -112,8 +124,18 @@ def pruned_read(
 
     plan, stats = plan_key_range(path, key, lo, hi)
     if not plan:
-        empty = pa.schema([(key, pa.int64())])
-        return ray.data.from_arrow(pa.Table.from_pylist([], schema=empty)), stats
+        # empty result typed from the LAYOUT'S OWN footer schema (and
+        # projected to the requested columns) — a hardcoded {key: int64}
+        # stub broke unions with non-empty reads and column selection
+        # exactly and only in the empty-range case
+        files = _files(path)
+        if files:
+            schema = pq.read_schema(files[0]).remove_metadata()
+            if columns is not None:
+                schema = pa.schema([schema.field(c) for c in columns])
+        else:
+            schema = pa.schema([(key, pa.int64())])
+        return ray.data.from_arrow(schema.empty_table()), stats
 
     def read_fragments(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -159,9 +159,11 @@ def asof_join(
             batch = batch.append_column(
                 "__side", pa.array(np.full(batch.num_rows, side, dtype=np.int64))
             )
-            keys = np.asarray(batch[by].to_pylist(), dtype=object)
-            part = (pd.util.hash_array(keys) % np.uint64(n_parts)).astype(np.int64)
-            batch = batch.append_column("__part", pa.array(part))
+            from .window import hash_part
+
+            batch = batch.append_column(
+                "__part", pa.array(hash_part(batch[by].to_pylist(), n_parts))
+            )
             for c in other_cols:  # null-fill the other side's columns
                 batch = batch.append_column(c, pa.nulls(batch.num_rows))
             return batch

@@ -207,7 +207,13 @@ def customer_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
         attach = _broadcast_attach(cust_ds.to_pandas(), "c_custkey", "c_mktsegment")
 
         def attach_segment(batch: pa.Table) -> pa.Table:
-            return attach(batch, "o_custkey", "c_mktsegment", default="")
+            # INNER semantics, matching the >threshold hash-join path
+            # and the SQL oracle: an order with no customer row DROPS
+            # (the old default="" kept it under a phantom "" segment, so
+            # the same input returned a different group set depending on
+            # which side of the planner threshold it landed)
+            out = attach(batch, "o_custkey", "c_mktsegment")
+            return out.filter(pc.is_valid(out["c_mktsegment"]))
 
         joined = orders.map_batches(attach_segment, batch_format="pyarrow", batch_size=65536)
     joined = _add_int_scaled(joined, "o_totalprice", "cents")
@@ -227,7 +233,9 @@ def customers_per_nation(sf_dir: str) -> pd.DataFrame:
     attach = _broadcast_attach(nation, "n_nationkey", "n_name")
 
     def attach_nation(batch: pa.Table) -> pa.Table:
-        return attach(batch, "c_nationkey", "n_name", default="")
+        # INNER semantics (the SQL oracle's JOIN): drop unmatched
+        out = attach(batch, "c_nationkey", "n_name")
+        return out.filter(pc.is_valid(out["n_name"]))
 
     cust = _read(sf_dir, "customer", columns=["c_nationkey"])
     out = (
@@ -412,15 +420,22 @@ def events_tumbling_window(sf_dir: str, window_minutes: int = 60) -> pd.DataFram
 
     def bucket(batch: pa.Table) -> pa.Table:
         # integer epoch-second window key: timezone-free and exact-hash
-        # stable against the SQL oracle (no strftime/locale drift)
-        epoch_us = pc.cast(batch.column("ts"), pa.int64())
-        win = pc.multiply(
-            pc.divide(epoch_us, pa.scalar(w_us)), pa.scalar(window_minutes * 60)
-        )
+        # stable against the SQL oracle (no strftime/locale drift).
+        # FLOOR division via numpy `//` — pc.divide truncates toward
+        # zero, putting pre-1970 timestamps in the wrong bucket (the
+        # hopping window and the DuckDB oracle both floor)
+        # normalize to MICROSECOND precision first: a ns-precision
+        # events table (pandas' parquet default) would otherwise yield
+        # epoch-ns integers and silently bucket 1000x off
+        ts_us = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        epoch_us = pc.cast(ts_us, pa.int64()).combine_chunks().to_numpy()
+        win = (epoch_us // w_us) * (window_minutes * 60)
         cents = pc.cast(
             pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64()
         )
-        return pa.table({"window_start": pc.cast(win, pa.int64()), "cents": cents})
+        return pa.table(
+            {"window_start": pa.array(win, type=pa.int64()), "cents": cents}
+        )
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
@@ -450,9 +465,14 @@ def events_hopping_window(
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        epoch_us = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy()
+        ts_us = pc.cast(batch.column("ts"), pa.timestamp("us"))
+        epoch_us = pc.cast(ts_us, pa.int64()).combine_chunks().to_numpy()
         vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
-        cents = np.rint(vals * 100.0).astype(np.int64)
+        # half-away-from-zero like every other int-scaled money site
+        # (np.rint is half-even and diverges from SQL round() on
+        # half-cent inputs)
+        scaled = vals * 100.0
+        cents = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
         b = epoch_us // h_us  # hop-bucket index of each event
         # an event in hop bucket b lies inside windows starting at
         # (b - i) * hop for i in 0..m-1
@@ -698,7 +718,13 @@ def customer_order_full_outer(
         batch = batch.filter(
             pc.greater(batch["c_acctbal"], pa.scalar(min_acctbal))
         )
-        cents = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100.0)), pa.int64())
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["c_acctbal"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         return pa.table({"c_custkey": batch["c_custkey"], "c_acctbal_cents": cents})
 
     left = cust.map_batches(keep_high, batch_format="pyarrow", batch_size=8192)

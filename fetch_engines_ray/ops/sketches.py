@@ -300,6 +300,48 @@ class IntHistogram(AggregateFnV2):
         return accumulator
 
 
+class MultiRangeIntHistogram(AggregateFnV2):
+    """Several :class:`IntHistogram`\\ s over DIFFERENT ``[lo, hi]``
+    ranges of the same column in ONE streaming pass — values outside a
+    range are MASKED (not clipped), so the input needs no per-range
+    filter.  ``ranges`` is ``[(lo, width, nbuckets), ...]``; the
+    accumulator concatenates the per-range count arrays.  This is what
+    lets :func:`exact_int_quantiles` narrow EVERY requested rank per
+    level with one aggregate instead of one filtered pass per rank."""
+
+    def __init__(self, on: str, ranges: list, alias_name=None):
+        self._ranges = [(int(lo), int(w), int(n)) for lo, w, n in ranges]
+        self._total = sum(n for _, _, n in self._ranges)
+        total = self._total
+        super().__init__(
+            alias_name or f"multi_int_histogram({on})",
+            zero_factory=lambda: bytes(8 * total),
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        from ray.data.block import BlockAccessor
+
+        col = BlockAccessor.for_block(block).to_arrow().column(self._target_col_name)
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.zeros(self._total, dtype=np.int64)
+        off = 0
+        for lo, width, n in self._ranges:
+            if len(v):
+                idx = (v - lo) // width
+                m = (idx >= 0) & (idx < n)
+                np.add.at(counts[off : off + n], idx[m], 1)
+            off += n
+        return counts.tobytes()
+
+    def combine(self, a: bytes, b: bytes) -> bytes:
+        return (np.frombuffer(a, dtype=np.int64) + np.frombuffer(b, dtype=np.int64)).tobytes()
+
+    def finalize(self, accumulator: bytes) -> bytes:
+        return accumulator
+
+
 def exact_int_quantiles(
     ds: "ray.data.Dataset", column: str, ranks: list[int], bins: int = 4096
 ) -> list[int]:
@@ -324,29 +366,47 @@ def exact_int_quantiles(
         return []
     g_lo, g_hi = int(mm["lo"]), int(mm["hi"])
 
-    def histogram(level, lo, hi):
+    def _geom(lo: int, hi: int) -> tuple[int, int]:
         span = hi - lo + 1
         width = -(-span // bins)  # ceil: integer bucket width >= 1
-        n_b = -(-span // width)
-        blob = level.aggregate(IntHistogram(column, lo, hi, width, n_b, alias_name="h"))["h"]
-        return np.cumsum(np.frombuffer(blob, dtype=np.int64)), width
+        return width, -(-span // width)
 
-    # the first level covers the full range for every rank — one pass
-    first_cum, first_width = (histogram(ds, g_lo, g_hi)) if g_hi > g_lo else (None, 1)
-
-    out: list[int] = []
-    for rank in ranks:
-        lo, hi, r = g_lo, g_hi, int(rank)
-        level, cum, width = ds, first_cum, first_width
-        while hi > lo:
+    # Per-rank narrowing state; EVERY pending rank narrows one level per
+    # streaming pass via MultiRangeIntHistogram (one filtered aggregate
+    # per rank per level would scan the dataset len(ranks)x per level).
+    # Ranks sharing a range share one histogram slot.
+    states = [(g_lo, g_hi, int(r)) for r in ranks]
+    out: list = [None] * len(ranks)
+    for i, (lo, hi, _r) in enumerate(states):
+        if hi <= lo:
+            out[i] = lo
+    while any(v is None for v in out):
+        pending = [i for i, v in enumerate(out) if v is None]
+        uniq: dict[tuple[int, int], int] = {}
+        ranges = []
+        for i in pending:
+            lo, hi, _ = states[i]
+            if (lo, hi) not in uniq:
+                uniq[(lo, hi)] = len(ranges)
+                w, n_b = _geom(lo, hi)
+                ranges.append((lo, w, n_b))
+        blob = ds.aggregate(
+            MultiRangeIntHistogram(column, ranges, alias_name="h")
+        )["h"]
+        counts = np.frombuffer(blob, dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum([n for _, _, n in ranges])))
+        for i in pending:
+            lo, hi, r = states[i]
+            slot = uniq[(lo, hi)]
+            w = ranges[slot][1]
+            cum = np.cumsum(counts[offsets[slot] : offsets[slot + 1]])
             b = int(np.searchsorted(cum, r + 1, side="left"))
             r -= int(cum[b - 1]) if b > 0 else 0
-            lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
-            if width == 1:
-                break
-            level = level.filter(expr=f"{column} >= {lo} and {column} <= {hi}")
-            cum, width = histogram(level, lo, hi)
-        out.append(lo)
+            lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+            if w == 1 or hi <= lo:
+                out[i] = lo
+            else:
+                states[i] = (lo, hi, r)
     return out
 
 
@@ -581,11 +641,16 @@ def heavy_hitters_exact(
 
     def count_candidates(batch: pa.Table) -> pa.Table:
         cand = _ray.get(cand_ref)
+        col_type = batch.column(column).type
         vc = batch.column(column).to_pandas().value_counts()
         vc = vc[vc.index.isin(cand)]
+        # type the value column from the INPUT even when this block has
+        # zero candidate matches — pa.array([]) is null-typed, and the
+        # downstream groupby dies unifying it with non-empty blocks'
+        # string/int schema (same hazard rangejoin.join_cell guards)
         return pa.table(
             {
-                "value": pa.array(vc.index.tolist()),
+                "value": pa.array(vc.index.tolist(), type=col_type),
                 "n": pa.array(vc.to_numpy(), type=pa.int64()),
             }
         )

@@ -28,9 +28,9 @@ if TYPE_CHECKING:  # pragma: no cover
 # (column, op, output_name); op in {"sum","count","min","max","mean"}
 AggSpec = tuple[str, str, str]
 
-_PARTIAL = {"sum": "Sum", "count": "Count", "min": "Min", "max": "Max"}
+_PARTIAL = {"sum": "Sum", "count": "Count", "nncount": "Count", "min": "Min", "max": "Max"}
 # how stage 2 combines stage-1 partials
-_COMBINE = {"sum": "Sum", "count": "Sum", "min": "Min", "max": "Max"}
+_COMBINE = {"sum": "Sum", "count": "Sum", "nncount": "Sum", "min": "Min", "max": "Max"}
 
 
 def salted_aggregate(
@@ -56,9 +56,12 @@ def salted_aggregate(
     finals: list[tuple[str, str, str]] = []  # (out_name, kind, alias/aliases)
     for col, op, out in aggs:
         if op == "mean":
-            s_alias, c_alias = f"__{col}_sum", "__rows_count"
+            # SQL AVG divides the null-skipping sum by the NON-NULL
+            # count — pairing Sum(col) with the shared row count gave a
+            # wrong mean on any group with nulls
+            s_alias, c_alias = f"__{col}_sum", f"__{col}_nncount"
             partial_specs[s_alias] = (col, "sum")
-            partial_specs[c_alias] = (col, "count")
+            partial_specs[c_alias] = (col, "nncount")
             finals.append((out, "mean", f"{s_alias}|{c_alias}"))
         elif op in _PARTIAL:
             alias = f"__{col}_{op}" if op != "count" else "__rows_count"
@@ -74,7 +77,12 @@ def salted_aggregate(
     stage1_aggs = []
     for alias, (col, op) in partial_specs.items():
         cls = classes[_PARTIAL[op]]
-        stage1_aggs.append(cls(alias_name=alias) if op == "count" else cls(col, alias_name=alias))
+        if op == "count":
+            stage1_aggs.append(cls(alias_name=alias))
+        elif op == "nncount":
+            stage1_aggs.append(cls(col, ignore_nulls=True, alias_name=alias))
+        else:
+            stage1_aggs.append(cls(col, alias_name=alias))
     stage1 = (
         ds.map_batches(add_salt, batch_format="pyarrow", batch_size=8192)
         .groupby(keys + ["__salt"])

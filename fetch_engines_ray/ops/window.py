@@ -25,10 +25,18 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray
 
 
+def hash_part(keys, n_parts: int) -> np.ndarray:
+    """The engine's partition assignment for arbitrary (string/object)
+    keys: ``pd.util.hash_array % n_parts`` — ONE shared implementation
+    (asof_join reuses it) so the partitioning idiom cannot drift."""
+    return (
+        pd.util.hash_array(np.asarray(keys, dtype=object)) % np.uint64(n_parts)
+    ).astype(np.int64)
+
+
 def _with_part(ds: "ray.data.Dataset", partition_by: str, n_parts: int) -> "ray.data.Dataset":
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch[partition_by].to_pylist(), dtype=object)
-        part = (pd.util.hash_array(keys) % np.uint64(n_parts)).astype(np.int64)
+        part = hash_part(batch[partition_by].to_pylist(), n_parts)
         return batch.append_column("__part", pa.array(part))
 
     return ds.map_batches(add_part, batch_format="pyarrow", batch_size=8192)
