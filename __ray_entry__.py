@@ -1853,19 +1853,23 @@ def oracle_sql() -> dict[str, str]:
             "WITH f AS (SELECT doc_id,"
             "  CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,"
             "  CAST(length(text) AS BIGINT) AS n_chars,"
+            # true word chars: total minus ALL whitespace (mirrors the
+            # engine's n_chars - n_ws; the old n_words-1 form assumed
+            # single-space separators)
+            "  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wordchars,"
             "  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,"
             "  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,"
             "  CAST(array_length(regexp_extract_all(lower(text),"
             "    '\\b(?:the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS stopword_hits"
             "  FROM documents)"
             " SELECT doc_id, n_words,"
-            "  CAST((n_chars - (n_words - 1)) * 100 // greatest(n_words, 1) AS BIGINT)"
+            "  CAST(n_wordchars * 100 // greatest(n_words, 1) AS BIGINT)"
             "    AS mean_word_len_x100,"
             "  CAST((n_hash + n_ell) * 1000 // greatest(n_words, 1) AS BIGINT)"
             "    AS symbol_ratio_x1000,"
             "  stopword_hits,"
             "  (n_words BETWEEN 50 AND 100000"
-            "   AND ((n_chars - (n_words - 1)) * 100 // greatest(n_words, 1)) BETWEEN 300 AND 1000"
+            "   AND (n_wordchars * 100 // greatest(n_words, 1)) BETWEEN 300 AND 1000"
             "   AND ((n_hash + n_ell) * 1000 // greatest(n_words, 1)) <= 100"
             "   AND stopword_hits >= 2) AS gopher_pass"
             " FROM f ORDER BY doc_id"

@@ -62,7 +62,12 @@ def _flat_tokens(texts: Sequence[Optional[str]]) -> tuple[np.ndarray, np.ndarray
     offs = np.empty(len(texts) + 1, dtype=np.int64)
     offs[0] = 0
     for i, t in enumerate(texts):
-        toks.extend((t or "").lower().split())
+        # reserved-NUL exclusion (see lm._tokenize): NUL-prefixed
+        # tokens are binary garbage and would collide with the
+        # TOTAL_SENTINEL row, corrupting the corpus total N
+        toks.extend(
+            w for w in (t or "").lower().split() if not w.startswith("\x00")
+        )
         offs[i + 1] = len(toks)
     return np.asarray(toks, dtype=object), offs
 
@@ -107,15 +112,19 @@ def train_backoff_lm(
     ``alpha`` rides along in the table's last sentinel-adjacent use at
     score time (pass the same value to :func:`score_backoff`).
 
-    ``min_count`` — int (applied to every order > 1) or one threshold
-    per order — is Brants et al.'s count cutoff, applied to the rolled-up
-    counts dataset BEFORE anything reaches the driver.  ``max_ngrams``
-    bounds the driver pull per order: after the groupby every n-gram
-    lives in exactly one block, so keeping each block's local top-N by
-    ``(n desc, ngram asc)`` and cutting the union to N again is
-    provably identical to a full-table cut (same superset argument as
-    ``train_unigram_lm``); unigrams keep exact tail mass in the
-    sentinel so base probabilities stay well-formed.
+    ``min_count`` — int (the same threshold for EVERY order, unigrams
+    included) or one threshold per order — is Brants et al.'s count
+    cutoff, applied to the rolled-up counts dataset BEFORE anything
+    reaches the driver.  Note cutting unigrams shrinks V and therefore
+    the add-alpha OOV floor; pass ``[1, c, c, ...]`` to keep the
+    unigram vocab untouched.  ``max_ngrams`` bounds the driver pull per
+    order: after the groupby every n-gram lives in exactly one block,
+    so keeping each block's local top-N by ``(n desc, ngram asc)`` and
+    cutting the union to N again is provably identical to a full-table
+    cut (same superset argument as ``train_unigram_lm``).  Dropped
+    n-grams (any order) keep NO tail mass — they score exactly like
+    unseen n-grams (the add-alpha/backoff floor), while the corpus
+    total ``N`` stays exact via the sentinel.
     """
     from ray.data.aggregate import Sum
 
@@ -200,6 +209,8 @@ def train_backoff_lm(
         df = pd.concat(parts, ignore_index=True)
     else:
         df = rolled.to_pandas()
+    if df.empty or "ngram" not in df.columns:
+        raise ValueError("cannot train a backoff LM on an empty corpus")
     df = df.sort_values("ngram").reset_index(drop=True)
     return pa.table(
         {
@@ -337,7 +348,10 @@ def backoff_reference(
     )
     counters: list[Counter] = [Counter() for _ in range(order)]
     total = 0
-    docs = [((t or "").lower().split()) for t in texts]
+    docs = [
+        [w for w in (t or "").lower().split() if not w.startswith("\x00")]
+        for t in texts
+    ]  # same reserved-NUL exclusion as _flat_tokens
     for ws in docs:
         total += len(ws)
         for k in range(1, order + 1):

@@ -83,6 +83,8 @@ def logreg_fit(
         agg = ds.map_batches(partials, batch_format="pyarrow", batch_size=8192).sum(
             grad_cols + ["n"]
         )
+        if agg["sum(n)"] is None:  # empty training set: Sum of no rows
+            raise ValueError("logreg_fit needs a non-empty labeled dataset")
         n = max(agg["sum(n)"], 1.0)
         grad = np.asarray([agg[f"sum({c})"] for c in grad_cols]) / n
         if l2 > 0.0:

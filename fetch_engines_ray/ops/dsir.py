@@ -19,15 +19,13 @@ Ray-Data shape:
 - the per-bucket log-ratio vector (B float64, ~64 KiB at the default
   B=8192) is broadcast once via ``ray.put``; weighting is a vectorized
   lookup + ``np.add.reduceat`` per batch — no shuffle;
-- resampling keys documents by ``logw + Gumbel(md5(doc_id, seed))`` —
-  deterministic, partitioning-invariant — with per-block top-n partials
+- resampling keys documents by ``logw + Gumbel(hash64(doc_id, seed))``
+  — deterministic, partitioning-invariant — with per-block top-n partials
   before the final ``sort.limit`` so only ``n_blocks * n`` rows reach
   the wide step.
 """
 from __future__ import annotations
 
-import hashlib
-import math
 from typing import TYPE_CHECKING, Optional, Sequence
 
 import numpy as np
@@ -46,6 +44,10 @@ def _doc_ngrams(text: Optional[str]) -> list[str]:
 
 
 def _bucket_ids(ngrams: Sequence[str], n_buckets: int) -> np.ndarray:
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        # the & mask is only a modulus for powers of two — anything else
+        # silently skews the mapping and leaves buckets permanently empty
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     if not ngrams:
         return np.empty(0, dtype=np.int64)
     h = pd.util.hash_array(np.asarray(ngrams, dtype=object))
@@ -97,7 +99,8 @@ def raw_bucket_counts(
         .to_pandas()
     )
     out = np.zeros(n_buckets, dtype=np.int64)
-    out[rolled["bucket"].to_numpy()] = rolled["n"].to_numpy()
+    if "bucket" in rolled.columns:  # empty corpus -> column-less frame
+        out[rolled["bucket"].to_numpy()] = rolled["n"].to_numpy()
     return out
 
 
@@ -138,16 +141,19 @@ def dsir_weights(
 
 
 def _gumbel_from_ids(ids: np.ndarray, seed: int) -> np.ndarray:
-    """Deterministic per-id Gumbel(0,1) noise from md5(id, seed): the
+    """Deterministic per-id Gumbel(0,1) noise from hash64(seed, id): the
     top-k of ``logw + g`` is then a sample WITHOUT replacement from the
     softmax over logw (Gumbel top-k trick), reproducible across runs and
-    partitionings."""
-    g = np.empty(len(ids), dtype=np.float64)
-    for i, d in enumerate(ids):
-        h = hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:13]
-        u = (int(h, 16) + 0.5) / float(1 << 52)
-        g[i] = -math.log(-math.log(u))
-    return g
+    partitionings.  ONE vectorized ``pd.util.hash_array`` call (the
+    same u-from-id derivation as ``sampling._keys``) — the former
+    per-row ``hashlib.md5`` loop was the only non-vectorized step in
+    the DSIR path; the single-process reference shares this helper, so
+    engine/reference parity is unaffected by the hash choice."""
+    h = pd.util.hash_array(
+        np.asarray([f"{seed}:{d}" for d in ids], dtype=object)
+    ).astype(np.uint64)
+    u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0  # (0, 1) open
+    return -np.log(-np.log(u))
 
 
 def dsir_resample(

@@ -50,7 +50,12 @@ DEFAULT_BUCKETS = (3_350_000, 3_450_000)
 
 
 def _tokenize(text: Optional[str]) -> list[str]:
-    return (text or "").lower().split()
+    # Reserved namespace: whitespace-split tokens beginning with NUL
+    # (backslash-x00) are EXCLUDED from every statistic (binary garbage,
+    # not language), which makes the NUL-prefixed sentinel rows
+    # collision-proof by construction -- a real NUL-prefixed token once
+    # corrupted the aggregate totals silently.
+    return [w for w in (text or "").lower().split() if not w.startswith("\x00")]
 
 
 def train_unigram_lm(
@@ -101,6 +106,8 @@ def train_unigram_lm(
         cand = wc.map_batches(
             local_top, batch_format="pyarrow", batch_size=max(2 * max_vocab, 8192)
         ).to_pandas()
+        if "tail_n" not in cand.columns:  # empty corpus → column-less frame
+            raise ValueError("cannot train a unigram LM on an empty corpus")
         tail_total = int(cand["tail_n"].sum())
         counts = (
             cand[cand["word"].notna()][["word", "n"]]
@@ -112,6 +119,8 @@ def train_unigram_lm(
         total = oov_n + int(kept["n"].sum())
     else:
         counts = wc.to_pandas()
+        if "n" not in counts.columns:  # empty corpus → column-less frame
+            raise ValueError("cannot train a unigram LM on an empty corpus")
         counts = counts.sort_values(["n", "word"], ascending=[False, True]).reset_index(drop=True)
         kept = counts
         oov_n = 0

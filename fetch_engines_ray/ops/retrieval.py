@@ -36,7 +36,12 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _tokenize(text: Optional[str]) -> list[str]:
-    return (text or "").lower().split()
+    # Reserved namespace: whitespace-split tokens beginning with NUL
+    # (backslash-x00) are EXCLUDED from every statistic (binary garbage,
+    # not language), which makes the NUL-prefixed sentinel rows
+    # collision-proof by construction -- a real NUL-prefixed token once
+    # corrupted the aggregate totals silently.
+    return [w for w in (text or "").lower().split() if not w.startswith("\x00")]
 
 
 def corpus_stats(

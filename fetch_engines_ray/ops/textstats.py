@@ -293,11 +293,18 @@ def add_gopher_quality_flags(batch: pa.Table, text_col: str = "text") -> pa.Tabl
     words = pc.split_pattern_regex(trimmed, r"\s+")
     n_words = pc.cast(pc.list_value_length(words), pa.int64())
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-    # mean word length x100 as integer (avoids float-hash drift)
+    # mean word length x100 as integer (avoids float-hash drift).
+    # TRUE word characters = total chars minus ALL whitespace chars —
+    # the old (n_chars - (n_words-1)) form assumed single-space
+    # separators, so CRLF lines / indentation inflated the mean and
+    # flipped gopher_pass on legitimate prose (review finding)
     denom = pc.max_element_wise(n_words, pa.scalar(1, type=pa.int64()))
+    n_ws = pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64())
     mwl100 = pc.cast(
         pc.divide(
-            pc.multiply(pc.subtract(n_chars, pc.subtract(n_words, pa.scalar(1, type=pa.int64()))), pa.scalar(100, type=pa.int64())),
+            pc.multiply(
+                pc.subtract(n_chars, n_ws), pa.scalar(100, type=pa.int64())
+            ),
             denom,
         ),
         pa.int64(),
@@ -609,7 +616,12 @@ def word_counts(
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks: list = []
         for t in batch[text_col].to_pylist():
-            toks.extend((t or "").lower().split())
+            # reserved-NUL exclusion (see lm._tokenize): NUL-prefixed
+            # tokens are binary garbage and collide with the LM/BM25
+            # sentinel rows built on top of this vocabulary
+            toks.extend(
+                w for w in (t or "").lower().split() if not w.startswith("\x00")
+            )
         if not toks:
             return pa.table(
                 {"word": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
@@ -815,9 +827,16 @@ def mix_corpora(
     batch."""
     if (weights is None) == (alpha is None):
         raise ValueError("pass exactly one of weights / alpha")
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source corpus")
 
     def tag(name: str):
         def f(batch: pa.Table) -> pa.Table:
+            # re-mixing a previous mix (or any input that already
+            # carries a source tag) must not create a DUPLICATE column —
+            # Arrow allows it and the downstream groupby dies obscurely
+            if "source" in batch.column_names:
+                batch = batch.drop_columns(["source"])
             return batch.append_column(
                 "source", pa.array([name] * batch.num_rows, type=pa.string())
             )

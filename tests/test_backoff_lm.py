@@ -145,3 +145,33 @@ def test_empty_docs(sb_docs):
     assert (empty["sb_token_count"] == 0).all()
     assert (empty["sb_logscore_micro"] == 0).all()
     assert (empty["sb_mean_neg"] == 0).all()
+
+
+def test_total_sentinel_collision_is_impossible(ray_session):
+    """A doc containing the literal token '\\x00total' must not inflate
+    the corpus total N (review finding: engine vs reference diverged by
+    2.6x on such a corpus).  NUL-prefixed tokens are excluded."""
+    import pandas as pd
+
+    import ray.data
+    from fetch_engines_ray.ops.backoff_lm import (
+        backoff_reference,
+        score_backoff,
+        train_backoff_lm,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "the \x00total cat sat on the mat today"},
+        {"doc_id": 1, "text": "the cat sat on the mat again now"},
+    ]
+    texts = [r["text"] for r in rows]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    model = train_backoff_lm(ds)
+    got = (
+        score_backoff(ds, model)
+        .to_pandas()
+        .sort_values("doc_id")["sb_logscore_micro"]
+        .tolist()
+    )
+    want = [s for _d, s in backoff_reference(texts)]
+    assert got == want

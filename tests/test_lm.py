@@ -201,3 +201,38 @@ def test_floor_micro_quantization_matches_duckdb():
     ).fetchall()
     want = [int(math.floor(math.log(v) * 1_000_000)) for v in vals]
     assert [g[0] for g in got] == want
+
+
+def test_nul_prefixed_tokens_are_reserved_and_excluded(ray_session):
+    """A crawl token spelled exactly like the OOV sentinel must not
+    create a second OOV row (the floor lookup then resolved to the
+    corpus word's logp — review finding); NUL-prefixed tokens are
+    excluded from every statistic by contract."""
+    import pandas as pd
+
+    import ray.data
+    from fetch_engines_ray.ops.lm import OOV, train_unigram_lm
+
+    rows = [
+        {"doc_id": 0, "text": "the \x00oov cat sat on the mat"},
+        {"doc_id": 1, "text": "the cat ran"},
+    ]
+    lm = train_unigram_lm(ray.data.from_pandas(pd.DataFrame(rows))).to_pandas()
+    assert (lm["word"] == OOV).sum() == 1
+    assert "\x00oov" not in set(lm[lm["word"] != OOV]["word"])
+
+
+def test_train_unigram_lm_empty_corpus_raises_cleanly(ray_session):
+    import pandas as pd
+    import pytest
+
+    import ray.data
+    from fetch_engines_ray.ops.lm import train_unigram_lm
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]})).filter(
+        lambda r: False
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_unigram_lm(ds)
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_unigram_lm(ds, max_vocab=10)

@@ -2392,3 +2392,29 @@ def test_line_dedup_full_range_int64_doc_ids(ray_session):
     assert out.loc[big, "text"] == "epsilon"
     assert out.loc[7, "text"] == "zeta"
     assert int(out["n_lines"].sum()) == 7
+
+
+def test_mix_corpora_remix_and_validation(ray_session):
+    """Re-mixing a previous mix (input already tagged 'source') must not
+    create a duplicate column; an empty sources dict raises (review
+    finding)."""
+    import pandas as pd
+    import pytest
+
+    import ray.data
+    from fetch_engines_ray.ops.textstats import mix_corpora
+
+    a = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(0, 40), "text": ["aa"] * 40})
+    )
+    b = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(100, 140), "text": ["bb"] * 40})
+    )
+    first = mix_corpora({"a": a, "b": b}, total=40, weights={"a": 0.5, "b": 0.5})
+    # remix the tagged output under a new name
+    second = mix_corpora({"remix": first}, total=10, weights={"remix": 1.0})
+    out = second.to_pandas()
+    assert list(out.columns).count("source") == 1
+    assert set(out["source"]) == {"remix"}
+    with pytest.raises(ValueError, match="at least one source"):
+        mix_corpora({}, total=5, weights={})
