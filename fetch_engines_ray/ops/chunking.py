@@ -98,8 +98,22 @@ _CHUNK_BITS = 20
 def pack_chunk_id(doc_id, chunk_idx):
     """Pack ``(doc_id, chunk_idx)`` into one int64 — the vector key the
     ANN index family needs (they key on a single int64 id).  Vectorized
-    over numpy arrays or scalars; inverse is :func:`unpack_chunk_id`."""
-    return np.int64(doc_id) * np.int64(1 << _CHUNK_BITS) + np.int64(chunk_idx)
+    over numpy arrays or scalars; inverse is :func:`unpack_chunk_id`.
+
+    LOUD on overflow: ``|doc_id| >= 2^43`` (e.g. a full-range 64-bit
+    hash id — remap to dense ids first) or ``chunk_idx >= 2^20`` would
+    wrap silently, colliding chunk keys across documents and resolving
+    search hits to the WRONG parent doc."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    c = np.asarray(chunk_idx, dtype=np.int64)
+    if np.any(np.abs(d) >= np.int64(1) << (63 - _CHUNK_BITS)):
+        raise ValueError(
+            f"doc_id out of packable range (|id| < 2^{63 - _CHUNK_BITS}); "
+            "remap full-range hash ids to dense ids before chunk packing"
+        )
+    if np.any((c < 0) | (c >= np.int64(1) << _CHUNK_BITS)):
+        raise ValueError(f"chunk_idx must be in [0, 2^{_CHUNK_BITS})")
+    return d * np.int64(1 << _CHUNK_BITS) + c
 
 
 def unpack_chunk_id(chunk_key):

@@ -77,7 +77,11 @@ def numeric_histogram(
         .to_pandas()
     )
     out = np.zeros(k, dtype=np.int64)
-    out[rolled["bucket"].to_numpy()] = rolled["n"].to_numpy()
+    # an empty / all-null snapshot yields a COLUMN-LESS frame — the
+    # tripwire must report the (maximal) shift, not die on the exact
+    # catastrophic input it exists to alert on
+    if "bucket" in rolled.columns:
+        out[rolled["bucket"].to_numpy()] = rolled["n"].to_numpy()
     return out
 
 
@@ -92,6 +96,8 @@ def categorical_histogram(
     counts = (
         ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
     )
+    if "n" not in counts.columns:  # empty snapshot: column-less frame
+        counts = pd.DataFrame({col: pd.Series(dtype=object), "n": pd.Series(dtype="int64")})
     if categories is None:
         counts = counts.sort_values(col).reset_index(drop=True)
         return counts[col].tolist(), counts["n"].to_numpy().astype(np.int64)

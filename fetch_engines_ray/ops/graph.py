@@ -41,24 +41,27 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray
 
 
+def _node_batch_unique(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct node ids from (src, dst) — shared by the
+    driver-resident and distributed node enumerations."""
+    u = np.unique(
+        np.concatenate(
+            [
+                batch["src"].to_numpy(zero_copy_only=False),
+                batch["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    return pa.table({"node": pa.array(u, type=pa.int64())})
+
+
 def _node_index(edges: "ray.data.Dataset") -> np.ndarray:
     """Sorted unique node ids (src ∪ dst): two per-batch unique passes
     + one distinct groupby — node-table sized on the driver."""
     from ray.data.aggregate import Count
 
-    def nodes(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate(
-                [
-                    batch["src"].to_numpy(zero_copy_only=False),
-                    batch["dst"].to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        return pa.table({"node": pa.array(u, type=pa.int64())})
-
     distinct = (
-        edges.map_batches(nodes, batch_format="pyarrow", batch_size=8192)
+        edges.map_batches(_node_batch_unique, batch_format="pyarrow", batch_size=8192)
         .groupby("node")
         .aggregate(Count(alias_name="_c"))
         .to_pandas()
@@ -160,19 +163,8 @@ def pagerank_distributed(
 
     from fetch_engines_ray.ops.dedup import _partitioned_attach
 
-    def node_rows(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.concatenate(
-                [
-                    batch["src"].to_numpy(zero_copy_only=False),
-                    batch["dst"].to_numpy(zero_copy_only=False),
-                ]
-            )
-        )
-        return pa.table({"node": pa.array(u, type=pa.int64())})
-
     nodes = (
-        edges.map_batches(node_rows, batch_format="pyarrow", batch_size=8192)
+        edges.map_batches(_node_batch_unique, batch_format="pyarrow", batch_size=8192)
         .groupby("node")
         .aggregate(Count(alias_name="_c"))
         .drop_columns(["_c"])

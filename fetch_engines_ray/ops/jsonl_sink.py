@@ -63,6 +63,25 @@ def write_jsonl_shards(
     from .partitioning import assign_shards
 
     os.makedirs(path, exist_ok=True)
+    # resume is per-shard (meta file presence), so the delivery CONFIG
+    # must match what the directory was written with — resuming with a
+    # different n_shards/seed would silently skip stale mod-old-N
+    # shards, duplicate rows against fresh ones, and leave orphan files
+    # that read_jsonl_shards globs up
+    import glob as _glob
+
+    cfg = {"n_shards": int(n_shards), "seed": int(seed), "compression": compression}
+    for m in sorted(_glob.glob(os.path.join(path, "*.meta.json"))):
+        with open(m) as f:
+            recorded = json.load(f)
+        rec_cfg = {k: recorded.get(k) for k in cfg}
+        if rec_cfg != cfg:
+            raise ValueError(
+                f"delivery dir {path!r} was written with {rec_cfg}, this run "
+                f"asks {cfg} — use a fresh directory (a config change makes "
+                "per-shard resume produce a corrupt mixed delivery)"
+            )
+        break  # one meta is enough; all shards share the run config
     sharded = assign_shards(ds, n_shards, seed=seed, id_col=id_col)
 
     def write_shard(group) -> pa.Table:
@@ -102,6 +121,8 @@ def write_jsonl_shards(
             "format": _FORMAT,
             "version": _VERSION,
             "compression": compression,
+            "n_shards": int(n_shards),
+            "seed": int(seed),
             "n_rows": int(len(body)),
             "columns": list(body.columns),
         }

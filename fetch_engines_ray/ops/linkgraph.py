@@ -172,13 +172,16 @@ def sample_by_host_rank(
     Efraimidis–Spirakis weighted sampling without replacement
     (``ops/sampling.weighted_sample``: seed-stable across runs and
     partitionings).  Docs from unranked/absent hosts carry weight 0 and
-    are only drawn when positive-weight docs run out (never, for
-    ``k <=`` their count)."""
+    are NEVER drawn (weighted_sample's documented contract: exactly
+    ``min(k, n_positive_weight)`` rows) — a corpus with no link graph
+    samples nothing rather than uniformly."""
     import ray
 
     from .sampling import weighted_sample
 
-    ranks = host_pagerank(extracted, damping=damping, n_iters=n_iters)
+    ranks = host_pagerank(
+        extracted, damping=damping, n_iters=n_iters, id_col=id_col
+    )
     # integer micro-rank weights: weighted_sample keys on ln(u)/w, and
     # the x1e9 scale keeps tiny rank differences from flushing to 0
     lut = {
@@ -202,6 +205,8 @@ def host_pagerank(
     extracted: "ray.data.Dataset",
     damping: float = 0.85,
     n_iters: int = 20,
+    spans_col: str = "out_spans",
+    id_col: str = "doc_id",
 ) -> pd.DataFrame:
     """End-to-end: extracted spans → link edges → host graph → PageRank
     → ``(host, rank)`` descending.  Driver-resident rank vector (host
@@ -209,9 +214,18 @@ def host_pagerank(
     ~10^8 hosts."""
     from .graph import pagerank
 
-    graph, host_ids = host_link_graph(extract_link_edges(extracted))
-    ranks = pagerank(graph.select_columns(["src", "dst"]), damping, n_iters)
+    graph, host_ids = host_link_graph(
+        extract_link_edges(extracted, spans_col=spans_col, id_col=id_col)
+    )
     ids = host_ids.to_pandas()  # bounded: one row per distinct host
+    if ids.empty or "node" not in ids.columns:
+        # empty link graph (no markdown links / no Source: lines): Ray
+        # drops columns on empty frames — report "no hosts", don't
+        # KeyError (same hazard graph._node_index guards)
+        return pd.DataFrame(
+            {"host": pd.Series(dtype=object), "rank": pd.Series(dtype="float64")}
+        )
+    ranks = pagerank(graph.select_columns(["src", "dst"]), damping, n_iters)
     out = ids.merge(ranks, left_on="node", right_on="node", how="left")
     out["rank"] = out["rank"].fillna(0.0)
     return (

@@ -78,6 +78,19 @@ def _batch_partials(batch: pa.Table, columns: list[str]) -> pa.Table:
     )
 
 
+def _scan_partials(ds: "ray.data.Dataset", columns):
+    """ONE per-block partials scan shared by profile_table and
+    write_profile_artifact — two hand-copies of this block once drifted
+    risk (review finding)."""
+    columns = columns or ds.schema().names
+    parts = ds.map_batches(
+        lambda b: _batch_partials(b, columns),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).to_pandas()
+    return parts, columns
+
+
 def profile_table(
     ds: "ray.data.Dataset",
     columns: list[str] | None = None,
@@ -93,12 +106,7 @@ def profile_table(
     The merge is driver-side over per-block partials only — O(blocks x
     columns) tiny rows, never the data.
     """
-    columns = columns or ds.schema().names
-    parts = ds.map_batches(
-        lambda b: _batch_partials(b, columns),
-        batch_format="pyarrow",
-        batch_size=65536,
-    ).to_pandas()
+    parts, columns = _scan_partials(ds, columns)
     return _render(_merge_partial_frame(parts, columns))
 
 
@@ -188,12 +196,7 @@ def write_profile_artifact(
     it lands, then :func:`merge_profile_artifacts` folds any set of
     artifacts into the profile of the union without touching the data
     again.  Returns the rendered profile of this run."""
-    columns = columns or ds.schema().names
-    parts = ds.map_batches(
-        lambda b: _batch_partials(b, columns),
-        batch_format="pyarrow",
-        batch_size=65536,
-    ).to_pandas()
+    parts, columns = _scan_partials(ds, columns)
     merged = _merge_partial_frame(parts, columns)
     import pyarrow.parquet as pq
 

@@ -218,6 +218,10 @@ def approx_quantiles(
     from ray.data.aggregate import Max, Min
 
     mm = ds.aggregate(Min(column, alias_name="lo"), Max(column, alias_name="hi"))
+    if mm["lo"] is None:  # empty / all-null column
+        raise ValueError(
+            f"approx_quantiles: column {column!r} has no non-null values"
+        )
     lo, hi = float(mm["lo"]), float(mm["hi"])
     if hi == lo:
         return [lo] * len(qs)

@@ -94,6 +94,11 @@ def hybrid_search(
     vec = search_ivfpq_index(index_path, qv, k=k, nprobe=nprobe)
     vec = vec.rename(columns={"neighbor_id": id_col})[[id_col, "rank"]]
     fused = rrf_fuse([kw, vec], id_cols=[id_col, id_col], k=rrf_k, topk=k)
+    # rrf_fuse always emits its id column as "doc_id" — present it
+    # under the CALLER'S id_col so hybrid_search_rerank (and any
+    # downstream keyed on id_col) doesn't KeyError on non-default names
+    if id_col != "doc_id":
+        fused = fused.rename(columns={"doc_id": id_col})
     return fused
 
 
@@ -125,6 +130,16 @@ def mine_hard_negatives(
     ).take_all()
     by_id = {int(r[id_col]): r[vec_col] for r in anchors}
     a_ids = np.asarray([int(i) for i in anchor_ids if int(i) in by_id], dtype=np.int64)
+    if len(a_ids) == 0:
+        # none of the requested anchors exist (or the list is empty):
+        # an empty RESULT, not an AxisError from normalizing a 0-d array
+        return pd.DataFrame(
+            {
+                "anchor_id": pd.Series(dtype="int64"),
+                "negative_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
     a_mat = _normalize(np.asarray([by_id[int(i)] for i in a_ids], dtype=np.float64))
     ref = ray.put((a_ids, a_mat))
 
@@ -245,6 +260,17 @@ def rerank_topk(
             concurrency=concurrency,
             num_cpus=1,
         ).to_pandas()  # candidate-sized
+    if "rerank_score_x1e6" not in scored.columns:
+        # every candidate id missed (stale list / empty first stage):
+        # Ray's to_pandas of an all-empty dataset is COLUMN-LESS —
+        # return the typed empty top-k, don't KeyError
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "rerank_score_x1e6": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
     scored.sort_values(
         ["rerank_score_x1e6", id_col], ascending=[False, True], kind="stable", inplace=True
     )

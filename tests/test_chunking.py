@@ -145,3 +145,21 @@ def test_long_doc_retrieval_via_chunks(ray_session):
     assert resolved.iloc[0]["rank"] == 1
     # one row per doc even though doc 3 contributed multiple chunk hits
     assert resolved["doc_id"].is_unique
+
+
+def test_pack_chunk_id_overflow_is_loud():
+    """Full-range 64-bit hash ids would wrap the packed chunk key and
+    resolve search hits to the WRONG parent doc — must raise (review
+    finding)."""
+    import numpy as np
+    import pytest
+
+    from fetch_engines_ray.ops.chunking import pack_chunk_id, unpack_chunk_id
+
+    # in-range round-trips stay exact
+    d, c = pack_chunk_id(np.int64(2**42), 7), None
+    assert unpack_chunk_id(d) == (2**42, 7)
+    with pytest.raises(ValueError, match="packable range"):
+        pack_chunk_id(np.int64(2**43), 0)
+    with pytest.raises(ValueError, match="chunk_idx"):
+        pack_chunk_id(5, 1 << 20)

@@ -134,4 +134,6 @@ def test_continuous_ingest_loop(ray_session, tmp_path):
     assert len(hits) > 0
     # the day-2 vocabulary word only matches day-2 (appended) documents
     # on the keyword side, so they must surface in the fused ranks
-    assert set(hits["doc_id"]) & fresh_ids
+    # (the fused id column carries the CALLER'S id_col name — it used
+    # to be mislabeled "doc_id" regardless of id_col)
+    assert set(hits["doc_int_id"]) & fresh_ids

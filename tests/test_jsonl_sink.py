@@ -134,3 +134,27 @@ def test_curate_jsonl_export_hook(ray_session, tmp_path):
     assert {r["doc_id"] for r in rows} == packed_ids
     assert 100 not in packed_ids  # the clone was deduped before export
     assert all(r["text"] for r in rows)
+
+
+def test_jsonl_resume_refuses_config_change(ray_session, tmp_path):
+    """Per-shard resume with a different n_shards/seed would silently
+    mix stale and fresh shards — the sink must refuse (review
+    finding)."""
+    import pandas as pd
+    import pytest
+
+    import ray.data
+    from fetch_engines_ray.ops.jsonl_sink import write_jsonl_shards
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(40), "text": [f"d{i}" for i in range(40)]})
+    )
+    p = str(tmp_path / "jl")
+    write_jsonl_shards(ds, p, n_shards=8)
+    # same config: resume skips cleanly
+    m = write_jsonl_shards(ds, p, n_shards=8)
+    assert m["skipped_shards"] == 8
+    with pytest.raises(ValueError, match="fresh directory"):
+        write_jsonl_shards(ds, p, n_shards=4)
+    with pytest.raises(ValueError, match="fresh directory"):
+        write_jsonl_shards(ds, p, n_shards=8, seed=99)

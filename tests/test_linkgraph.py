@@ -118,3 +118,36 @@ def test_sample_by_host_rank_prefers_authority(ray_session):
     assert hub_share >= 4  # authority host dominates the draw
     again = sample_by_host_rank(ds.repartition(5), k=6, seed=1).to_pandas()
     assert set(again["doc_id"]) == ids  # partitioning- and seed-stable
+
+
+def test_host_pagerank_empty_link_graph(ray_session):
+    """A corpus with no markdown links must yield an empty (host, rank)
+    frame, not a KeyError on Ray's column-less empty frame (review
+    finding); sample_by_host_rank also forwards a custom id_col."""
+    import pyarrow as pa
+
+    import ray.data
+    from fetch_engines_ray.ops.linkgraph import host_pagerank, sample_by_host_rank
+
+    span_t = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("order", pa.int64())]
+        )
+    )
+    rows = pa.Table.from_pylist(
+        [
+            {"page_id": 1, "out_spans": [
+                {"kind": "text", "text": "plain text, no links", "media_ref": "", "order": 0}]},
+            {"page_id": 2, "out_spans": [
+                {"kind": "text", "text": "also linkless", "media_ref": "", "order": 0}]},
+        ],
+        schema=pa.schema([("page_id", pa.int64()), ("out_spans", span_t)]),
+    )
+    ds = ray.data.from_arrow(rows)
+    ranks = host_pagerank(ds, id_col="page_id")
+    assert len(ranks) == 0 and list(ranks.columns) == ["host", "rank"]
+    sampled = sample_by_host_rank(ds, k=1, id_col="page_id").to_pandas()
+    # all hosts unranked → all weights 0 → nothing drawn (the
+    # weighted_sample contract: exactly min(k, n_positive_weight))
+    assert len(sampled) == 0
