@@ -568,7 +568,11 @@ def _q_doc_sequence_packing(sf_dir: str) -> Any:
         .repartition(1)
     )
     out = pack_sequences(docs, max_tokens=512, batch_size=None).to_pandas()
-    ok = out[~out["oversize"]] if "oversize" in out.columns else out
+    # pack_sequences' _OUT_SCHEMA always carries "oversize" — assert it
+    # rather than half-guarding (the old conditional anticipated its
+    # absence and then read it unconditionally two lines later)
+    assert "oversize" in out.columns, "pack_sequences schema contract broken"
+    ok = out[~out["oversize"]]
     assert (ok["total_tokens"] <= 512).all(), "pack over budget"
     packed_docs = [d for ids in out["doc_ids"] for d in ids]
     n_input = _read_documents(sf_dir).count()

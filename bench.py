@@ -69,6 +69,12 @@ def synth_corpus_parallel(sf_dir: str, n_override: int | None = None) -> tuple[s
     ds.write_parquet(tmp)
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok")
+    # re-check for a concurrent winner BEFORE clobbering: an
+    # unconditional rmtree deleted a completed corpus another process
+    # was actively reading (and made the rename-raced branch dead code)
+    if os.path.exists(os.path.join(out, "_COMPLETE")):
+        shutil.rmtree(tmp, ignore_errors=True)  # keep the winner
+        return out, n
     shutil.rmtree(out, ignore_errors=True)  # clear any partial leftover
     try:
         os.rename(tmp, out)
@@ -457,7 +463,9 @@ def run_single(sf_dir: str, num_cpus: int, include_queries: bool, n_override: in
     return result
 
 
-def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
+def run_scaling(
+    sf_dir: str, low: int, high: int, rounds: int = 2, n_override=None
+) -> dict:
     """Fresh-process runs at two parallelism levels on the same input.
 
     Measured in interleaved (low, high) ROUNDS with a per-round
@@ -469,8 +477,11 @@ def run_scaling(sf_dir: str, low: int, high: int, rounds: int = 2) -> dict:
     full per-round list in ``round_efficiencies``."""
 
     def one(n: int) -> dict:
+        cmd = [sys.executable, __file__, "--single-run", "--num-cpus", str(n), "--sf-dir", sf_dir]
+        if n_override:  # forward --docs so stress-scale scaling runs measure what was asked
+            cmd += ["--docs", str(n_override)]
         proc = subprocess.run(
-            [sys.executable, __file__, "--single-run", "--num-cpus", str(n), "--sf-dir", sf_dir],
+            cmd,
             capture_output=True,
             text=True,
             check=False,
@@ -545,7 +556,9 @@ def main() -> None:
         # scaling rather than the single box's memory ceiling (above
         # ~16 allocation-heavy workers per-CPU throughput degrades on
         # this host; full curve in BASELINE.md).
-        result = run_scaling(args.sf_dir, args.scale_low, args.scale_high)
+        result = run_scaling(
+            args.sf_dir, args.scale_low, args.scale_high, n_override=args.docs
+        )
     else:
         result = run_single(
             args.sf_dir, args.num_cpus,

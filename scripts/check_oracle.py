@@ -30,10 +30,13 @@ def to_pandas(result) -> pd.DataFrame:
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    # round BEFORE sorting: sub-1e-6 engine/oracle float noise can
+    # order two near-equal rows differently on the two sides, which
+    # then flags a spurious diff on the other columns
     for c in df.columns:
         if df[c].dtype.kind in "fiu" or str(df[c].dtype).startswith(("Int", "UInt", "Float")):
             df[c] = df[c].astype("float64").round(6)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
     return df
 
 
@@ -77,6 +80,11 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = sys.argv[1:] or None
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query name(s): {unknown}", file=sys.stderr)
+            sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

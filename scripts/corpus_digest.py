@@ -11,7 +11,12 @@ converter change:
 """
 from __future__ import annotations
 
+import os
 import sys
+
+# scripts/ is sys.path[0] when invoked as documented — the repo root
+# (one level up) holds the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def corpus_digest(corpus_dir: str, cfg=None) -> tuple[int, int]:

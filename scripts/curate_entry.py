@@ -25,6 +25,19 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+
+def _clear_stale_parquet(path: str) -> None:
+    """write_parquet APPENDS uniquely-named files — a re-run against an
+    existing output dir would silently mix the previous run's parts
+    into the delivery (the same hazard bench.py clears for its own
+    dirs).  Remove stale .parquet files before writing."""
+    import glob as _glob
+    import os as _os
+
+    for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
+        _os.remove(f)
+
+
 def _read_lines(path: str) -> list[str]:
     with open(path, encoding="utf-8") as f:
         return [ln.rstrip("\n") for ln in f if ln.strip()]
@@ -206,6 +219,8 @@ def main() -> None:
         jsonl_compression=args.jsonl_compression,
         n_shards=args.n_shards,
     )
+    if os.path.isdir(args.output):
+        _clear_stale_parquet(args.output)
     packed.write_parquet(args.output)
     import ray.data
 

@@ -54,7 +54,7 @@ def main() -> None:
     cfg = PipelineConfig(max_content_length=args.max_content_length)
     t0 = time.perf_counter()
     if args.resumable:
-        n = run_resumable(args.input, args.output, concurrency=args.concurrency)
+        n = run_resumable(args.input, args.output, cfg, concurrency=args.concurrency)
     else:
         ds = extract_corpus(args.input, cfg)
         ds.write_parquet(args.output)

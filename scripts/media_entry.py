@@ -25,6 +25,19 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+
+def _clear_stale_parquet(path: str) -> None:
+    """write_parquet APPENDS uniquely-named files — a re-run against an
+    existing output dir would silently mix the previous run's parts
+    into the delivery (the same hazard bench.py clears for its own
+    dirs).  Remove stale .parquet files before writing."""
+    import glob as _glob
+    import os as _os
+
+    for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True):
+        _os.remove(f)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="extraction-output parquet dir (doc_id, out_spans)")
@@ -70,6 +83,8 @@ def main() -> None:
         max_aspect=args.max_aspect,
         min_duration_ms=args.min_duration_ms,
     )
+    if os.path.isdir(args.output):
+        _clear_stale_parquet(args.output)
     out["pairs"].write_parquet(args.output)
     import pyarrow.parquet as pq_mod  # noqa: F401  (parquet present by construction)
 

@@ -65,10 +65,19 @@ def main():
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
 
-    if not os.path.exists(CORPUS):
+    marker = os.path.join(CORPUS, "_COMPLETE")
+    if not os.path.exists(marker):
+        # regenerate on a missing MARKER, not a missing dir: an
+        # interrupted first generation leaves a partial corpus that
+        # would silently change the md5 equivalence contract
+        import shutil
+
         from fetch_engines_ray.corpus.generate import generate_corpus
 
+        shutil.rmtree(CORPUS, ignore_errors=True)
         generate_corpus(CORPUS, num_docs=2250, seed=7)
+        with open(marker, "w") as f:
+            f.write("ok")
 
     rows = load_rows(args.docs)
     if args.profile:
