@@ -310,10 +310,9 @@ def build_ivfpq_index(
         ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
     if residual:
-        total = ds.count()
-        frac = min(1.0, pq_sample_size / max(1, total))
-        sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
-        smat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+        from .pq import sample_matrix
+
+        smat = sample_matrix(ds, pq_sample_size, seed, vec_col)
         res = smat - cents[(smat @ cents.T).argmax(axis=1)]
         codebooks = pq_train_matrix(res, m=pq_m, ksub=pq_ksub, seed=seed)
     else:

@@ -139,7 +139,14 @@ class ImageHasher:
         for doc_id, payload in zip(
             batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            dec = self.decode(payload)
+            try:
+                dec = self.decode(payload)
+            except ValueError:
+                # corrupt payload (*FormatError subclasses ValueError):
+                # skip the row — no fingerprint means no dup evidence,
+                # so the doc is KEPT; one bad payload must not kill the
+                # whole sweep (same containment posture as MediaDecoder)
+                continue
             px = dec["pixels"]
             rows.append(
                 {

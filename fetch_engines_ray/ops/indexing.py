@@ -39,6 +39,14 @@ def zip_with_index(
     import ray
     import ray.data
 
+    sch = ds.schema()
+    if sch is not None and index_col in sch.names:
+        # Arrow happily appends a DUPLICATE column name, and downstream
+        # name-based access then fails far from the cause — refuse here
+        raise ValueError(
+            f"column {index_col!r} already exists — drop it first or pass "
+            "a different index_col"
+        )
     m = ds.materialize()
     refs: list = []
     counts: list[int] = []

@@ -78,14 +78,25 @@ def band_energy_matrix(
         x = x.sum(axis=1)
     flen = sample_rate * frame_length_ms // 1000
     hop = sample_rate * hop_ms // 1000
-    if len(x) < flen or flen == 0:
+    # hop==0 happens for sample rates in [1000/hop_ms, 1000/frame_ms)
+    # (e.g. rate 50 at the 25/10 ms defaults: flen=1, hop=0) — treat
+    # like too-short input instead of ZeroDivisionError-ing the task
+    if len(x) < flen or flen == 0 or hop == 0:
         return np.zeros((0, n_bands), dtype=np.int64)
     n_frames = 1 + (len(x) - flen) // hop
-    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
-    sq = x[idx] ** 2  # (n_frames, flen), exact int64 (|int16|^2 <= 2^30)
     bounds = (np.arange(n_bands + 1, dtype=np.int64) * flen) // n_bands
-    out = np.add.reduceat(sq, bounds[:-1], axis=1)
-    return out.astype(np.int64)
+    out = np.empty((n_frames, n_bands), dtype=np.int64)
+    # slab the overlapped frame matrix (~2.5x overlap at the defaults):
+    # materializing all frames at once costs ~20-40x the PCM size in
+    # transient int64 — a 3-minute clip peaked ~160 MB per actor
+    slab = 4096
+    base = np.arange(flen)[None, :]
+    for s in range(0, n_frames, slab):
+        e = min(s + slab, n_frames)
+        idx = base + hop * np.arange(s, e)[:, None]
+        sq = x[idx] ** 2  # exact int64 (|int16|^2 <= 2^30)
+        out[s:e] = np.add.reduceat(sq, bounds[:-1], axis=1)
+    return out
 
 
 def audio_fingerprint64(samples: np.ndarray, sample_rate: int) -> int:
@@ -129,7 +140,14 @@ class AudioFingerprinter:
         for doc_id, payload in zip(
             batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            dec = self.decode(payload)
+            try:
+                dec = self.decode(payload)
+            except ValueError:
+                # corrupt payload (*FormatError subclasses ValueError):
+                # skip the row — no fingerprint means no dup evidence,
+                # so the doc is KEPT; one bad payload must not kill the
+                # whole sweep (same containment posture as MediaDecoder)
+                continue
             fp = audio_fingerprint64(dec["samples"], dec["sample_rate"])
             rows.append(
                 {
@@ -160,7 +178,14 @@ class VideoFingerprinter:
         for doc_id, payload in zip(
             batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            dec = self.decode(payload)
+            try:
+                dec = self.decode(payload)
+            except ValueError:
+                # corrupt payload (*FormatError subclasses ValueError):
+                # skip the row — no fingerprint means no dup evidence,
+                # so the doc is KEPT; one bad payload must not kill the
+                # whole sweep (same containment posture as MediaDecoder)
+                continue
             fp = dhash64(dec["frame"])
             rows.append(
                 {
@@ -253,7 +278,10 @@ class KeyframeSampler:
                 from fetch_engines_ray.ops.gif import planted_gif_for_ref
 
                 payload = planted_gif_for_ref(ref or "")
-            dec = self.decode(payload)
+            try:
+                dec = self.decode(payload)
+            except ValueError:
+                continue  # corrupt payload: skip (see fingerprinters)
             cuts = scene_cut_indices(dec["frames"], self.thr)
             starts = np.concatenate([[0], np.cumsum(dec["delays_ms"])[:-1]])
             for si, fi in enumerate(cuts):

@@ -74,6 +74,20 @@ def _lloyd_euclidean(
     return cents
 
 
+def sample_matrix(
+    ds: "ray.data.Dataset", sample_size: int, seed: int, vec_col: str
+) -> np.ndarray:
+    """Seeded bounded sample -> L2-normalized float64 matrix — ONE
+    implementation shared by pq_train and ann_index's residual branch
+    (two hand-copies once risked drifting)."""
+    total = ds.count()
+    frac = min(1.0, sample_size / max(1, total))
+    sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
+    if not sample:
+        raise ValueError("cannot train PQ codebooks on an empty dataset")
+    return _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+
+
 def pq_train(
     ds: "ray.data.Dataset",
     m: int = 8,
@@ -87,10 +101,7 @@ def pq_train(
     Returns ``codebooks`` of shape ``(m, ksub, d // m)`` (float64).
     Vectors are L2-normalized first so ADC inner products approximate
     cosine similarity (the family's metric)."""
-    total = ds.count()
-    frac = min(1.0, sample_size / max(1, total))
-    sample = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
-    mat = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    mat = sample_matrix(ds, sample_size, seed, vec_col)
     return pq_train_matrix(mat, m=m, ksub=ksub, seed=seed)
 
 
@@ -187,11 +198,28 @@ def pq_search(
         cols = np.arange(m)
         for qi in range(len(qs)):
             sims = lt[qi][cols, c].sum(axis=1)
-            sims[ids == qs[qi]] = -np.inf  # self-match excluded
-            take = np.argsort(-sims, kind="stable")[:k]
+            # MASK the self row out (not just -inf): with fewer than k
+            # non-self rows the -inf row survived the cut and the query
+            # matched its own id, violating the documented contract
+            cand = np.nonzero(ids != qs[qi])[0]
+            if len(cand) == 0:
+                continue
+            # deterministic k-th-boundary ties (sim desc, id asc) —
+            # duplicate vectors share PQ codes and tie EXACTLY, and a
+            # block-order argsort made the result partition-dependent
+            order = np.lexsort((ids[cand], -sims[cand]))
+            take = cand[order[: min(k, len(cand))]]
             out_q.append(np.full(len(take), qs[qi], dtype=np.int64))
             out_n.append(ids[take])
             out_s.append(sims[take])
+        if not out_q:  # block held only the queries themselves
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -237,4 +265,6 @@ def pq_reconstruction_error(
     agg = ds.map_batches(err, batch_format="pyarrow", batch_size=1024).aggregate(
         Sum("se", alias_name="se"), Sum("n", alias_name="n")
     )
+    if agg["se"] is None:  # empty dataset: Sum of no rows is None
+        raise ValueError("pq_reconstruction_error needs a non-empty dataset")
     return float(agg["se"]) / max(1, int(agg["n"]))

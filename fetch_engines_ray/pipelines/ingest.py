@@ -58,9 +58,9 @@ def extracted_to_documents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         for doc_id, spans, url in zip(
             batch["doc_id"].to_pylist(), batch["out_spans"].to_pylist(), urls
         ):
-            text = "\n\n".join(
-                s["text"] for s in (spans or []) if s["kind"] == "text" and s["text"]
-            )
+            from fetch_engines_ray.sources.io import join_text_spans
+
+            text = join_text_spans(spans)
             rows.append(
                 {
                     "doc_id": str(doc_id),

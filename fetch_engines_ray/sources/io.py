@@ -47,6 +47,15 @@ CORPUS_SCHEMA = pa.schema(
 )
 
 
+def join_text_spans(spans) -> str:
+    """The markdown sink's span-join rule — ONE implementation shared
+    with the ingest bridge (pipelines/ingest.py), so the documents
+    table and the markdown delivery can never desynchronize."""
+    return "\n\n".join(
+        s["text"] for s in (spans or []) if s["kind"] == "text" and s["text"]
+    )
+
+
 def read_corpus_parquet(path: str, columns: Optional[Iterable[str]] = None) -> "ray.data.Dataset":
     """Column-pruned parquet corpus reader (only requested columns leave
     storage)."""
@@ -183,9 +192,7 @@ def write_markdown_tree(ds: "ray.data.Dataset", out_dir: str) -> int:
         os.makedirs(out_dir, exist_ok=True)
         names = []
         for rec in batch.select(["doc_id", "out_spans"]).to_pylist():
-            text = "\n\n".join(
-                s["text"] for s in (rec["out_spans"] or []) if s["kind"] == "text" and s["text"]
-            )
+            text = join_text_spans(rec["out_spans"])
             suffix = hashlib.blake2b(str(rec["doc_id"]).encode(), digest_size=4).hexdigest()
             name = f"{_safe_name(rec['doc_id'])}-{suffix}.md"
             tmp = os.path.join(out_dir, "." + name + ".tmp")

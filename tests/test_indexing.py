@@ -43,3 +43,19 @@ def test_zip_with_index_empty(ray_session):
     assert out.count() == 0
     sch = out.schema()
     assert "row_index" in sch.names
+
+
+def test_zip_with_index_refuses_existing_column(ray_session):
+    """Re-indexing a dataset that already carries the index column must
+    raise, not append an ambiguous duplicate column (review finding)."""
+    import pandas as pd
+    import pytest
+
+    import ray.data
+    from fetch_engines_ray.ops.indexing import zip_with_index
+
+    ds = zip_with_index(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": range(5)}))
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        zip_with_index(ds)

@@ -177,3 +177,55 @@ def test_keyframe_sampler_on_real_gif(ray_session):
     # detector parity with a direct decode
     dec = decode_gif(gif)
     assert scene_cut_indices(dec["frames"]) == [0, 3]
+
+
+def test_band_energy_matrix_low_sample_rate_no_crash():
+    """Sample rates where hop floors to 0 (e.g. 50 Hz at 25/10 ms
+    defaults) must degrade to an empty matrix, not ZeroDivisionError
+    (review finding); slab framing stays bit-identical to the full
+    matrix on normal input."""
+    import numpy as np
+
+    from fetch_engines_ray.ops.mediahash import band_energy_matrix
+
+    assert band_energy_matrix(np.ones(500, dtype=np.int16), 50).shape == (0, 9)
+    # slab-vs-reference parity on a clip spanning multiple slabs
+    rng = np.random.default_rng(4)
+    x = rng.integers(-3000, 3000, size=8000 * 60, dtype=np.int64)
+    out = band_energy_matrix(x, 8000)
+    flen, hop = 8000 * 25 // 1000, 8000 * 10 // 1000
+    n = 1 + (len(x) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n)[:, None]
+    bounds = (np.arange(10, dtype=np.int64) * flen) // 9
+    want = np.add.reduceat(x[idx] ** 2, bounds[:-1], axis=1)
+    assert (out == want).all()
+
+
+def test_fingerprinters_skip_corrupt_payloads(ray_session):
+    """One malformed payload among many must not kill the fingerprint
+    sweep: the row skips (no dup evidence → doc kept) instead of the
+    FormatError aborting the task (review finding)."""
+    import numpy as np
+
+    import ray.data
+    from fetch_engines_ray.ops.imagehash import ImageHasher
+    from fetch_engines_ray.ops.mediahash import AudioFingerprinter
+    from fetch_engines_ray.ops.png import encode_png
+    from fetch_engines_ray.ops.wav import encode_wav
+
+    png = encode_png((np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    wav = encode_wav(np.zeros(4000, dtype=np.int16), 8000)
+    img = ray.data.from_items(
+        [
+            {"doc_id": 1, "payload": png},
+            {"doc_id": 2, "payload": b"corrupt bytes"},
+        ]
+    ).map_batches(ImageHasher, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert img["doc_id"].tolist() == [1]
+    aud = ray.data.from_items(
+        [
+            {"doc_id": 1, "payload": wav},
+            {"doc_id": 2, "payload": b"RIFFgarbage"},
+        ]
+    ).map_batches(AudioFingerprinter, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert aud["doc_id"].tolist() == [1]

@@ -105,3 +105,46 @@ def test_exact_recovery_when_corpus_is_codebook(ray_session):
     # the 9 other copies of proto 0 are the exact top-9 and PQ finds them
     want = {6 * j for j in range(1, 10)}
     assert set(out["neighbor_id"]) == want
+
+
+def test_pq_search_never_returns_self_even_when_corpus_smaller_than_k(ray_session):
+    """With fewer than k non-self rows, the -inf self row used to
+    survive the cut and the query matched its own id (review finding);
+    boundary ties now resolve (sim desc, id asc) like knn_bruteforce."""
+    import numpy as np
+
+    import ray.data
+    from fetch_engines_ray.ops.pq import pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(5, 8))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(5)]
+    ds = ray.data.from_items(rows)
+    cb = pq_train(ds, m=4, ksub=4, sample_size=5)
+    codes = pq_encode(ds, cb)
+    out = pq_search(codes, cb, vecs[[0]], [0], k=10)
+    assert (out["neighbor_id"] != 0).all()
+    assert len(out) == 4  # all non-self rows, never the query itself
+
+
+def test_pq_search_tie_break_is_partition_invariant(ray_session):
+    """Duplicate vectors share PQ codes and tie EXACTLY: the block-level
+    cut must order ties (sim desc, id asc) so the result does not
+    change with block splits (review finding)."""
+    import numpy as np
+
+    import ray.data
+    from fetch_engines_ray.ops.pq import pq_encode, pq_search, pq_train
+
+    base = np.eye(8)[:4]
+    rows = []
+    for rep in range(6):
+        for j in range(4):
+            rows.append({"vec_id": rep * 4 + j, "embedding": base[j].tolist()})
+    ds1 = ray.data.from_items(rows)
+    ds13 = ray.data.from_items(rows).repartition(13)
+    cb = pq_train(ds1, m=4, ksub=4, sample_size=32)
+    q = base[[0]]
+    a = pq_search(pq_encode(ds1, cb), cb, q, [0], k=5)["neighbor_id"].tolist()
+    b = pq_search(pq_encode(ds13, cb), cb, q, [0], k=5)["neighbor_id"].tolist()
+    assert a == b
