@@ -60,6 +60,10 @@ def build_ivf_index(
     returns the number of clusters.  One streaming pass per Lloyd
     iteration plus one assignment+write pass — nothing corpus-sized on
     the driver."""
+    # refuse a populated destination BEFORE the expensive distributed
+    # training passes, not after (the makedirs side effect is harmless
+    # if training then fails)
+    _require_fresh_index_dir(path)
     if n_clusters is None:
         # the sizing count is the only extra pass (metadata-cheap on
         # parquet-backed inputs; pass n_clusters explicitly to skip it)
@@ -67,7 +71,6 @@ def build_ivf_index(
     cents = kmeans_fit(
         ds, n_clusters, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    _require_fresh_index_dir(path)
     n = _assign_and_write(ds, cents, path, vec_col)
     pq.write_table(
         pa.table(
@@ -304,6 +307,9 @@ def build_ivfpq_index(
     Q × n_clusters driver matrix), no per-cluster tables needed."""
     from .pq import pq_train, pq_train_matrix
 
+    # same entry-time refusal as build_ivf_index: fail on a populated
+    # destination before kmeans + PQ codebook training are paid for
+    _require_fresh_index_dir(path)
     if n_clusters is None:
         n_clusters = max(4, min(4096, int(math.isqrt(max(ds.count(), 1)))))
     cents = kmeans_fit(
@@ -319,7 +325,6 @@ def build_ivfpq_index(
         codebooks = pq_train(
             ds, m=pq_m, ksub=pq_ksub, sample_size=pq_sample_size, seed=seed, vec_col=vec_col
         )
-    _require_fresh_index_dir(path)
     before = _parquet_files(path)
     ref = ray.put((cents, codebooks))
     m, ksub, dsub = codebooks.shape

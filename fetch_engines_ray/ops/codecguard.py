@@ -29,6 +29,12 @@ def guarded(err_cls: type):
                 return fn(*args, **kwargs)
             except err_cls:
                 raise
+            except (MemoryError, RecursionError):
+                # resource exhaustion from an oversized-but-VALID payload
+                # is not data corruption: reclassifying it as a
+                # *FormatError would make the fingerprinters silently
+                # skip the row as "corrupt" and mask the real failure
+                raise
             except Exception as exc:
                 raise err_cls(
                     f"malformed stream: {type(exc).__name__}: {exc}"

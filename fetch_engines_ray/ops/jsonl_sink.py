@@ -70,7 +70,18 @@ def write_jsonl_shards(
     # that read_jsonl_shards globs up
     import glob as _glob
 
-    cfg = {"n_shards": int(n_shards), "seed": int(seed), "compression": compression}
+    # id_col is part of the config: assign_shards keys the shard
+    # assignment on it, so resuming with a DIFFERENT id column lands
+    # rows on different shards — the exact mixed stale/fresh delivery
+    # this guard exists to refuse.  (Metas written before id_col was
+    # recorded compare as None and are refused too — a fresh dir is the
+    # safe answer for those.)
+    cfg = {
+        "n_shards": int(n_shards),
+        "seed": int(seed),
+        "compression": compression,
+        "id_col": id_col,
+    }
     for m in sorted(_glob.glob(os.path.join(path, "*.meta.json"))):
         with open(m) as f:
             recorded = json.load(f)
@@ -123,6 +134,7 @@ def write_jsonl_shards(
             "compression": compression,
             "n_shards": int(n_shards),
             "seed": int(seed),
+            "id_col": id_col,
             "n_rows": int(len(body)),
             "columns": list(body.columns),
         }

@@ -268,11 +268,29 @@ def curate_corpus(
     # the count is answered from parquet footers (metadata-only, no
     # execution), so no spill — and no ``join_partitions`` escape hatch
     # — is needed in either case.
+    _step0_ckpt: list = [None]
     if c4_clean or within_doc_line_dedup or corpus_line_dedup:
         from ..ops.dedup import _checkpoint_parquet
 
-        ds, _step0_ckpt = _checkpoint_parquet(ds, "curate_step0")
+        ds, _step0_path = _checkpoint_parquet(ds, "curate_step0")
+        _step0_ckpt[0] = _step0_path
         _mark("step0_checkpoint")
+
+    def _release_step0() -> None:
+        """Remove the step-0 spill once a DOWNSTREAM eager spill (named
+        survivor checkpoint / 3b anonymous spill / tokenizer clean
+        checkpoint) has fully consumed it — the _checkpoint_parquet
+        contract says the caller cleans up after consumption, and
+        without this every gated run leaked a full-cleaned-corpus-sized
+        directory under FER_CHECKPOINT_DIR.  When NO downstream spill
+        point runs, the returned lazy Dataset still streams from the
+        step-0 files, so the directory intentionally stays (respects
+        FER_KEEP_CHECKPOINTS=1 like every checkpoint)."""
+        if _step0_ckpt[0] is not None:
+            from ..ops.dedup import _cleanup_checkpoint
+
+            _cleanup_checkpoint(_step0_ckpt[0])
+            _step0_ckpt[0] = None
     n_input = ds.count()
     _funnel["input"] = int(n_input)
     if n_input == 0:
@@ -479,6 +497,9 @@ def curate_corpus(
         )
         if survived is not None:
             _mark("survivor_resume")
+            # resume hit: nothing downstream reads the cleaned input
+            # again (the fingerprint pass above was its last consumer)
+            _release_step0()
     if survived is None:
         survived = _compute_survivors()
         if checkpoint_name is not None:
@@ -486,6 +507,7 @@ def curate_corpus(
                 survived, "curate_survivors", checkpoint_name, _resume_fp
             )
             _mark("survivor_checkpoint")
+            _release_step0()
 
     # 3b. multi-consumer checkpoint: the perplexity gate (LM word-count
     #     train, score count, quantile histogram passes) and DSIR
@@ -508,6 +530,7 @@ def curate_corpus(
         survived, _surv_ckpt = _checkpoint_parquet(survived, "curate_survivors")
         _mark("survivor_checkpoint")
         _count_ckpt("survivors", _surv_ckpt)
+        _release_step0()
 
     # 4 + 5. quality gate then PII redaction, fused into one map stage
     def quality_and_redact(batch: pa.Table) -> pa.Table:
@@ -653,6 +676,7 @@ def curate_corpus(
         clean, _clean_gate_ckpt = _checkpoint_parquet(clean, "curate_clean_gated")
         _mark("clean_gate_checkpoint")
         _count_ckpt("clean_gated", _clean_gate_ckpt)
+        _release_step0()
 
     # 5b. optional DSIR selection toward a target sample (Xie et al.
     #     2023): importance weights stream; selection is either Gumbel
@@ -721,6 +745,7 @@ def curate_corpus(
         clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
         _mark("clean_checkpoint")
         _count_ckpt("clean", _ckpt_path)
+        _release_step0()
         merges = bpe_train(clean_ckpt, n_merges=bpe_merges, text_col=text_col)
         _mark("bpe_train")
         encoded = bpe_encode(clean_ckpt, merges, text_col=text_col, id_col=id_col)
@@ -762,6 +787,7 @@ def curate_corpus(
         clean_ckpt, _ckpt_path = _checkpoint_parquet(clean, "curate_clean")
         _mark("clean_checkpoint")
         _count_ckpt("clean", _ckpt_path)
+        _release_step0()
         model = unigram_train(
             clean_ckpt, vocab_size=unigram_vocab_size, text_col=text_col
         )

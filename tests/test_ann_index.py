@@ -332,6 +332,37 @@ def test_build_into_existing_index_dir_refuses(ray_session, tmp_path):
         build_ivf_index(ds, path, n_clusters=4)
 
 
+def test_build_refuses_populated_dir_before_training(
+    ray_session, tmp_path, monkeypatch
+):
+    """The populated-directory refusal must land at function ENTRY —
+    before the expensive distributed kmeans / PQ training passes are
+    paid for (advice finding: it used to fire only after them)."""
+    import numpy as np
+    import pytest
+
+    import ray.data
+    from fetch_engines_ray.ops import ann_index
+    from fetch_engines_ray.ops.ann_index import build_ivf_index, build_ivfpq_index
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"vec_id": i, "embedding": rng.normal(size=8).tolist()} for i in range(64)
+    ]
+    ds = ray.data.from_items(rows)
+    path = str(tmp_path / "idx")
+    build_ivf_index(ds, path, n_clusters=4)
+
+    def bomb(*a, **k):  # training must never start on a refused build
+        raise AssertionError("kmeans_fit ran before the fresh-dir check")
+
+    monkeypatch.setattr(ann_index, "kmeans_fit", bomb)
+    with pytest.raises(ValueError, match="already contains parquet files"):
+        build_ivf_index(ds, path, n_clusters=4)
+    with pytest.raises(ValueError, match="already contains parquet files"):
+        build_ivfpq_index(ds, path, n_clusters=4, pq_m=2, pq_ksub=4)
+
+
 def test_ivf_knn_boundary_ties_match_bruteforce(ray_session):
     """Duplicate vectors tie exactly at the k-th boundary: with full
     probing, ivf_knn must resolve them (sim desc, id asc) identically

@@ -158,3 +158,18 @@ def test_jsonl_resume_refuses_config_change(ray_session, tmp_path):
         write_jsonl_shards(ds, p, n_shards=4)
     with pytest.raises(ValueError, match="fresh directory"):
         write_jsonl_shards(ds, p, n_shards=8, seed=99)
+    # id_col keys the shard assignment too (assign_shards hashes it) —
+    # resuming with a different id column must be refused the same way
+    ds2 = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "alt_id": range(100, 140),
+                "text": [f"d{i}" for i in range(40)],
+            }
+        )
+    )
+    p2 = str(tmp_path / "jl2")
+    write_jsonl_shards(ds2, p2, n_shards=8)
+    with pytest.raises(ValueError, match="fresh directory"):
+        write_jsonl_shards(ds2, p2, n_shards=8, id_col="alt_id")
