@@ -1366,6 +1366,209 @@ def minhash_dedup(
     return dedup_clusters(pairs)
 
 
+_VERDICT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("cluster_rep", pa.int64()), ("is_kept", pa.bool_())]
+)
+
+
+def _verify_minhash_pairs_ds(
+    cand: "ray.data.Dataset",
+    sigs: "ray.data.Dataset",
+    threshold: float,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed verification of LSH candidate pairs — Dataset in,
+    Dataset out; nothing pair-sized ever touches the driver (contrast
+    :func:`_verify_minhash_pairs`, whose pair frame is driver-resident
+    by contract).
+
+    Two partitioned attach passes in the :func:`_partitioned_attach`
+    shape (union both sides under ONE conformed schema, hash-partition
+    the key, one vectorized pandas merge per part — Ray's hash join
+    dies on sparse candidate sides): pass 1 keys on ``doc_a`` and
+    attaches that side's signature (deduping the k-band copies of each
+    pair, which all share ``mix(doc_a)`` and therefore co-locate);
+    pass 2 keys on ``doc_b``, attaches the other signature and scores
+    ``est = |equal rows| / num_perm`` inline — exactly the driver
+    path's estimator, so both paths emit identical pair sets."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with siblings)
+
+    def conform_cand(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(_mix_mod(a, n_parts)),
+                "key": pa.array(a),
+                "other": pa.array(b),
+                "sig": pa.nulls(len(a), type=pa.binary()),
+                "sig_o": pa.nulls(len(a), type=pa.binary()),
+                "role": pa.array(np.zeros(len(a), dtype=np.int8)),
+            }
+        )
+
+    def conform_sigs(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(_mix_mod(d, n_parts)),
+                "key": pa.array(d),
+                "other": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "sig": batch["minhash_sig"].cast(pa.binary()),
+                "sig_o": pa.nulls(len(d), type=pa.binary()),
+                "role": pa.array(np.ones(len(d), dtype=np.int8)),
+            }
+        )
+
+    def _typed_stage1_empty() -> pa.Table:
+        return pa.table(
+            {
+                "part": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+                "other": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.binary()),
+                "sig_o": pa.array([], type=pa.binary()),
+                "role": pa.array([], type=pa.int8()),
+            }
+        )
+
+    def merge_attach_a(group: pd.DataFrame) -> pa.Table:
+        look = group[group["role"] == 1]
+        prs = group[group["role"] == 0]
+        if prs.empty or look.empty:
+            return _typed_stage1_empty()
+        # the k-band copies of a pair all carry the same doc_a, hence
+        # the same part — dedup here, where they are co-located
+        prs = prs.drop_duplicates(["key", "other"])
+        m = prs.merge(
+            look[["key", "sig"]].rename(columns={"sig": "__sig_a"}),
+            on="key",
+            how="inner",
+        )
+        if m.empty:
+            return _typed_stage1_empty()
+        # emit already conformed for pass 2: key becomes doc_b
+        b = m["other"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(_mix_mod(b, n_parts)),
+                "key": pa.array(b),
+                "other": pa.array(m["key"].to_numpy(dtype=np.int64)),
+                "sig": pa.nulls(len(m), type=pa.binary()),
+                "sig_o": pa.array(m["__sig_a"], type=pa.binary(), from_pandas=True),
+                "role": pa.array(np.zeros(len(m), dtype=np.int8)),
+            }
+        )
+
+    def _typed_pairs_empty() -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+
+    def merge_score_b(group: pd.DataFrame) -> pa.Table:
+        look = group[group["role"] == 1]
+        prs = group[group["role"] == 0]
+        if prs.empty or look.empty:
+            return _typed_pairs_empty()
+        m = prs.merge(
+            look[["key", "sig"]].rename(columns={"sig": "__sig_b"}),
+            on="key",
+            how="inner",
+        )
+        if m.empty:
+            return _typed_pairs_empty()
+        mat_a = np.stack([np.frombuffer(s, dtype="<i8") for s in m["sig_o"]])
+        mat_b = np.stack([np.frombuffer(s, dtype="<i8") for s in m["__sig_b"]])
+        est = (mat_a == mat_b).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(m["other"].to_numpy(dtype=np.int64)[keep]),
+                "doc_b": pa.array(m["key"].to_numpy(dtype=np.int64)[keep]),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    stage1 = (
+        cand.map_batches(conform_cand, batch_format="pyarrow", batch_size=65536)
+        .union(sigs.map_batches(conform_sigs, batch_format="pyarrow", batch_size=8192))
+        .groupby("part")
+        .map_groups(merge_attach_a, batch_format="pandas")
+    )
+    return (
+        stage1.union(
+            sigs.map_batches(conform_sigs, batch_format="pyarrow", batch_size=8192)
+        )
+        .groupby("part")
+        .map_groups(merge_score_b, batch_format="pandas")
+    )
+
+
+def minhash_dedup_ds(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_size: int = 3,
+    hash_fn: str = "sip",
+) -> "ray.data.Dataset":
+    """Cluster-scale end-to-end near-dedup: the DISTRIBUTED form of
+    :func:`minhash_dedup` — identical decision contract (``(doc_id,
+    cluster_rep, is_kept)``, one row per doc appearing in a verified
+    pair, min ``doc_id`` kept per cluster; docs in no pair simply have
+    no row) but the candidate pairs, the verification and the cluster
+    resolution all stay Datasets end to end.  Nothing pair-, cluster-
+    or drop-set-sized ever reaches the driver, so this is the handoff
+    for clone-heavy corpora where the duplicate mass outgrows it
+    (``curate_corpus(drop_strategy="semi_join")`` routes here).
+
+    Cost shape: one signature pass + checkpoint, the same bounded-part
+    bucket groupby as the driver path, two partitioned attach passes
+    over the candidate set, one (tiny) verified-pair checkpoint, then
+    label propagation's per-iteration join — each wide op moves keys
+    and 0.5 KB signatures, never documents."""
+    sig_stream = ds.map_batches(
+        minhash_batch,
+        fn_kwargs={
+            "num_perm": num_perm,
+            "shingle_size": shingle_size,
+            "hash_fn": hash_fn,
+        },
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    sigs, sig_ckpt = _checkpoint_parquet(sig_stream, "minhash_sigs_ds")
+    pairs_ckpt = None
+    try:
+        banded = sigs.map_batches(
+            lambda b: _band_rows(b, num_bands), batch_format="pyarrow", batch_size=1024
+        )
+        n_docs = sigs.count()
+        n_parts = max(2, min(32, n_docs // 200_000 + 1))
+        cand = _lsh_candidate_pairs(banded, n_parts)
+        pair_stream = _verify_minhash_pairs_ds(
+            cand, sigs, threshold, n_parts=max(16, n_parts * 8)
+        )
+        # verified pairs are tiny; the checkpoint makes the zero-pair
+        # count metadata-only AND lets label propagation's edge
+        # materialize stream plain parquet instead of re-running the
+        # attach passes
+        pairs, pairs_ckpt = _checkpoint_parquet(pair_stream, "minhash_pairs_ds")
+        if pairs.count() == 0:
+            return ray.data.from_arrow(_VERDICT_SCHEMA.empty_table())
+        # materializes its label table internally, consuming both
+        # checkpoints — the returned lazy tail only reads those labels
+        return dedup_clusters_distributed(pairs)
+    finally:
+        _cleanup_checkpoint(sig_ckpt)
+        if pairs_ckpt is not None:
+            _cleanup_checkpoint(pairs_ckpt)
+
+
 # ---------------------------------------------------------------------------
 # Cross-document line-level exact dedup (C4-style)
 # ---------------------------------------------------------------------------

@@ -4,12 +4,14 @@ chain.
 
     documents
       → exact dedup        (md5 groupby winners, distributed semi-join)
-      → near dedup         (MinHash-LSH pairs → keep/drop decisions;
-                            the drop set is NEAR-DUP-PAIR-sized — tiny
-                            relative to the corpus — so it broadcasts
-                            via ray.put and filters inside map_batches;
-                            contrast clean_corpus, whose winner set is
-                            corpus-sized and therefore semi-JOINS)
+      → near dedup         (MinHash-LSH → keep/drop decisions; the
+                            drop handoff is strategy-selected: ray.put
+                            broadcast while the drop set is pair-bounded
+                            and tiny, a fully distributed verdict
+                            Dataset + partitioned semi-join for
+                            clone-heavy corpora whose duplicate mass
+                            outgrows the driver — drop_strategy
+                            auto|broadcast|semi_join)
       → semantic dedup     (optional: SemDeDup over an embeddings
                             table — cluster-bucketed cosine groups,
                             one keeper per group; the corpus-sized
@@ -96,6 +98,8 @@ def curate_corpus(
     bpe_merges: int = 200,
     unigram_vocab_size: int = 512,
     join_partitions: int | None = None,
+    drop_strategy: str = "auto",
+    drop_broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns the packed-sequence Dataset
     (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
@@ -134,6 +138,17 @@ def curate_corpus(
     redaction — the model-based cut that composes with (not replaces)
     the rule-based Gopher gate.
 
+    ``drop_strategy`` picks the near-dup drop handoff: ``"broadcast"``
+    resolves decisions driver-side (pair-bounded) and broadcasts the
+    drop ids; ``"semi_join"`` keeps verdicts a Dataset end to end
+    (``ops/dedup.minhash_dedup_ds`` over the exact-dedup winners +
+    distributed label propagation + partitioned semi-join) so nothing
+    pair- or drop-sized rides the driver — the re-crawl/clone-heavy
+    handoff; ``"auto"`` (default) broadcasts but flips the filter to
+    the semi-join above ``drop_broadcast_limit`` dropped docs.  The
+    survivor set is identical across strategies (pytest-pinned), so
+    the resume fingerprint excludes the strategy.
+
     ``ppl_lm`` picks the perplexity-gate model: ``"unigram"`` (CCNet
     add-alpha, the default) or ``"backoff"`` (Stupid-Backoff trigram,
     Brants et al. 2007, singleton contexts cut — catches scrambled /
@@ -171,6 +186,10 @@ def curate_corpus(
         raise ValueError(
             "fuzzy_decontam_threshold requires benchmark_texts — without "
             "them no decontamination runs at all"
+        )
+    if drop_strategy not in ("auto", "broadcast", "semi_join"):
+        raise ValueError(
+            f"unknown drop_strategy {drop_strategy!r} (auto|broadcast|semi_join)"
         )
 
     # 0. optional C4 line-level cleaning (Raffel et al. 2020): boilerplate
@@ -268,29 +287,31 @@ def curate_corpus(
     # the count is answered from parquet footers (metadata-only, no
     # execution), so no spill — and no ``join_partitions`` escape hatch
     # — is needed in either case.
-    _step0_ckpt: list = [None]
+    _consumable_ckpts: list = []
     if c4_clean or within_doc_line_dedup or corpus_line_dedup:
         from ..ops.dedup import _checkpoint_parquet
 
         ds, _step0_path = _checkpoint_parquet(ds, "curate_step0")
-        _step0_ckpt[0] = _step0_path
+        _consumable_ckpts.append(_step0_path)
         _mark("step0_checkpoint")
 
     def _release_step0() -> None:
-        """Remove the step-0 spill once a DOWNSTREAM eager spill (named
-        survivor checkpoint / 3b anonymous spill / tokenizer clean
-        checkpoint) has fully consumed it — the _checkpoint_parquet
-        contract says the caller cleans up after consumption, and
-        without this every gated run leaked a full-cleaned-corpus-sized
-        directory under FER_CHECKPOINT_DIR.  When NO downstream spill
-        point runs, the returned lazy Dataset still streams from the
-        step-0 files, so the directory intentionally stays (respects
-        FER_KEEP_CHECKPOINTS=1 like every checkpoint)."""
-        if _step0_ckpt[0] is not None:
+        """Remove upstream spills (step 0, the semi_join dedup-winner
+        spill) once a DOWNSTREAM eager spill (named survivor
+        checkpoint / 3b anonymous spill / tokenizer clean checkpoint)
+        has fully consumed them — the _checkpoint_parquet contract says
+        the caller cleans up after consumption, and without this every
+        gated run leaked a full-cleaned-corpus-sized directory under
+        FER_CHECKPOINT_DIR.  When NO downstream spill point runs, the
+        returned lazy Dataset still streams from these files, so the
+        directories intentionally stay (respects FER_KEEP_CHECKPOINTS=1
+        like every checkpoint)."""
+        if _consumable_ckpts:
             from ..ops.dedup import _cleanup_checkpoint
 
-            _cleanup_checkpoint(_step0_ckpt[0])
-            _step0_ckpt[0] = None
+            for _p in _consumable_ckpts:
+                _cleanup_checkpoint(_p)
+            _consumable_ckpts.clear()
     n_input = ds.count()
     _funnel["input"] = int(n_input)
     if n_input == 0:
@@ -319,36 +340,125 @@ def curate_corpus(
             right_on=("keep_doc_id",),
         )
 
-        # 2. near-dedup drop set — bounded by the near-dup PAIR count
-        #    (tiny), so a ray.put broadcast + batch filter is the right
-        #    shape (a sparse-key anti-join would also trip Ray's
-        #    schema-less empty join partitions).  The dedup module keys on
-        #    its canonical (doc_id, text) names — rename the view so the
-        #    decisions carry THIS chain's id column (a silent column
-        #    mismatch here once no-opped the near-dup drop entirely)
-        dedup_view = ds.select_columns([id_col, text_col])
-        renames = {
-            old: new
-            for old, new in ((id_col, "doc_id"), (text_col, "text"))
-            if old != new
-        }
-        if renames:
-            dedup_view = dedup_view.rename_columns(renames)
-        decisions = minhash_dedup(dedup_view, threshold=near_dup_threshold)
-        dropped = frozenset(decisions.loc[~decisions["is_kept"], "doc_id"].tolist())
-        drop_ref = ray.put(dropped)
-        _mark("near_dedup_decisions")
+        # 2. near-dedup drop — strategy-dependent handoff (survivor set
+        #    is IDENTICAL across strategies, pytest-pinned, so the
+        #    resume fingerprint deliberately excludes drop_strategy):
+        #
+        #    * broadcast: decisions resolve on the driver (the pair
+        #      frame is near-dup-PAIR-bounded by the minhash_dedup
+        #      contract — tiny on healthy corpora), drop ids ray.put
+        #      once, one vectorized is_in filter.
+        #    * semi_join: the verdict table stays a DATASET end to end
+        #      (minhash_dedup_ds + distributed label propagation) and
+        #      the drop lands as a partitioned left-attach + filter —
+        #      nothing pair-, cluster- or drop-sized ever rides the
+        #      driver.  The handoff for clone-heavy / re-crawl corpora
+        #      (~90 % duplicate mass makes the drop set corpus-scale).
+        #    * auto (default): broadcast, flipping the FILTER to the
+        #      partitioned semi-join when the computed drop set crosses
+        #      drop_broadcast_limit (bounds per-task memory; a corpus
+        #      known to be clone-heavy at driver-threatening scale
+        #      should set semi_join explicitly so the pair frame never
+        #      lands driver-side at all).
+        #
+        #    The semi_join verdicts run over the exact-dedup WINNERS
+        #    (spilled once — consumed by the signature pass and the
+        #    attach), not the full input: exact clones carry identical
+        #    signatures (same text, same shingles), so contracting each
+        #    exact group to its min-id winner preserves both the LSH
+        #    cluster topology and the min-id representative — while the
+        #    candidate-pair expansion stops being quadratic in clone
+        #    group size (the media path's exact-collapse-then-LSH rule,
+        #    pipelines/mmcurate.py, applied to text).
+        def _neardup_semijoin(deduped_ds, verdicts_ds):
+            """Left-attach is_kept onto the winners and keep rows whose
+            verdict is True or absent (no duplicate evidence)."""
+            from ..ops.dedup import _partitioned_attach
 
-        def keep_rows(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+            joined = _partitioned_attach(
+                deduped_ds,
+                verdicts_ds,
+                key_col=id_col,
+                carry=[(id_col, pa.int64()), (text_col, pa.string())],
+                value_col="is_kept",
+                value_type=pa.bool_(),
+                out_col="__nd_keep",
+                n_parts=max(64, join_partitions * 8),
+                how="left",
+                lookup_key="doc_id",
+            )
 
-            drop = ray.get(drop_ref)
-            if not drop:
-                return batch
-            drop_arr = pa.array(list(drop)).cast(batch[id_col].type)
-            return batch.filter(pc.invert(pc.is_in(batch[id_col], value_set=drop_arr)))
+            def nd_filter(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
 
-        survived = deduped.map_batches(keep_rows, batch_format="pyarrow", batch_size=4096)
+                mask = pc.fill_null(batch["__nd_keep"], True)
+                return batch.filter(mask).drop_columns(["__nd_keep"])
+
+            return joined.map_batches(
+                nd_filter, batch_format="pyarrow", batch_size=4096
+            )
+
+        def _rename_dedup_view(view):
+            # the dedup module keys on its canonical (doc_id, text)
+            # names — rename so the verdicts carry THIS chain's id
+            # column (a silent column mismatch here once no-opped the
+            # near-dup drop entirely)
+            renames = {
+                old: new
+                for old, new in ((id_col, "doc_id"), (text_col, "text"))
+                if old != new
+            }
+            return view.rename_columns(renames) if renames else view
+
+        if drop_strategy == "semi_join":
+            from ..ops.dedup import _checkpoint_parquet, minhash_dedup_ds
+
+            deduped_ck, _dedup_ckpt = _checkpoint_parquet(deduped, "curate_dedup1")
+            _consumable_ckpts.append(_dedup_ckpt)
+            verdicts = minhash_dedup_ds(
+                _rename_dedup_view(deduped_ck), threshold=near_dup_threshold
+            ).select_columns(["doc_id", "is_kept"])
+            _mark("near_dedup_verdicts")
+            survived = _neardup_semijoin(deduped_ck, verdicts)
+        else:
+            dedup_view = _rename_dedup_view(ds.select_columns([id_col, text_col]))
+            decisions = minhash_dedup(dedup_view, threshold=near_dup_threshold)
+            dropped_ids = decisions.loc[~decisions["is_kept"], "doc_id"].to_numpy(
+                dtype="int64"
+            )
+            _mark("near_dedup_decisions")
+            if drop_strategy == "auto" and len(dropped_ids) > drop_broadcast_limit:
+                import numpy as _np
+
+                verdicts = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(dropped_ids, type=pa.int64()),
+                            "is_kept": pa.array(
+                                _np.zeros(len(dropped_ids), dtype=bool)
+                            ),
+                        }
+                    )
+                )
+                survived = _neardup_semijoin(deduped, verdicts)
+            else:
+                dropped = frozenset(dropped_ids.tolist())
+                drop_ref = ray.put(dropped)
+
+                def keep_rows(batch: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    drop = ray.get(drop_ref)
+                    if not drop:
+                        return batch
+                    drop_arr = pa.array(list(drop)).cast(batch[id_col].type)
+                    return batch.filter(
+                        pc.invert(pc.is_in(batch[id_col], value_set=drop_arr))
+                    )
+
+                survived = deduped.map_batches(
+                    keep_rows, batch_format="pyarrow", batch_size=4096
+                )
 
         # 2b. optional semantic dedup (SemDeDup) over a parallel embeddings
         #     table keyed by the same document ids: the keep set is
