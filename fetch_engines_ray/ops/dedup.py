@@ -793,6 +793,84 @@ def _partitioned_attach(
     return unioned.groupby("part").map_groups(merge_part, batch_format="pandas")
 
 
+def filter_by_keys(
+    ds: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    key_col: str,
+    keep_matches: bool,
+    n_parts: int = 64,
+    keys_col: "str | None" = None,
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Distributed semi-join (``keep_matches=True``) / anti-join
+    (``False``) filter: keep ``ds`` rows whose ``key_col`` value is /
+    is not present in ``keys[keys_col]`` — without a Ray hash join
+    (whose aggregator dies on schema-less empty partitions whenever the
+    key side is sparse — the NORMAL case for churn/drop sets) and
+    without a driver broadcast (the key side may be corpus-sized).
+
+    Same shape as :func:`_partitioned_attach` but Arrow END TO END, so
+    payload columns of any nested type (``spans``/``out_spans``
+    ``list<struct>``) ride through untouched: both sides conform to the
+    DATA schema plus ``(__part, __role)``, hash-partition on the key
+    (string or integer), and each bounded part resolves with one
+    vectorized ``pc.is_in``.  A key never straddles parts; parts with
+    no key rows resolve trivially."""
+    import pyarrow.compute as pc
+
+    keys_col = keys_col or key_col
+    data_schema = ds.schema()
+    names = list(data_schema.names)
+    types = dict(zip(data_schema.names, data_schema.types))
+
+    def _part_of(col) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.integer):
+            return _mix_mod(arr.astype(np.int64), n_parts)
+        return (
+            pd.util.hash_array(np.asarray(arr, dtype=object))
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def conform_data(batch: pa.Table) -> pa.Table:
+        cols = {n: batch[n] for n in names}
+        cols["__part"] = pa.array(_part_of(batch[key_col]))
+        cols["__role"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def conform_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in names:
+            if name == key_col:
+                cols[name] = batch[keys_col].cast(types[name])
+            else:
+                cols[name] = pa.nulls(n, type=types[name])
+        cols["__part"] = pa.array(_part_of(batch[keys_col]))
+        cols["__role"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def filter_part(group: pa.Table) -> pa.Table:
+        role = group["__role"]
+        data = group.filter(pc.equal(role, 0)).drop_columns(["__part", "__role"])
+        keyset = group.filter(pc.equal(role, 1))[key_col]
+        if len(keyset) == 0:
+            return data.slice(0, 0) if keep_matches else data
+        m = pc.is_in(data[key_col], value_set=pc.unique(keyset.combine_chunks()))
+        return data.filter(m if keep_matches else pc.invert(m))
+
+    return (
+        ds.map_batches(conform_data, batch_format="pyarrow", batch_size=batch_size)
+        .union(
+            keys.map_batches(
+                conform_keys, batch_format="pyarrow", batch_size=8192
+            )
+        )
+        .groupby("__part")
+        .map_groups(filter_part, batch_format="pyarrow")
+    )
+
+
 def _verify_minhash_pairs(
     cand: "ray.data.Dataset",
     sigs: "ray.data.Dataset",

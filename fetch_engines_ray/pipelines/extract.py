@@ -177,6 +177,7 @@ def refresh_extract(
     new_corpus_path: str,
     prev_output: "ray.data.Dataset",
     cfg: Optional[PipelineConfig] = None,
+    churn_broadcast_limit: int = 2_000_000,
 ) -> tuple["ray.data.Dataset", dict]:
     """Incremental re-crawl refresh: extract ONLY the pages whose
     content actually changed, reuse the previous run's output for
@@ -185,11 +186,17 @@ def refresh_extract(
 
     Mechanics: both corpora collapse to (id, content-hash) views and
     diff via ``ops.diff.corpus_diff`` (output is CHURN-sized — only
-    added/changed/removed rows); the added∪changed id set broadcasts
-    into a filter over the new corpus, which alone flows through the
-    extraction pipeline; removed∪changed ids drop from the previous
-    output; the union streams.  Degenerate 100%-churn inputs degrade
-    to a full re-extraction — exactly what they require.
+    added/changed/removed rows, spilled once so the count is
+    metadata-only); below ``churn_broadcast_limit`` the added∪changed
+    id set broadcasts into a filter over the new corpus, which alone
+    flows through the extraction pipeline, and removed∪changed ids
+    drop from the previous output — zero shuffle, the healthy
+    week-over-week shape.  ABOVE the limit (a degenerate high-churn /
+    full re-crawl input, where the old broadcast degraded to a
+    corpus-sized ray.put) the churn table stays a Dataset and both
+    filters become distributed hash joins — the id sets never ride the
+    driver, at the cost of shuffling the (mostly re-extracted anyway)
+    corpus through the join.
 
     Returns ``(dataset, stats)`` with stats counting added / changed /
     removed / reused."""
@@ -199,15 +206,76 @@ def refresh_extract(
 
     from ..ops.diff import corpus_diff
 
+    from ..ops.dedup import _checkpoint_parquet, _cleanup_checkpoint, filter_by_keys
+
     cfg = cfg or PipelineConfig()
     old_view = _content_view(read_corpus(prev_corpus_path, cfg))
     new_view = _content_view(read_corpus(new_corpus_path, cfg))
-    churn = corpus_diff(old_view, new_view).to_pandas()  # churn-sized
+    # spill the churn table once: the count below is then
+    # metadata-only, and in the high-churn regime BOTH join sides
+    # stream it back without re-running the diff shuffle
+    churn_ds, _churn_ckpt = _checkpoint_parquet(
+        corpus_diff(old_view, new_view), "refresh_churn"
+    )
+    n_churn = churn_ds.count()
+
+    if n_churn > churn_broadcast_limit:
+        # distributed handoff: churn ids never land on the driver.
+        # Per-status counts are the only driver-side values (3 rows).
+        by_status = {
+            r["status"]: int(r["count()"])
+            for r in churn_ds.groupby("status").count().take_all()
+        }
+        n_added = by_status.get("added", 0)
+        n_changed = by_status.get("changed", 0)
+        n_removed = by_status.get("removed", 0)
+        n_todo = n_added + n_changed
+        # part count sized from the CORPUS (parquet metadata — free):
+        # the filter's groups carry the corpus side, not just the churn
+        n_parts = max(
+            2, min(64, read_corpus(new_corpus_path, cfg).count() // 200_000 + 1)
+        )
+        # filter_by_keys, not Dataset.join: Ray's hash-join aggregator
+        # dies on schema-less empty partitions whenever one side is
+        # sparse (reproduced right here by the forced-join pytest), and
+        # the span payload columns must ride through as Arrow anyway
+        if n_todo:
+            todo_ds = churn_ds.filter(expr="status != 'removed'").select_columns(
+                ["doc_id"]
+            )
+            fresh = build_pipeline(
+                filter_by_keys(
+                    read_corpus(new_corpus_path, cfg),
+                    todo_ds,
+                    "doc_id",
+                    keep_matches=True,
+                    n_parts=n_parts,
+                ),
+                cfg,
+            )
+        # every churn row is stale for the previous output
+        reused = filter_by_keys(
+            prev_output,
+            churn_ds.select_columns(["doc_id"]),
+            "doc_id",
+            keep_matches=False,
+            n_parts=n_parts,
+        )
+        out = reused.union(fresh) if n_todo else reused
+        return out, {
+            "added": n_added,
+            "changed": n_changed,
+            "removed": n_removed,
+            "reextracted": n_todo,
+        }
+
+    churn = churn_ds.to_pandas() if n_churn else None  # churn-sized
+    _cleanup_checkpoint(_churn_ckpt)  # driver path: fully consumed
     # zero churn yields a COLUMN-LESS empty frame (Ray's schema-less
     # empty-dataset shape) — treat as the no-op it is
     by = (
         churn.groupby("status")["doc_id"].apply(list).to_dict()
-        if len(churn)
+        if churn is not None
         else {}
     )
     added = set(by.get("added", ()))

@@ -456,7 +456,8 @@ def curate_media(
     max_caption_chars: int = 400,
     require_caption: bool = False,
     concurrency=(1, 8),
-    drop_strategy: str = "broadcast",
+    drop_strategy: str = "auto",
+    drop_broadcast_limit: int = 2_000_000,
     min_width: Optional[int] = None,
     min_height: Optional[int] = None,
     max_aspect: Optional[float] = None,
@@ -475,19 +476,56 @@ def curate_media(
     pairs and never enter the LSH (no point electing a representative
     the gate would drop anyway).
 
-    ``drop_strategy="broadcast"`` (default): the drop set rides to the
-    caption filter via ``ray.put`` — right whenever the duplicate mass
-    fits the driver (it is pair/dup-bounded, not corpus-bounded, on
-    healthy corpora).  ``"semi_join"``: verdicts stay a DATASET end to
-    end and captions anti-join against the dropped refs with a
-    distributed hash join — the handoff for clone-heavy corpora where
-    even the dup mass outgrows the driver; ``dup_pairs`` is None there
-    (the pair frame is a driver-side observability artifact by
-    contract) and ``clusters`` is the verdict Dataset."""
+    ``drop_strategy="broadcast"``: the drop set rides to the caption
+    filter via ``ray.put`` + one vectorized ``is_in`` — right whenever
+    the duplicate mass fits the driver (it is pair/dup-bounded, not
+    corpus-bounded, on healthy corpora).  ``"semi_join"``: verdicts
+    stay a DATASET end to end and captions anti-join against the
+    dropped refs with a distributed hash join — the handoff for
+    clone-heavy corpora where even the dup mass outgrows the driver;
+    ``dup_pairs`` is None there (the pair frame is a driver-side
+    observability artifact by contract) and ``clusters`` is the
+    verdict Dataset.  ``"auto"`` (default): broadcast, flipping the
+    FILTER to the distributed anti-join once the computed drop set
+    crosses ``drop_broadcast_limit`` refs (bounds per-task memory; a
+    corpus known clone-heavy at driver-threatening scale should set
+    semi_join explicitly so not even the frames land driver-side)."""
     import ray
+    import ray.data
 
     from fetch_engines_ray.ops.captions import mine_caption_pairs
     from fetch_engines_ray.ops.multimodal import media_spans_dataset
+
+    if drop_strategy not in ("auto", "broadcast", "semi_join"):
+        raise ValueError(
+            f"unknown drop_strategy {drop_strategy!r} (auto|broadcast|semi_join)"
+        )
+
+    def _drop_captions_join(caps, dropped_ds):
+        """Distributed caption anti-join against a dropped-ref Dataset —
+        shared by the semi_join strategy and the auto flip.  Sized from
+        the INPUT doc count (free on parquet-backed/materialized
+        inputs) — counting ``caps`` would execute the caption pipeline
+        once just to plan it."""
+        marked = dropped_ds.map_batches(
+            lambda b: b.append_column(
+                "__drop", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        n_parts = max(2, min(64, extracted_ds.count() // 200_000 + 1))
+        joined = caps.join(
+            marked, join_type="left_outer", num_partitions=n_parts, on=("media_ref",)
+        )
+
+        def not_dropped(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.is_null(batch["__drop"])
+            return batch.filter(keep).drop_columns(["__drop"])
+
+        return joined.map_batches(not_dropped, batch_format="pyarrow", batch_size=8192)
 
     spans = media_spans_dataset(extracted_ds)
     sigs = media_signatures(spans, concurrency=concurrency)
@@ -519,30 +557,7 @@ def curate_media(
             dropped_ds = dropped_ds.union(gated_ds)
         n_dropped = dropped_ds.count()
         if n_dropped:
-            marked = dropped_ds.map_batches(
-                lambda b: b.append_column(
-                    "__drop", pa.array(np.ones(b.num_rows, dtype=np.int64))
-                ),
-                batch_format="pyarrow",
-                batch_size=8192,
-            )
-            # size the shuffle from the INPUT doc count (free on
-            # parquet-backed/materialized inputs) — counting `captions`
-            # would execute the caption pipeline once just to plan it
-            n_parts = max(2, min(64, extracted_ds.count() // 200_000 + 1))
-            joined = captions.join(
-                marked, join_type="left_outer", num_partitions=n_parts, on=("media_ref",)
-            )
-
-            def not_dropped(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                keep = pc.is_null(batch["__drop"])
-                return batch.filter(keep).drop_columns(["__drop"])
-
-            captions = joined.map_batches(
-                not_dropped, batch_format="pyarrow", batch_size=8192
-            )
+            captions = _drop_captions_join(captions, dropped_ds)
         return {
             "pairs": captions,
             "dup_pairs": None,
@@ -560,15 +575,26 @@ def curate_media(
         # gated refs lose their captions too (bounded by the gated
         # mass; the semi_join strategy keeps even this distributed)
         dropped = dropped | frozenset(gated_ds.to_pandas()["media_ref"])
-    if dropped:
-        drop_ref = ray.put(dropped)
+    if dropped and drop_strategy == "auto" and len(dropped) > drop_broadcast_limit:
+        # the frames already landed driver-side (dup-bounded contract)
+        # but the DROP SET is too big to broadcast into every filter
+        # task — hand it back off as a Dataset + distributed anti-join
+        captions = _drop_captions_join(
+            captions,
+            ray.data.from_arrow(
+                pa.table({"media_ref": pa.array(sorted(dropped), type=pa.string())})
+            ),
+        )
+    elif dropped:
+        drop_ref = ray.put(pa.array(sorted(dropped), type=pa.string()))
 
         def keep_surviving(batch: pa.Table) -> pa.Table:
-            drop = ray.get(drop_ref)
-            mask = pa.array(
-                [r not in drop for r in batch["media_ref"].to_pylist()]
+            import pyarrow.compute as pc
+
+            drop_arr = ray.get(drop_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch["media_ref"], value_set=drop_arr))
             )
-            return batch.filter(mask)
 
         captions = captions.map_batches(
             keep_surviving, batch_format="pyarrow", batch_size=4096

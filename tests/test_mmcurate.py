@@ -223,6 +223,15 @@ def test_curate_media_semi_join_matches_broadcast(ray_session):
     assert set(v.loc[~v["is_kept"], "media_ref"]) == set(
         c.loc[~c["is_kept"], "media_ref"]
     )
+    # the auto FLIP (drop set over the broadcast limit): driver frames,
+    # but the caption filter becomes the distributed anti-join — output
+    # must stay byte-identical to both other paths
+    f = curate_media(
+        ray.data.from_items(docs), drop_strategy="auto", drop_broadcast_limit=0
+    )
+    assert f["n_dropped"] == b["n_dropped"]
+    pf = f["pairs"].to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pb, pf)
 
 
 def test_media_quality_gates_unit(ray_session):

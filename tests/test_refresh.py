@@ -68,3 +68,56 @@ def test_refresh_no_churn_reuses_everything(corpora, ray_session):
     refreshed, stats = refresh_extract(prev, prev, prev_out)
     assert stats == {"added": 0, "changed": 0, "removed": 0, "reextracted": 0}
     assert refreshed.count() == prev_out.count()
+
+
+def test_refresh_join_path_matches_broadcast(corpora, ray_session):
+    """churn_broadcast_limit=0 forces the distributed join handoff (the
+    100%-churn/full-re-crawl posture): stats and output must be
+    identical to the broadcast path on the same corpora."""
+    from fetch_engines_ray.pipelines.extract import extract_corpus, refresh_extract
+
+    prev, new, _c, removed_id = corpora
+    prev_out = extract_corpus(prev).materialize()
+    refreshed, stats = refresh_extract(prev, new, prev_out, churn_broadcast_limit=0)
+    assert stats == {"added": 1, "changed": 2, "removed": 1, "reextracted": 3}
+    got = refreshed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = extract_corpus(new).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ("doc_id", "archetype", "route", "n_out_chars"):
+        assert got[col].tolist() == want[col].tolist(), col
+    assert removed_id not in set(got["doc_id"])
+
+
+def test_refresh_full_churn_join_path(ray_session, tmp_path):
+    """A 100% content churn (every doc's spans rewritten under the same
+    ids) through the join path: everything re-extracts, nothing is
+    reused, stats stay exact."""
+    import os
+
+    from fetch_engines_ray.corpus.generate import generate_corpus
+    from fetch_engines_ray.pipelines.extract import extract_corpus, refresh_extract
+
+    prev = str(tmp_path / "v1")
+    generate_corpus(prev, num_docs=20, seed=4, include_fixtures=False, rows_per_file=10)
+    rows = []
+    for f in sorted(os.listdir(prev)):
+        if f.endswith(".parquet"):
+            rows.extend(pq.read_table(f"{prev}/{f}").to_pylist())
+    for r in rows:
+        for s in r["spans"]:
+            if s.get("text"):
+                s["text"] = "<main><h1>Rewritten</h1><p>" + s["text"][:40] + " fully rewritten body content here.</p></main>"
+                break
+    new = str(tmp_path / "v2")
+    os.makedirs(new)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pq.read_schema(f"{prev}/part-00000.parquet")),
+        f"{new}/part-00000.parquet",
+    )
+    prev_out = extract_corpus(prev).materialize()
+    refreshed, stats = refresh_extract(prev, new, prev_out, churn_broadcast_limit=0)
+    assert stats["changed"] == 20 and stats["reextracted"] == 20
+    assert stats["added"] == 0 and stats["removed"] == 0
+    got = refreshed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = extract_corpus(new).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ("doc_id", "archetype", "route", "n_out_chars"):
+        assert got[col].tolist() == want[col].tolist(), col
