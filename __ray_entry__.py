@@ -89,46 +89,6 @@ def _q_extract_pipeline(sf_dir: str) -> Any:
     )
 
 
-def _q_media_decode(sf_dir: str) -> Any:
-    """Decode every media span of the extraction output.  Self-check on
-    every sweep: ALL image/audio/VIDEO rows must come back
-    ``decode_status="real"`` (the PNG / RIFF-PCM / GIF-LZW codecs
-    actually parsed the planted payloads — a silent fallback to
-    ``decode_error`` fails the query), and the framed audio-feature path
-    must produce real per-frame DSP features over the same spans
-    (folded from the retired ``audio_features`` query; still
-    pytest-covered in tests/test_wav.py + tests/test_ops.py)."""
-    from fetch_engines_ray.ops.multimodal import (
-        decode_media,
-        extract_audio_features,
-        media_spans_dataset,
-    )
-
-    spans = media_spans_dataset(_extracted(sf_dir))
-    decoded = decode_media(spans, concurrency=2)
-    out = decoded.to_pandas()
-    img = out[out["kind"] == "image"]
-    assert len(img) > 0 and (img["decode_status"] == "real").all(), (
-        img["decode_status"].value_counts().to_dict()
-    )
-    assert (img["width"] > 0).all() and (img["height"] > 0).all()
-    aud = out[out["kind"] == "audio"]
-    assert len(aud) > 0 and (aud["decode_status"] == "real").all()
-    assert (aud["duration_ms"] > 0).all()
-    vid = out[out["kind"] == "video"]
-    assert len(vid) > 0 and (vid["decode_status"] == "real").all(), (
-        vid["decode_status"].value_counts().to_dict()
-    )
-    assert (vid["width"] > 0).all() and (vid["height"] > 0).all()
-    assert (vid["duration_ms"] > 0).all()
-    feats = extract_audio_features(decoded).to_pandas()
-    assert len(feats) > 0 and (feats["feature_status"] == "real").all(), (
-        feats["feature_status"].value_counts().to_dict()
-    )
-    assert (feats["n_frames"] > 0).all()
-    return out
-
-
 def _q_png_decode(sf_dir: str) -> Any:
     """REAL image decode, SQL-oracled: every documents row gets a planted
     PNG payload (genuine bytes — IHDR/IDAT/IEND, CRC'd, zlib-compressed,
@@ -756,6 +716,41 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     return pairs
 
 
+def _q_neardup_clusters(sf_dir: str) -> Any:
+    """Distributed near-dup CLUSTER RESOLUTION — the Dataset-native
+    verdict pipeline curate_corpus(drop_strategy="semi_join") runs on
+    (ops/dedup.minhash_dedup_ds: Dataset candidate pairs, two
+    partitioned signature-attach verify passes, min-label propagation)
+    — FULLY SQL-oracled: the oracle recomputes the md5/mod-p signature
+    family, banding, candidates, est>=0.7 verification AND the
+    connected-component min-label contraction (transitive closure as a
+    recursive CTE) from the documents table.  Planted clones asserted
+    every sweep: each (i, i+2000000) pair must share a cluster with the
+    clone dropped."""
+    from fetch_engines_ray.ops.dedup import minhash_dedup_ds
+
+    docs = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    out = (
+        minhash_dedup_ds(
+            docs.union(_planted_clone_docs(docs)), threshold=0.7, hash_fn="md5"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cluster_rep": "int64", "is_kept": "bool"})
+    )
+    reps = dict(zip(out["doc_id"], out["cluster_rep"]))
+    kept = dict(zip(out["doc_id"], out["is_kept"]))
+    for i in range(5):
+        ci = reps.get(2000000 + i)
+        assert ci is not None and ci == reps.get(i, i), (
+            f"planted clone {2000000 + i} not clustered with {i}: "
+            f"{ci} vs {reps.get(i, i)}"
+        )
+        assert kept[2000000 + i] is False or bool(kept[2000000 + i]) is False
+    return out
+
+
 def _q_doc_decontamination(sf_dir: str) -> Any:
     """Benchmark decontamination (GPT-3-style n-gram overlap), fully
     SQL-oracled: flag every document whose word 5-grams intersect a
@@ -940,19 +935,100 @@ def _q_embedding_near_dups(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# Deterministic single-file spill consumed by the extract_quality
+# oracle: the query (which the gate always runs immediately before its
+# SQL) overwrites it with the CURRENT sf's per-doc eval rows, so the
+# oracle needs no sf-dependent path.
+_EVALROWS_SPILL = "/tmp/fer_evalrows_gate.parquet"
+
+
 def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
+    """Per-archetype eval aggregation, FULLY SQL-oracled (round 5,
+    closing the round-4 rows-only slot): the per-doc eval columns
+    (archetype, quality_score, n_out_chars, error_code) spill to one
+    deterministic parquet file; the engine aggregates them with the
+    same distributed flag+groupby kernel write_eval_report runs
+    (sources/io.py, mirroring eval-auto-render.mjs:27-62); the oracle
+    RECOMPUTES pass/gate flags and the grouped sums from the raw
+    spilled columns in SQL.  The gates math is thereby verified
+    independently, while extraction itself stays pinned by the span
+    goldens + whole-corpus digest (rows-only by design).  The
+    reference's fleet gate verdict (gated>=0.8, static>=1.0, spa>=0.5,
+    auto-render-cases.ts:23-25) is still asserted in-query every
+    sweep."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
     from fetch_engines_ray.sources import write_eval_report
 
-    import pandas as pd
-
-    report = write_eval_report(_extracted(sf_dir), path="")
-    # every sweep must clear the reference's pass-rate gates
-    # (auto-render-cases.ts:23-25): gated>=0.8, static>=1.0, spa>=0.5
+    ds = _extracted(sf_dir)
+    report = write_eval_report(ds, path="")
     assert report["gates"]["gates_passed"] is True, report["gates"]
-    rows = [
-        {"archetype": k, **v} for k, v in sorted(report["archetypes"].items())
-    ]
-    return pd.DataFrame(rows)
+
+    has_error = "error_code" in ds.schema().names
+
+    def evalrows(batch: pa.Table) -> pa.Table:
+        err = (
+            pc.fill_null(batch["error_code"], "")
+            if has_error
+            else pa.array([""] * batch.num_rows, type=pa.string())
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "archetype": batch["archetype"],
+                "quality_score": pc.cast(batch["quality_score"], pa.int64()),
+                "n_out_chars": pc.cast(batch["n_out_chars"], pa.int64()),
+                "error_code": err,
+            }
+        )
+
+    rows = ds.map_batches(evalrows, batch_format="pyarrow", batch_size=1024)
+    # gate-scale small by contract (one row per extracted doc at sf<=0.01)
+    spill = rows.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(spill, preserve_index=False), _EVALROWS_SPILL
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        passed = pc.cast(
+            pc.greater_equal(batch["n_out_chars"], pa.scalar(40, type=pa.int64())),
+            pa.int64(),
+        )
+        hard = pc.equal(batch["error_code"], "ERR_CHALLENGE_PAGE")
+        gated = pc.cast(
+            pc.and_(pc.invert(hard), pc.not_equal(batch["archetype"], "fixture")),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "archetype": batch["archetype"],
+                "quality_score": batch["quality_score"],
+                "passed": passed,
+                "gated": gated,
+                "gated_pass": pc.multiply(passed, gated),
+            }
+        )
+
+    agg = (
+        rows.map_batches(flags, batch_format="pyarrow", batch_size=1024)
+        .groupby("archetype")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("passed", alias_name="n_passed"),
+            Sum("gated", alias_name="n_gated"),
+            Sum("gated_pass", alias_name="n_gated_pass"),
+            Sum("quality_score", alias_name="sum_quality"),
+        )
+        .to_pandas()
+        .sort_values("archetype")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_passed", "n_gated", "n_gated_pass", "sum_quality"):
+        agg[c] = agg[c].astype("int64")
+    return agg
 
 
 def _q_doc_winnowing_fingerprints(sf_dir: str) -> Any:
@@ -1188,13 +1264,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (synthetic interleaved corpus; rows-only check)
         "extract_pipeline": _q_extract_pipeline,
         "extract_quality_by_archetype": _q_extract_quality_by_archetype,
-        "media_decode": _q_media_decode,
+        # (the rows-only media_decode slot was retired in round 5 for
+        # the oracled neardup_cluster_verdicts below; its every-sweep
+        # decode_status=="real" + framed-DSP assertions moved verbatim
+        # to tests/test_media_decode_sweep.py over the same synthetic
+        # extraction corpus, and the four per-kind codecs stay fully
+        # SQL-oracled via png/wav/gif/jpeg_decode)
         "png_decode": _q_png_decode,
         "wav_decode": _q_wav_decode,
         "gif_decode": _q_gif_decode,
         # (the rows-only audio_features query was retired for the
         # oracled gif_decode under the 50-query cap; its real-DSP
-        # assertions are folded into media_decode above and the framed
+        # assertions live with the media_decode sweep in
+        # tests/test_media_decode_sweep.py and the framed
         # feature math stays pytest-covered in tests/test_wav.py.
         # Video frame sampling: tests/test_ops.py::test_frame_sampling_plan
         # plus gif_decode's mid_frame_sum midpoint pin.)
@@ -1221,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup_groups": _q_exact_dedup,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "neardup_cluster_verdicts": _q_neardup_clusters,
         "simhash_dedup_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "doc_decontamination": _q_doc_decontamination,
@@ -1479,8 +1562,60 @@ def _c4_oracle() -> str:
     return c4_oracle_sql(source)
 
 
+# Shared md5/mod-p MinHash pair pipeline (docs + planted clones ->
+# signatures -> 16x4 banding -> candidates -> est counts) — consumed by
+# BOTH the minhash_dedup_pairs and neardup_cluster_verdicts oracles so
+# the two recomputations can never drift.  Spliced after "WITH" /
+# "WITH RECURSIVE" by the caller.
+_MINHASH_CTE = (
+    "docs AS (SELECT doc_id, text FROM documents "
+    "  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5), "
+    " toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs), "
+    " grams AS (SELECT doc_id, "
+    "   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+    "        ELSE list_transform(generate_series(1, len(t) - 2), "
+    "               i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
+    "   END AS gs FROM toks), "
+    " g AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams), "
+    " gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS h FROM g), "
+    " perms AS (SELECT r.i, (2654435761 * (r.i + 1)) % 2147483647 AS a, "
+    "                  (40503 * (r.i + 1) + 9) % 2147483647 AS b "
+    "           FROM range(0, 64) r(i)), "
+    " sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS s FROM gh, perms GROUP BY doc_id, i), "
+    " band AS (SELECT doc_id, i // 4 AS bd, "
+    "          string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS key "
+    "          FROM sig GROUP BY doc_id, i // 4), "
+    " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "          FROM band a JOIN band b ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id), "
+    " est AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS k "
+    "         FROM cand c "
+    "         JOIN sig sa ON sa.doc_id = c.doc_a "
+    "         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i "
+    "         GROUP BY c.doc_a, c.doc_b) "
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_quality_by_archetype": (
+            # Recomputes pass/gate flags AND the grouped sums from the
+            # RAW per-doc eval columns the query spills (deterministic
+            # single file, written by the query immediately before this
+            # SQL runs — the gate always executes them as a pair).
+            # Mirrors sources/io.py::write_eval_report's flag kernel /
+            # the reference's eval-auto-render.mjs:27-62 gates math.
+            "WITH f AS (SELECT archetype, quality_score, "
+            "   CASE WHEN n_out_chars >= 40 THEN 1 ELSE 0 END AS passed, "
+            "   CASE WHEN error_code = 'ERR_CHALLENGE_PAGE' OR archetype = 'fixture' "
+            "        THEN 0 ELSE 1 END AS gated "
+            f"  FROM read_parquet('{_EVALROWS_SPILL}')) "
+            "SELECT archetype, CAST(count(*) AS BIGINT) AS n_docs, "
+            " CAST(sum(passed) AS BIGINT) AS n_passed, "
+            " CAST(sum(gated) AS BIGINT) AS n_gated, "
+            " CAST(sum(passed * gated) AS BIGINT) AS n_gated_pass, "
+            " CAST(sum(quality_score) AS BIGINT) AS sum_quality "
+            "FROM f GROUP BY archetype ORDER BY archetype"
+        ),
         "doc_pii_redaction": _pii_oracle_sql(),
         "doc_repetition_stats": (
             "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,"
@@ -1653,32 +1788,29 @@ def oracle_sql() -> dict[str, str]:
             # (band key = the exact 4-tuple; the engine's 64-bit band fold
             # only ever ADDS spurious candidates, which verification drops),
             # est = k/64 (dyadic, float-exact both sides), threshold 0.7.
-            "WITH docs AS (SELECT doc_id, text FROM documents "
-            "  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5), "
-            " toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM docs), "
-            " grams AS (SELECT doc_id, "
-            "   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
-            "        ELSE list_transform(generate_series(1, len(t) - 2), "
-            "               i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
-            "   END AS gs FROM toks), "
-            " g AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams), "
-            " gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647 AS h FROM g), "
-            " perms AS (SELECT r.i, (2654435761 * (r.i + 1)) % 2147483647 AS a, "
-            "                  (40503 * (r.i + 1) + 9) % 2147483647 AS b "
-            "           FROM range(0, 64) r(i)), "
-            " sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS s FROM gh, perms GROUP BY doc_id, i), "
-            " band AS (SELECT doc_id, i // 4 AS bd, "
-            "          string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS key "
-            "          FROM sig GROUP BY doc_id, i // 4), "
-            " cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "          FROM band a JOIN band b ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id), "
-            " est AS (SELECT c.doc_a, c.doc_b, sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS k "
-            "         FROM cand c "
-            "         JOIN sig sa ON sa.doc_id = c.doc_a "
-            "         JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i "
-            "         GROUP BY c.doc_a, c.doc_b) "
+            # The CTE chain is shared verbatim with the
+            # neardup_cluster_verdicts oracle below (one _MINHASH_CTE
+            # constant, so the two can never drift).
+            "WITH " + _MINHASH_CTE +
             "SELECT doc_a, doc_b, k / 64.0 AS est_jaccard FROM est "
             "WHERE k / 64.0 >= 0.7 ORDER BY doc_a, doc_b "
+        ),
+        "neardup_cluster_verdicts": (
+            # FULL oracle for the DISTRIBUTED cluster resolution: the
+            # shared pair chain above, then connected components via a
+            # recursive transitive-closure CTE contracted to min-label
+            # representatives — exactly the fixed point label
+            # propagation converges to; is_kept = (doc_id == rep).
+            # Pair sets are gate-scale tiny, so the closure is cheap.
+            "WITH RECURSIVE " + _MINHASH_CTE +
+            " , pairs AS (SELECT doc_a, doc_b FROM est WHERE k / 64.0 >= 0.7), "
+            " edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs "
+            "           UNION SELECT doc_b, doc_a FROM pairs), "
+            " reach AS (SELECT s, s AS d FROM edges "
+            "           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s), "
+            " rep AS (SELECT s AS doc_id, min(d) AS cluster_rep FROM reach GROUP BY s) "
+            "SELECT doc_id, cluster_rep, doc_id = cluster_rep AS is_kept "
+            "FROM rep ORDER BY doc_id "
         ),
         "simhash_dedup_pairs": (
             # FULL oracle: md5-variant 64-bit SimHash recomputed in SQL
