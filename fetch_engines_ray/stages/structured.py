@@ -214,6 +214,7 @@ def structured_extract(
     provider: Optional[ProviderSpec] = None,
     backend_factory=None,
     emit_usage: bool = False,
+    ray_remote_args: Optional[dict] = None,
 ) -> "ray.data.Dataset":
     """Run schema-driven extraction over a document Dataset; returns a
     Dataset of (id, <field>...) with the declared Arrow types.
@@ -225,7 +226,13 @@ def structured_extract(
     drops into, mirroring the reference's provider surface,
     StructuredContentEngine.ts:366-384) and the output contract is
     identical; ``tests/test_structured.py`` pins task-pool == actor-pool
-    equality."""
+    equality.
+
+    ``ray_remote_args`` forwards to ``map_batches`` — on a cluster this
+    is how a provider API key reaches the pool's worker processes
+    (``{"runtime_env": {"env_vars": {"OPENAI_API_KEY": ...}}}``): the
+    spec carries only the env-var NAME, and driver-local environment
+    changes do not propagate to already-started Ray workers."""
     kwargs = {"fields": fields, "text_col": text_col, "id_col": id_col}
     # only forward provider kwargs when set, so custom extractor classes
     # with the original three-kwarg signature keep working
@@ -244,7 +251,12 @@ def structured_extract(
                 "budget cannot accumulate across batches"
             )
         ex = extractor_cls(**kwargs)
-        return ds.map_batches(ex, batch_format="pyarrow", batch_size=batch_size)
+        return ds.map_batches(
+            ex,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            **(ray_remote_args or {}),
+        )
     return ds.map_batches(
         extractor_cls,
         fn_constructor_kwargs=kwargs,
@@ -252,4 +264,5 @@ def structured_extract(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        **(ray_remote_args or {}),
     )
