@@ -503,6 +503,24 @@ def run_scaling(
 
     median_eff = statistics.median(e for e, _, _ in round_results)
     best_eff = max(e for e, _, _ in round_results)
+
+    # CPU-normalized efficiency (the BASELINE.md round-4 hand analysis,
+    # now self-reported): on ONE box the wide leg saturates the memory
+    # bus, inflating the converter's measured CPU cost per doc — a
+    # contention artifact a real 4x-node cluster does not have.  Scaling
+    # the raw ratio by udf_high/udf_low cancels exactly that inflation:
+    # eff_cpu == raw eff when per-doc UDF CPU is flat across legs.
+    def _cpu_norm(e, rl, rh):
+        ul, uh = rl.get("udf_cpu_ms_per_doc"), rh.get("udf_cpu_ms_per_doc")
+        if not ul or not uh:
+            return None
+        return e * (uh / ul)
+
+    cpu_norm = [_cpu_norm(e, rl, rh) for e, rl, rh in round_results]
+    cpu_norm_clean = [c for c in cpu_norm if c is not None]
+    median_eff_cpu = (
+        round(statistics.median(cpu_norm_clean), 3) if cpu_norm_clean else None
+    )
     # headline legs come from the round CLOSEST to the median headline,
     # so the printed times reproduce (≈) the printed efficiency; every
     # round's legs are published in `rounds` for full reconstruction
@@ -522,6 +540,10 @@ def run_scaling(
         "throughput_high": r_high["throughput_docs_per_sec"],
         "scaling_factor": high / low,
         "round_efficiencies": [round(e, 3) for e, _, _ in round_results],
+        "eff_cpu_normalized": median_eff_cpu,
+        "round_eff_cpu_normalized": [
+            round(c, 3) if c is not None else None for c in cpu_norm
+        ],
         "rounds": [
             {"eff": round(e, 3), "low_s": rl["value"], "high_s": rh["value"]}
             for e, rl, rh in round_results
