@@ -503,29 +503,25 @@ def curate_media(
 
     def _drop_captions_join(caps, dropped_ds):
         """Distributed caption anti-join against a dropped-ref Dataset —
-        shared by the semi_join strategy and the auto flip.  Sized from
-        the INPUT doc count (free on parquet-backed/materialized
-        inputs) — counting ``caps`` would execute the caption pipeline
-        once just to plan it."""
-        marked = dropped_ds.map_batches(
-            lambda b: b.append_column(
-                "__drop", pa.array(np.ones(b.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
+        shared by the semi_join strategy and the auto flip.  Runs
+        through ops/dedup.filter_by_keys (union-conform + bounded-part
+        groupby), NOT Dataset.join: Ray's hash-join aggregator dies on
+        schema-less empty partitions whenever one side is sparse, and a
+        SMALL drop set on an explicit semi_join run is exactly that
+        shape.  Sized from the INPUT doc count (free on parquet-backed/
+        materialized inputs) — counting ``caps`` would execute the
+        caption pipeline once just to plan it."""
+        from fetch_engines_ray.ops.dedup import filter_by_keys
+
+        n_parts = max(2, min(64, extracted_ds.count() // 200_000 + 1))
+        return filter_by_keys(
+            caps,
+            dropped_ds,
+            "media_ref",
+            keep_matches=False,
+            n_parts=n_parts,
             batch_size=8192,
         )
-        n_parts = max(2, min(64, extracted_ds.count() // 200_000 + 1))
-        joined = caps.join(
-            marked, join_type="left_outer", num_partitions=n_parts, on=("media_ref",)
-        )
-
-        def not_dropped(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            keep = pc.is_null(batch["__drop"])
-            return batch.filter(keep).drop_columns(["__drop"])
-
-        return joined.map_batches(not_dropped, batch_format="pyarrow", batch_size=8192)
 
     spans = media_spans_dataset(extracted_ds)
     sigs = media_signatures(spans, concurrency=concurrency)
