@@ -935,11 +935,14 @@ def _q_embedding_near_dups(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-# Deterministic single-file spill consumed by the extract_quality
-# oracle: the query (which the gate always runs immediately before its
-# SQL) overwrites it with the CURRENT sf's per-doc eval rows, so the
-# oracle needs no sf-dependent path.
-_EVALROWS_SPILL = "/tmp/fer_evalrows_gate.parquet"
+# Single-file spill consumed by the extract_quality oracle: the query
+# (which the gate always runs immediately before its SQL) overwrites it
+# with the CURRENT sf's per-doc eval rows, so the oracle needs no
+# sf-dependent path.  Keyed by pid because queries() and oracle_sql()
+# run in the SAME process by the gate contract — a concurrent run in
+# another process (second bench, second user) must not clobber the
+# file between this process's query and its oracle.
+_EVALROWS_SPILL = f"/tmp/fer_evalrows_gate_{os.getpid()}.parquet"
 
 
 def _q_extract_quality_by_archetype(sf_dir: str) -> Any:

@@ -325,7 +325,6 @@ def build_ivfpq_index(
         codebooks = pq_train(
             ds, m=pq_m, ksub=pq_ksub, sample_size=pq_sample_size, seed=seed, vec_col=vec_col
         )
-    before = _parquet_files(path)
     ref = ray.put((cents, codebooks))
     m, ksub, dsub = codebooks.shape
 
@@ -333,7 +332,10 @@ def build_ivfpq_index(
     ds.map_batches(assign_encode, batch_format="pyarrow", batch_size=8192).write_parquet(
         path, partition_cols=["cluster"]
     )
-    n = sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path) - before)
+    # the entry-time fresh-dir refusal guarantees every parquet file
+    # here is this build's output (no before/after diff needed — that
+    # machinery lives in the append_* paths, where it is load-bearing)
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
     pq.write_table(
         pa.table(
             {

@@ -824,9 +824,19 @@ def filter_by_keys(
     types = dict(zip(data_schema.names, data_schema.types))
 
     def _part_of(col) -> np.ndarray:
-        arr = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(arr.dtype, np.integer):
+        # decide on the ARROW type, not the numpy dtype: one null in an
+        # int64 batch degrades to_numpy to float64, which would route
+        # the whole batch through the string hash while the other side
+        # uses _mix_mod — silently separating matching keys (review
+        # finding).  Null keys fill to 0 for ROUTING only; the per-part
+        # is_in below treats them as match-nothing.
+        import pyarrow.compute as _pc
+
+        ctype = col.type if hasattr(col, "type") else col.chunk(0).type
+        if pa.types.is_integer(ctype):
+            arr = _pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
             return _mix_mod(arr.astype(np.int64), n_parts)
+        arr = col.to_numpy(zero_copy_only=False)
         return (
             pd.util.hash_array(np.asarray(arr, dtype=object))
             % np.uint64(n_parts)
@@ -856,7 +866,10 @@ def filter_by_keys(
         keyset = group.filter(pc.equal(role, 1))[key_col]
         if len(keyset) == 0:
             return data.slice(0, 0) if keep_matches else data
-        m = pc.is_in(data[key_col], value_set=pc.unique(keyset.combine_chunks()))
+        keyset = pc.drop_null(keyset.combine_chunks())
+        m = pc.is_in(data[key_col], value_set=pc.unique(keyset))
+        # a NULL data key matches nothing: semi drops it, anti keeps it
+        m = pc.fill_null(m, False)
         return data.filter(m if keep_matches else pc.invert(m))
 
     return (
@@ -1391,6 +1404,7 @@ def dedup_clusters_distributed(
         .materialize()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: edge (src, dst) joined with label(dst)
         nbr = edges.join(
@@ -1412,8 +1426,21 @@ def dedup_clusters_distributed(
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # fixed point: min-labels can only decrease
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent truncation would emit WRONG cluster_rep/is_kept (a
+        # drifting-template chain longer than max_iters keeps docs the
+        # exact-closure contract drops) — and this function's output is
+        # load-bearing for curate drop-strategy equality and the
+        # neardup_cluster_verdicts SQL oracle.  Near-dup clusters are
+        # shallow in practice; a corpus that genuinely needs more hops
+        # should raise max_iters explicitly.
+        raise RuntimeError(
+            f"label propagation did not converge within max_iters={max_iters} "
+            "(cluster diameter exceeds the iteration budget); raise max_iters"
+        )
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(

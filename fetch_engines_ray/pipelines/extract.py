@@ -199,7 +199,10 @@ def refresh_extract(
     corpus through the join.
 
     Returns ``(dataset, stats)`` with stats counting added / changed /
-    removed / reused."""
+    removed / reused.  On the high-churn path stats also carries
+    ``churn_spill`` — the checkpoint directory the returned lazy chain
+    streams from; remove it (``ops.dedup._cleanup_checkpoint``) after
+    consuming the output."""
     import pyarrow.compute as pc
 
     import ray
@@ -222,10 +225,11 @@ def refresh_extract(
     if n_churn > churn_broadcast_limit:
         # distributed handoff: churn ids never land on the driver.
         # Per-status counts are the only driver-side values (3 rows).
-        by_status = {
-            r["status"]: int(r["count()"])
-            for r in churn_ds.groupby("status").count().take_all()
-        }
+        # (groupby().count() names its column "count()" or "count"
+        # depending on Ray version — same shim as ops/textstats.)
+        _cnt_rows = churn_ds.groupby("status").count().take_all()
+        _cnt_col = "count()" if _cnt_rows and "count()" in _cnt_rows[0] else "count"
+        by_status = {r["status"]: int(r[_cnt_col]) for r in _cnt_rows}
         n_added = by_status.get("added", 0)
         n_changed = by_status.get("changed", 0)
         n_removed = by_status.get("removed", 0)
@@ -262,11 +266,18 @@ def refresh_extract(
             n_parts=n_parts,
         )
         out = reused.union(fresh) if n_todo else reused
+        # the returned lazy chain still streams the churn spill, so it
+        # cannot be deleted here (same posture as curate's tokenizer
+        # checkpoints); its path rides in stats for the caller to
+        # remove after consuming the output — without this, repeated
+        # high-churn refreshes would accumulate churn-sized spills
+        # under FER_CHECKPOINT_DIR
         return out, {
             "added": n_added,
             "changed": n_changed,
             "removed": n_removed,
             "reextracted": n_todo,
+            "churn_spill": _churn_ckpt,
         }
 
     churn = churn_ds.to_pandas() if n_churn else None  # churn-sized

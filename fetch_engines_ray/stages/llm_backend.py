@@ -184,9 +184,11 @@ class OpenAICompatibleBackend:
         self.max_attempts = max_attempts
         self.retry_delay_s = retry_delay_s
         self.api_key = _resolve_api_key(spec)
-        base = (spec.base_url or _DEFAULT_OPENAI_BASE_URL).rstrip("/")
-        self.base_url = base
-        self.is_openai_compatible = base != _DEFAULT_OPENAI_BASE_URL
+        # trailing-slash normalization mirrors getOpenAIProvider
+        # (ts:366-384); both the standard and the OpenAI-compatible
+        # endpoint get identical treatment here because this module IS
+        # the client library the reference delegates auth handling to
+        self.base_url = (spec.base_url or _DEFAULT_OPENAI_BASE_URL).rstrip("/")
         headers = dict(spec.headers)
         # caller headers first; Authorization added unless caller set it
         # (ts:228-235 — here we are also the client lib, so the
@@ -211,11 +213,19 @@ class OpenAICompatibleBackend:
             req = urllib.request.Request(url, data=data, headers=self.headers)
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                    payload = json.loads(resp.read().decode("utf-8"))
+                    raw = resp.read()
+                # a stalled/truncated BODY read raises TimeoutError/OSError
+                # and a proxy's HTML 200 raises JSONDecodeError — both are
+                # transient-or-environmental, so they take the same retry
+                # ladder as connection errors instead of killing the task
+                payload = json.loads(raw.decode("utf-8", "replace"))
                 break
             except urllib.error.HTTPError as err:
                 # retry only transient classes (quota / server errors);
-                # auth and client errors surface immediately
+                # auth and client errors surface immediately.  MUST be
+                # the first clause: HTTPError < URLError < OSError, so a
+                # generic OSError catch above it would swallow the
+                # HTTP-specific handling
                 if err.code in (429, 500, 502, 503, 504) and attempt + 1 < self.max_attempts:
                     last_err = err
                     time.sleep(self.retry_delay_s * (attempt + 1))
@@ -236,6 +246,14 @@ class OpenAICompatibleBackend:
                     continue
                 raise RuntimeError(
                     f"Failed to extract structured data: {err.reason}"
+                ) from err
+            except (TimeoutError, OSError, json.JSONDecodeError) as err:
+                if attempt + 1 < self.max_attempts:
+                    last_err = err
+                    time.sleep(self.retry_delay_s * (attempt + 1))
+                    continue
+                raise RuntimeError(
+                    f"Failed to extract structured data: {err}"
                 ) from err
         else:  # pragma: no cover - loop always breaks or raises
             raise RuntimeError(f"Failed to extract structured data: {last_err}")

@@ -159,3 +159,49 @@ def test_step0_checkpoint_released_after_survivor_spill(
     # the clean checkpoint legitimately stays (the returned Dataset
     # streams from it)
     assert glob.glob(os.path.join(str(tmp_path), "fer_curate_clean_*"))
+
+
+def test_filter_by_keys_null_int_keys(ray_session):
+    """One null in an int64 key batch must not degrade routing (the
+    to_numpy float64 trap): non-null keys still match across sides and
+    null-key rows match NOTHING — semi drops them, anti keeps them."""
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import filter_by_keys
+
+    data = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, None, 4, 5], type=pa.int64()),
+                "text": ["a", "b", "c", "d", "e"],
+            }
+        )
+    )
+    keys = ray.data.from_arrow(pa.table({"doc_id": pa.array([2, 4], type=pa.int64())}))
+    semi = filter_by_keys(data, keys, "doc_id", keep_matches=True, n_parts=4).to_pandas()
+    anti = filter_by_keys(data, keys, "doc_id", keep_matches=False, n_parts=4).to_pandas()
+    assert sorted(semi["text"]) == ["b", "d"]
+    assert sorted(anti["text"]) == ["a", "c", "e"]
+
+
+def test_label_propagation_refuses_silent_truncation(ray_session):
+    """A chain whose diameter exceeds max_iters must RAISE, not emit
+    wrong cluster representatives (review finding: the output is
+    load-bearing for drop-strategy equality and the SQL oracle)."""
+    import pytest
+
+    import ray.data
+
+    from fetch_engines_ray.ops.dedup import dedup_clusters_distributed
+
+    chain = pa.table(
+        {
+            "doc_a": pa.array(list(range(0, 12)), type=pa.int64()),
+            "doc_b": pa.array(list(range(1, 13)), type=pa.int64()),
+        }
+    )
+    pairs = ray.data.from_arrow(chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters_distributed(pairs, max_iters=3)
+    out = dedup_clusters_distributed(pairs, max_iters=30).to_pandas()
+    assert (out["cluster_rep"] == 0).all()

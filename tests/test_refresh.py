@@ -79,6 +79,9 @@ def test_refresh_join_path_matches_broadcast(corpora, ray_session):
     prev, new, _c, removed_id = corpora
     prev_out = extract_corpus(prev).materialize()
     refreshed, stats = refresh_extract(prev, new, prev_out, churn_broadcast_limit=0)
+    # high-churn stats carry the churn spill path for caller cleanup
+    spill = stats.pop("churn_spill")
+    assert spill and "fer_refresh_churn" in spill
     assert stats == {"added": 1, "changed": 2, "removed": 1, "reextracted": 3}
     got = refreshed.to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = extract_corpus(new).to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -115,6 +118,7 @@ def test_refresh_full_churn_join_path(ray_session, tmp_path):
     )
     prev_out = extract_corpus(prev).materialize()
     refreshed, stats = refresh_extract(prev, new, prev_out, churn_broadcast_limit=0)
+    assert "fer_refresh_churn" in stats["churn_spill"]
     assert stats["changed"] == 20 and stats["reextracted"] == 20
     assert stats["added"] == 0 and stats["removed"] == 0
     got = refreshed.to_pandas().sort_values("doc_id").reset_index(drop=True)
