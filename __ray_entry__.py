@@ -439,18 +439,40 @@ def _q_doc_normalized_text(sf_dir: str) -> Any:
     )
 
 
-def _q_doc_train_val_split(sf_dir: str) -> Any:
-    from fetch_engines_ray.ops.textstats import add_split_assignment
+def _q_domain_mixture(sf_dir: str) -> Any:
+    """Domain-mixture selection (ops/mixing.py — the DoReMi-style
+    token-budgeted sampling step between curation and packing), FULLY
+    SQL-oracled with the md5 priority kernel: the oracle recomputes
+    priorities, the per-domain window cumulative sums and the budget
+    cut.  (This slot replaced the trivial md5 train/val split under the
+    50-query cap — that kernel stays pinned vs DuckDB in
+    tests/test_mixing.py::test_retired_train_val_split_vs_duckdb, and
+    the md5-hash-order idea lives on here, strictly richer.)"""
+    from fetch_engines_ray.ops.mixing import sample_mixture
 
-    ds = _read_documents(sf_dir).map_batches(
-        add_split_assignment, batch_format="pyarrow", batch_size=4096
-    )
-    return (
-        ds.select_columns(["doc_id", "split"])
+    out = (
+        sample_mixture(
+            _read_documents(sf_dir).select_columns(["doc_id", "lang", "text"]),
+            _MIXTURE_BUDGETS,
+            domain_col="lang",
+            seed=7,
+            hash_fn="md5",
+        )
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_tokens": "int64"})
     )
+    # every budgeted domain must actually contribute (budgets are sized
+    # to bind well below any sf's per-domain token mass)
+    assert set(out["lang"]) == set(_MIXTURE_BUDGETS), set(out["lang"])
+    per = out.groupby("lang")["n_tokens"].sum().to_dict()
+    for lang, budget in _MIXTURE_BUDGETS.items():
+        assert 0 < per[lang] <= budget, (lang, per[lang], budget)
+    return out
+
+
+_MIXTURE_BUDGETS = {"en": 3000, "de": 2000, "fr": 1500}
 
 
 # Planted on BOTH engine and oracle side: the synthetic documents
@@ -1287,7 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_bpe_token_counts": _q_doc_bpe_token_counts,
         "doc_normalized_text": _q_doc_normalized_text,
-        "doc_train_val_split": _q_doc_train_val_split,
+        "domain_mixture_selection": _q_domain_mixture,
         "doc_sequence_packing": _q_doc_sequence_packing,
         "doc_pii_redaction": _q_doc_pii_redaction,
         "doc_repetition_stats": _q_doc_repetition_stats,
@@ -1634,10 +1656,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, trim(regexp_replace(nfc_normalize(lower(text)),"
             " '\\s+', ' ', 'g'), ' ') AS norm_text FROM documents ORDER BY doc_id"
         ),
-        "doc_train_val_split": (
-            "SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-            " AS BIGINT) % 100 < 10 THEN 'val' ELSE 'train' END AS split"
-            " FROM documents ORDER BY doc_id"
+        "domain_mixture_selection": (
+            # FULL oracle: md5 priorities, per-domain window cumsum,
+            # budget cut — the engine's exact selection rule in SQL
+            "WITH b(lang, budget) AS (VALUES ('en', 3000), ('de', 2000), ('fr', 1500)), "
+            " t AS (SELECT doc_id, lang, "
+            "   CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            "   ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pri "
+            "  FROM documents), "
+            " w AS (SELECT t.doc_id, t.lang, t.n_tokens, b.budget, "
+            "   SUM(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.pri, t.doc_id "
+            "                         ROWS UNBOUNDED PRECEDING) AS cum "
+            "  FROM t JOIN b USING (lang)) "
+            "SELECT doc_id, lang, n_tokens FROM w WHERE cum <= budget ORDER BY doc_id"
         ),
         "doc_bpe_token_counts": (
             "SELECT doc_id, CAST(array_length(regexp_extract_all(text,"
