@@ -321,6 +321,18 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         lr = log_importance_ratio(target_bucket_counts(target), raw_bucket_counts(docs))
         return dsir_resample(dsir_weights(docs, lr), n=100, seed=0)
 
+    def _mixture(sf: str):
+        import ray.data
+
+        from fetch_engines_ray.ops.mixing import sample_mixture
+
+        docs = read_parquet_clean(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        return sample_mixture(
+            docs, {"en": 30000, "de": 20000, "fr": 15000}, domain_col="lang"
+        )
+
     def _ivfpq(sf: str):
         import shutil
         import tempfile
@@ -357,6 +369,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "semdedup_embeddings": _semdedup,
         "dsir_select": _dsir,
         "ivfpq_build_search": _ivfpq,
+        "domain_mixture": _mixture,
     }
     names = [
         "doc_token_counts",
@@ -379,6 +392,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "doc_lm_perplexity",
         "semdedup_embeddings",
         "dsir_select",
+        "domain_mixture",
         "ivfpq_build_search",
         "events_value_lag",
     ]
