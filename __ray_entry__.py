@@ -448,10 +448,10 @@ def _q_domain_mixture(sf_dir: str) -> Any:
     50-query cap — that kernel stays pinned vs DuckDB in
     tests/test_mixing.py::test_retired_train_val_split_vs_duckdb, and
     the md5-hash-order idea lives on here, strictly richer.)"""
-    from fetch_engines_ray.ops.mixing import sample_mixture
+    from fetch_engines_ray.ops.mixing import sample_token_budget
 
     out = (
-        sample_mixture(
+        sample_token_budget(
             _read_documents(sf_dir).select_columns(["doc_id", "lang", "text"]),
             _MIXTURE_BUDGETS,
             domain_col="lang",
@@ -967,6 +967,25 @@ def _q_embedding_near_dups(sf_dir: str) -> Any:
 _EVALROWS_SPILL = f"/tmp/fer_evalrows_gate_{os.getpid()}.parquet"
 
 
+def _sweep_stale_evalrows_spills(max_age_s: float = 86400.0) -> None:
+    """Pid-keyed spills accumulate one file per gate process; sweep
+    siblings older than a day (anything that old belongs to a finished
+    process — a LIVE concurrent gate rewrites its file within
+    seconds of reading it, so the age guard cannot race it)."""
+    import glob as _glob
+    import time as _time
+
+    now = _time.time()
+    for f in _glob.glob("/tmp/fer_evalrows_gate_*.parquet"):
+        if f == _EVALROWS_SPILL:
+            continue
+        try:
+            if now - os.path.getmtime(f) > max_age_s:
+                os.remove(f)
+        except OSError:
+            pass
+
+
 def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
     """Per-archetype eval aggregation, FULLY SQL-oracled (round 5,
     closing the round-4 rows-only slot): the per-doc eval columns
@@ -1011,6 +1030,7 @@ def _q_extract_quality_by_archetype(sf_dir: str) -> Any:
         )
 
     rows = ds.map_batches(evalrows, batch_format="pyarrow", batch_size=1024)
+    _sweep_stale_evalrows_spills()
     # gate-scale small by contract (one row per extracted doc at sf<=0.01)
     spill = rows.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pq.write_table(
@@ -1659,9 +1679,15 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture_selection": (
             # FULL oracle: md5 priorities, per-domain window cumsum,
             # budget cut — the engine's exact selection rule in SQL
+            # token rule mirrors the ENGINE exactly: trim ALL whitespace
+            # (utf8_trim_whitespace, not space-only trim()) and
+            # null text -> '' -> [''] -> 1 token; one divergent doc
+            # would shift the cumulative cut for its whole domain
             "WITH b(lang, budget) AS (VALUES ('en', 3000), ('de', 2000), ('fr', 1500)), "
             " t AS (SELECT doc_id, lang, "
-            "   CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+            "   CAST(array_length(string_split_regex("
+            "     regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'),"
+            "     '\\s+')) AS BIGINT) AS n_tokens, "
             "   ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pri "
             "  FROM documents), "
             " w AS (SELECT t.doc_id, t.lang, t.n_tokens, b.budget, "

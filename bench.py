@@ -324,12 +324,12 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     def _mixture(sf: str):
         import ray.data
 
-        from fetch_engines_ray.ops.mixing import sample_mixture
+        from fetch_engines_ray.ops.mixing import sample_token_budget
 
         docs = read_parquet_clean(
             f"{sf}/documents.parquet", columns=["doc_id", "lang", "text"]
         )
-        return sample_mixture(
+        return sample_token_budget(
             docs, {"en": 30000, "de": 20000, "fr": 15000}, domain_col="lang"
         )
 

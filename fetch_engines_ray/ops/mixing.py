@@ -1,8 +1,14 @@
-"""Domain-mixture selection — the data-mixing step a pretraining
+"""Token-budgeted domain-mixture selection — the data-mixing step a
+pretraining
 pipeline runs between curation and packing (public recipe shape:
 DoReMi / The Pile / LLaMA report domain weights): given per-domain
 TOKEN budgets, select documents per domain in a deterministic seeded
 priority order until each budget fills.
+
+(Sibling operator: ``ops/textstats.sample_mixture`` selects by
+per-group DOC-COUNT quotas with the same hash-rank idea; this module
+is the TOKEN-budget form — named ``sample_token_budget`` so the two
+cannot be confused.)
 
 Scale design: one vectorized ``map_batches`` pass computes
 ``(id, domain, n_tokens, priority)`` (ids + small ints only — document
@@ -66,7 +72,7 @@ def _priorities(ids: np.ndarray, seed: int, hash_fn: str) -> np.ndarray:
     raise ValueError(f"unknown hash_fn {hash_fn!r} (splitmix|md5)")
 
 
-def sample_mixture(
+def sample_token_budget(
     ds: "ray.data.Dataset",
     token_budgets: dict,
     id_col: str = "doc_id",
@@ -95,11 +101,52 @@ def sample_mixture(
         # as an opaque RayTaskError after the pipeline starts
         raise ValueError(f"unknown hash_fn {hash_fn!r} (splitmix|md5)")
     budgets = {k: int(v) for k, v in token_budgets.items()}
+    # plan-time metadata: preserve the domain column's Arrow type end
+    # to end (an int64 source_id domain must not be forced to string).
+    # Ray's Schema wrapper exposes names/types, not pyarrow .field(),
+    # and pandas-backed datasets report NUMPY dtypes / python types —
+    # normalize to an Arrow DataType
+    _schema = ds.schema()
+    _raw = dict(zip(_schema.names, _schema.types))[domain_col]
+    if isinstance(_raw, pa.DataType):
+        dom_type = _raw
+    else:
+        try:
+            dom_type = pa.from_numpy_dtype(np.dtype(_raw))
+        except (TypeError, pa.ArrowNotImplementedError):
+            dom_type = pa.string()
+    budget_keys = list(budgets)
 
     def featurize(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop unbudgeted domains BEFORE the shuffle — the docstring's
+        # "this source contributes nothing" case must not pay groupby
+        # freight for rows the cut would discard anyway
+        batch = batch.filter(
+            pc.is_in(
+                batch[domain_col],
+                value_set=pa.array(budget_keys, type=dom_type),
+            )
+        )
+        id_arr = batch[id_col]
+        if not pa.types.is_integer(id_arr.type):
+            raise ValueError(
+                f"sample_token_budget requires integer ids; {id_col!r} is "
+                f"{id_arr.type} (hash strings to int64 upstream)"
+            )
+        if id_arr.null_count:
+            # a null id would degrade to_numpy to float64 and astype
+            # would mint a garbage id that competes for budget — the
+            # same silent-misroute class filter_by_keys guards against
+            raise ValueError(f"null {id_col!r} values in mixture input")
+        ids = id_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         if count_col is not None:
             toks = pc.cast(batch[count_col], pa.int64())
+            if toks.null_count:
+                raise ValueError(
+                    f"null {count_col!r} values in mixture input — fill or "
+                    "drop them upstream (a null budget contribution is "
+                    "ambiguous)"
+                )
         else:
             toks = pc.cast(
                 pc.list_value_length(
@@ -125,7 +172,7 @@ def sample_mixture(
         empty = pa.table(
             {
                 id_col: pa.array([], type=pa.int64()),
-                domain_col: pa.array([], type=pa.string()),
+                domain_col: pa.array([], type=dom_type),
                 "n_tokens": pa.array([], type=pa.int64()),
             }
         )
@@ -139,7 +186,7 @@ def sample_mixture(
         return pa.table(
             {
                 id_col: pa.array(keep[id_col].to_numpy(dtype=np.int64)),
-                domain_col: pa.array(keep[domain_col], type=pa.string()),
+                domain_col: pa.array(keep[domain_col], type=dom_type, from_pandas=True),
                 "n_tokens": pa.array(keep["n_tokens"].to_numpy(dtype=np.int64)),
             }
         )

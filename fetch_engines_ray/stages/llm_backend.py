@@ -39,6 +39,7 @@ warm-render pool (SURVEY §2.4 A1).
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
 import time
@@ -247,7 +248,12 @@ class OpenAICompatibleBackend:
                 raise RuntimeError(
                     f"Failed to extract structured data: {err.reason}"
                 ) from err
-            except (TimeoutError, OSError, json.JSONDecodeError) as err:
+            except (
+                TimeoutError,
+                OSError,
+                http.client.HTTPException,  # IncompleteRead is NOT an OSError
+                json.JSONDecodeError,
+            ) as err:
                 if attempt + 1 < self.max_attempts:
                     last_err = err
                     time.sleep(self.retry_delay_s * (attempt + 1))

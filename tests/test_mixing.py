@@ -19,10 +19,10 @@ def _docs(ray_session):
 
 
 def test_mixture_matches_duckdb_window(ray_session):
-    from fetch_engines_ray.ops.mixing import sample_mixture
+    from fetch_engines_ray.ops.mixing import sample_token_budget
 
     got = (
-        sample_mixture(
+        sample_token_budget(
             _docs(ray_session),
             BUDGETS,
             domain_col="lang",
@@ -38,7 +38,8 @@ def test_mixture_matches_duckdb_window(ray_session):
         f"""
         WITH b(lang, budget) AS (VALUES {budget_rows}),
         t AS (SELECT doc_id, lang,
-            CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+            CAST(array_length(string_split_regex(
+              regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tokens,
             ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pri
           FROM read_parquet('{SF}/documents.parquet')),
         w AS (SELECT t.*, b.budget,
@@ -55,18 +56,18 @@ def test_mixture_matches_duckdb_window(ray_session):
 
 
 def test_mixture_budget_and_determinism(ray_session):
-    from fetch_engines_ray.ops.mixing import mixture_report, sample_mixture
+    from fetch_engines_ray.ops.mixing import mixture_report, sample_token_budget
 
     docs = _docs(ray_session)
-    a = sample_mixture(docs, BUDGETS, domain_col="lang").to_pandas()
-    b = sample_mixture(docs, BUDGETS, domain_col="lang").to_pandas()
+    a = sample_token_budget(docs, BUDGETS, domain_col="lang").to_pandas()
+    b = sample_token_budget(docs, BUDGETS, domain_col="lang").to_pandas()
     key = ["doc_id"]
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
     rep = mixture_report(
-        sample_mixture(docs, BUDGETS, domain_col="lang"), domain_col="lang"
+        sample_token_budget(docs, BUDGETS, domain_col="lang"), domain_col="lang"
     )
     by = dict(zip(rep["lang"], rep["total_tokens"]))
     for lang, budget in BUDGETS.items():
@@ -74,7 +75,7 @@ def test_mixture_budget_and_determinism(ray_session):
     # domains without a budget contribute nothing
     assert set(rep["lang"]) <= set(BUDGETS)
     # a different seed selects a different prefix
-    c = sample_mixture(docs, BUDGETS, domain_col="lang", seed=99).to_pandas()
+    c = sample_token_budget(docs, BUDGETS, domain_col="lang", seed=99).to_pandas()
     assert set(c["doc_id"]) != set(a["doc_id"])
 
 
@@ -85,7 +86,7 @@ def test_mixture_append_stability(ray_session):
     priority than something dropped."""
     import ray.data
 
-    from fetch_engines_ray.ops.mixing import sample_mixture
+    from fetch_engines_ray.ops.mixing import sample_token_budget
 
     rows = [
         {"doc_id": i, "lang": "en", "text": "tok " * 50} for i in range(40)
@@ -95,8 +96,8 @@ def test_mixture_append_stability(ray_session):
         pd.DataFrame(rows + [{"doc_id": 1000 + i, "lang": "en", "text": "tok " * 50} for i in range(40)])
     )
     budgets = {"en": 500}
-    s1 = set(sample_mixture(base, budgets, domain_col="lang").to_pandas()["doc_id"])
-    s2 = set(sample_mixture(grown, budgets, domain_col="lang").to_pandas()["doc_id"])
+    s1 = set(sample_token_budget(base, budgets, domain_col="lang").to_pandas()["doc_id"])
+    s2 = set(sample_token_budget(grown, budgets, domain_col="lang").to_pandas()["doc_id"])
     # old docs still selected after the append are a subset of the
     # original selection (new docs can displace, never promote)
     assert {d for d in s2 if d < 1000} <= s1
@@ -105,13 +106,13 @@ def test_mixture_append_stability(ray_session):
 def test_mixture_validation(ray_session):
     import ray.data
 
-    from fetch_engines_ray.ops.mixing import sample_mixture
+    from fetch_engines_ray.ops.mixing import sample_token_budget
 
     ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "lang": ["en"], "text": ["x"]}))
     with pytest.raises(ValueError, match="token_budgets"):
-        sample_mixture(ds, {}, domain_col="lang")
+        sample_token_budget(ds, {}, domain_col="lang")
     with pytest.raises(ValueError, match="hash_fn"):
-        sample_mixture(ds, {"en": 10}, domain_col="lang", hash_fn="bogus")
+        sample_token_budget(ds, {"en": 10}, domain_col="lang", hash_fn="bogus")
 
 
 def test_retired_train_val_split_vs_duckdb(ray_session):
@@ -136,3 +137,26 @@ def test_retired_train_val_split_vs_duckdb(ray_session):
         """.replace("%%", "%")
     ).df()
     pd.testing.assert_frame_equal(got.astype({"doc_id": "int64"}), want.astype({"doc_id": "int64"}))
+
+
+def test_mixture_integer_domain_column(ray_session):
+    """Domain columns need not be strings (review finding): an int64
+    source_id domain keeps its type end to end."""
+    import pyarrow as pa
+    import ray.data
+
+    from fetch_engines_ray.ops.mixing import sample_token_budget
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), type=pa.int64()),
+                "source_id": pa.array([i % 2 for i in range(20)], type=pa.int64()),
+                "text": ["tok " * 10] * 20,
+            }
+        )
+    )
+    out = sample_token_budget(ds, {0: 50, 1: 30}, domain_col="source_id")
+    df = out.to_pandas()
+    assert set(df["source_id"]) == {0, 1}
+    assert df.groupby("source_id")["n_tokens"].sum().le(50).all()
