@@ -154,6 +154,14 @@ def main() -> None:
         help="also gate on the published Gopher repeated-n-gram thresholds",
     )
     ap.add_argument(
+        "--drop-strategy", choices=("auto", "broadcast", "semi_join"), default="auto",
+        help="near-dup drop handoff: semi_join keeps verdicts a Dataset end "
+        "to end (clone-heavy re-crawls); auto detects clone mass up front "
+        "and otherwise broadcasts",
+    )
+    ap.add_argument("--drop-broadcast-limit", type=int, default=2_000_000)
+    ap.add_argument("--clone-pair-limit", type=int, default=5_000_000)
+    ap.add_argument(
         "--checkpoint-name",
         default=None,
         help="make the run resumable: spill the post-dedup survivor table "
@@ -218,6 +226,9 @@ def main() -> None:
         jsonl_export_path=args.jsonl_export,
         jsonl_compression=args.jsonl_compression,
         n_shards=args.n_shards,
+        drop_strategy=args.drop_strategy,
+        drop_broadcast_limit=args.drop_broadcast_limit,
+        clone_pair_limit=args.clone_pair_limit,
     )
     if os.path.isdir(args.output):
         _clear_stale_parquet(args.output)

@@ -49,9 +49,11 @@ def main() -> None:
         help="drop media with no adjacent text at all",
     )
     ap.add_argument(
-        "--drop-strategy", choices=("broadcast", "semi_join"), default="broadcast",
-        help="semi_join keeps the drop set distributed (clone-heavy corpora)",
+        "--drop-strategy", choices=("auto", "broadcast", "semi_join"), default="auto",
+        help="semi_join keeps the drop set distributed (clone-heavy corpora); "
+        "auto broadcasts and flips the filter above --drop-broadcast-limit",
     )
+    ap.add_argument("--drop-broadcast-limit", type=int, default=2_000_000)
     ap.add_argument("--min-width", type=int, default=None)
     ap.add_argument("--min-height", type=int, default=None)
     ap.add_argument("--max-aspect", type=float, default=None)
@@ -78,6 +80,7 @@ def main() -> None:
         max_caption_chars=args.max_caption_chars,
         require_caption=args.require_caption,
         drop_strategy=args.drop_strategy,
+        drop_broadcast_limit=args.drop_broadcast_limit,
         min_width=args.min_width,
         min_height=args.min_height,
         max_aspect=args.max_aspect,

@@ -136,3 +136,40 @@ def test_curate_entry_smoke(tmp_path):
     assert 100 not in packed_docs  # exact dup collapsed
     assert 2 not in packed_docs  # contaminated by the benchmark excerpt
     assert 0 in packed_docs and 1 in packed_docs
+
+
+def test_curate_entry_semi_join_strategy(tmp_path):
+    """--drop-strategy semi_join through the CLI: same survivors as the
+    default auto path on a corpus with exact + near dups."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    stop = "the be to of and that have with".split()
+    words = stop + [f"word{i:03d}xx" for i in range(50)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.randint(60, 90)))}
+        for i in range(12)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[1]["text"] + " tail"})
+    docs = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(docs)
+
+    survivors = {}
+    for strat in ("auto", "semi_join"):
+        out = str(tmp_path / f"packed_{strat}")
+        res = _run_curate(
+            ["--input", docs, "--output", out, "--max-tokens", "256",
+             "--drop-strategy", strat]
+        )
+        assert res["sequences"] > 0
+        packed = pd.concat(
+            pd.read_parquet(os.path.join(root, f))
+            for root, _d, files in os.walk(out)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        survivors[strat] = sorted(d for ids in packed["doc_ids"] for d in ids)
+    assert survivors["auto"] == survivors["semi_join"]
+    assert 100 not in survivors["auto"]
