@@ -336,18 +336,26 @@ def curate_corpus(
         #    at the top of the chain from the same count pass that
         #    gates the empty-corpus short-circuit).
         _mark("size_count")
-        # the exact-group table (hash, winner id, group size) spills
-        # once: the semi-join reads it back instead of re-running the
-        # groupby, and in auto mode its FOOTERS answer the two
-        # clone-mass heuristics below for free (metadata count + one
-        # tiny aggregate over 3 int/str columns — never the corpus)
-        from ..ops.dedup import _checkpoint_parquet as _ckpt_pq
+        from ..ops.dedup import _checkpoint_parquet
 
-        groups_ck, _groups_ckpt = _ckpt_pq(
-            exact_dedup_groups(ds, text_col, id_col), "curate_exactgroups"
-        )
-        _consumable_ckpts.append(_groups_ckpt)
-        winners = groups_ck.select_columns(["keep_doc_id"])
+        effective_strategy = drop_strategy
+        if drop_strategy == "auto":
+            # In auto mode the exact-group table (hash, winner id,
+            # group size — no text) spills once: the winners join reads
+            # it back instead of re-running the groupby, and its
+            # parquet FOOTERS answer the clone-mass guard below.
+            # Explicit broadcast/semi_join runs keep the lazy
+            # groupby-into-join (no spill — they never read the
+            # metadata).
+            groups_ck, _groups_ckpt = _checkpoint_parquet(
+                exact_dedup_groups(ds, text_col, id_col), "curate_exactgroups"
+            )
+            _consumable_ckpts.append(_groups_ckpt)
+            winners = groups_ck.select_columns(["keep_doc_id"])
+        else:
+            winners = exact_dedup_groups(ds, text_col, id_col).select_columns(
+                ["keep_doc_id"]
+            )
         docs = ds.select_columns([id_col, text_col])
         deduped = docs.join(
             winners,
@@ -357,7 +365,6 @@ def curate_corpus(
             right_on=("keep_doc_id",),
         )
 
-        effective_strategy = drop_strategy
         if drop_strategy == "auto":
             # pre-pass clone-mass guard (measured: a 500k-doc corpus of
             # 100-clone groups took 117 s through the driver LSH — the
@@ -369,28 +376,42 @@ def curate_corpus(
             #  * the exact-clone pair mass Σ n·(n−1)/2 exceeds
             #    clone_pair_limit (the candidate floor the full-corpus
             #    LSH would have to expand and land on the driver).
-            n_winners = groups_ck.count()  # parquet footers — free
+            # n_winners comes from the spill's parquet footers directly
+            # (metadata only — Dataset.count() on a read+strip plan
+            # would execute a full pass); the pair-mass aggregate runs
+            # ONLY when the worst-case bound D·(D+1)/2 over the
+            # exact-dup mass D can even exceed the limit, so healthy
+            # corpora pay zero extra passes.
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            n_winners = sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(
+                    _os.path.join(_groups_ckpt, "**", "*.parquet"), recursive=True
+                )
+            )
             exact_dup_mass = int(n_input) - int(n_winners)
-            pair_mass = groups_ck.map_batches(
-                lambda b: pa.table(
-                    {
-                        "pm": pa.compute.divide(
-                            pa.compute.multiply(
-                                pa.compute.cast(b["n_dups"], pa.int64()),
-                                pa.compute.subtract(
-                                    pa.compute.cast(b["n_dups"], pa.int64()), 1
-                                ),
-                            ),
-                            2,
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-                batch_size=65536,
-            ).sum("pm")
-            if exact_dup_mass > drop_broadcast_limit or (
-                pair_mass or 0
-            ) > clone_pair_limit:
+            route_semi = exact_dup_mass > drop_broadcast_limit
+            if (
+                not route_semi
+                and exact_dup_mass * (exact_dup_mass + 1) // 2 > clone_pair_limit
+            ):
+
+                def _pair_mass_batch(b: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    n = pc.cast(b["n_dups"], pa.int64())
+                    return pa.table(
+                        {"pm": pc.divide(pc.multiply(n, pc.subtract(n, 1)), 2)}
+                    )
+
+                pair_mass = groups_ck.map_batches(
+                    _pair_mass_batch, batch_format="pyarrow", batch_size=65536
+                ).sum("pm")
+                route_semi = (pair_mass or 0) > clone_pair_limit
+            if route_semi:
                 effective_strategy = "semi_join"
                 _mark("auto_clone_guard")
 
@@ -465,7 +486,7 @@ def curate_corpus(
             return view.rename_columns(renames) if renames else view
 
         if effective_strategy == "semi_join":
-            from ..ops.dedup import _checkpoint_parquet, minhash_dedup_ds
+            from ..ops.dedup import minhash_dedup_ds
 
             deduped_ck, _dedup_ckpt = _checkpoint_parquet(deduped, "curate_dedup1")
             _consumable_ckpts.append(_dedup_ckpt)
