@@ -21,6 +21,7 @@ CORPUS = st.fixed_dictionaries(
         "with_c4": st.booleans(),
         "with_rep_gate": st.booleans(),
         "with_line_dedup": st.booleans(),
+        "drop_strategy": st.sampled_from(["auto", "broadcast", "semi_join"]),
     }
 )
 
@@ -60,7 +61,15 @@ def test_curate_never_crashes_and_holds_invariants(ray_session, cfg):
 
     df, bench, target = _build(cfg)
     ds = ray.data.from_pandas(df)
-    kwargs = dict(max_tokens=128, join_partitions=2)
+    kwargs = dict(
+        max_tokens=128,
+        join_partitions=2,
+        drop_strategy=cfg["drop_strategy"],
+        # tiny limits force the auto flip / clone guard on these small
+        # corpora too, so all three handoffs fuzz across every shape
+        drop_broadcast_limit=0 if cfg["seed"] % 2 else 2_000_000,
+        clone_pair_limit=0 if cfg["seed"] % 3 == 0 else 5_000_000,
+    )
     if bench:
         kwargs["benchmark_texts"] = bench
     if target:
