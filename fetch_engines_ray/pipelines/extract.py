@@ -458,16 +458,17 @@ def escalate_low_quality(
 
     Docs whose fast extraction scored below ``min_quality`` are re-run
     through the warm path (forced route).  The low-quality ids stay a
-    DATASET and the corpus re-read semi-joins against them with a
-    distributed hash join — no driver-side id set at any fraction.
-    Arrow hash joins reject list-typed payloads, so the ``spans``
-    column is packed to a binary blob for the join and unpacked after
-    (only matched rows pay the decode).  Returns the re-extracted rows
-    (union with the kept rows is the caller's choice).
+    DATASET and the corpus re-read semi-joins against them through
+    ``ops/dedup.filter_by_keys`` — no driver-side id set at any
+    fraction, no Ray hash join (its aggregator dies on schema-less
+    empty partitions whenever the low-quality side is sparse, the
+    NORMAL healthy-corpus case), and the nested ``spans`` column rides
+    through as Arrow (the former pickle pack/unpack existed only
+    because Arrow hash joins reject list payloads).  Returns the
+    re-extracted rows (union with the kept rows is the caller's
+    choice).
     """
-    import pickle
-
-    from ..stages.extract import RAW_SPAN_TYPE
+    from ..ops.dedup import filter_by_keys
 
     cfg = cfg or PipelineConfig()
     low = extracted.select_columns(["doc_id", "quality_score"]).filter(
@@ -476,31 +477,23 @@ def escalate_low_quality(
     if low.count() == 0:
         return None  # type: ignore[return-value]
 
-    def pack(batch: pa.Table) -> pa.Table:
-        blobs = [pickle.dumps(s) for s in batch.column("spans").to_pylist()]
-        cols = {n: batch.column(n) for n in batch.column_names if n != "spans"}
-        cols["spans_pkl"] = pa.array(blobs, type=pa.binary())
-        return pa.table(cols)
-
-    packed = read_corpus(input_path, cfg).map_batches(
-        pack, batch_format="pyarrow", batch_size=1024
-    )
-    # semi-join shuffles the corpus-sized packed side: scale the
-    # partition count with it (parquet-backed count is metadata-cheap)
+    # the filter's groups carry the corpus side: scale the partition
+    # count with it (parquet-backed count is metadata-cheap)
     n_parts = max(2, min(64, read_corpus(input_path, cfg).count() // 200_000 + 1))
-    matched = packed.join(low, join_type="inner", num_partitions=n_parts, on=("doc_id",))
+    matched = filter_by_keys(
+        read_corpus(input_path, cfg),
+        low,
+        "doc_id",
+        keep_matches=True,
+        n_parts=n_parts,
+    )
 
-    def unpack_force_warm(batch: pa.Table) -> pa.Table:
-        spans = pa.array(
-            [pickle.loads(b) for b in batch.column("spans_pkl").to_pylist()],
-            type=pa.list_(RAW_SPAN_TYPE),
+    def force_warm(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "force_route", pa.array(["warm"] * batch.num_rows)
         )
-        cols = {n: batch.column(n) for n in batch.column_names if n != "spans_pkl"}
-        cols["spans"] = spans
-        cols["force_route"] = pa.array(["warm"] * batch.num_rows)
-        return pa.table(cols)
 
-    corpus = matched.map_batches(unpack_force_warm, batch_format="pyarrow", batch_size=1024)
+    corpus = matched.map_batches(force_warm, batch_format="pyarrow", batch_size=1024)
     return build_pipeline(corpus, cfg)
 
 
