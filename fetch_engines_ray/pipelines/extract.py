@@ -489,6 +489,11 @@ def escalate_low_quality(
     )
 
     def force_warm(batch: pa.Table) -> pa.Table:
+        # REPLACE any pre-existing per-row force_route override (the
+        # documented input column) rather than append a duplicate
+        # field — escalation forces warm unconditionally
+        if "force_route" in batch.column_names:
+            batch = batch.drop_columns(["force_route"])
         return batch.append_column(
             "force_route", pa.array(["warm"] * batch.num_rows)
         )
